@@ -1,0 +1,131 @@
+"""Flagship ingest/index pipeline (SURVEY.md §3.1, engine shape).
+
+    read webpages → extract_pages (1→N fan-out, payload dropped)
+                  → tokenize (actor pool) → postings
+                  → index build (two-phase stats + sorted posting table)
+    forks: pages.write_parquet / postings bucketed write / manifest rows
+
+Two entry points:
+
+- ``ingest(webpages)``: lazy composition returning the stage datasets; used
+  by ``entry()``/``queries()`` and tests. Nothing is materialized — the
+  streaming executor pipelines extract → tokenize with backpressure.
+
+- ``ingest_resumable(input_dir, out_dir)``: the production shape. The unit of
+  checkpointing is the input Parquet fragment (at 100 TB: a shard of files);
+  each fragment's outputs land in deterministic ``part={id}`` directories and
+  a manifest row records lineage + row/byte/error counts. A re-run anti-joins
+  fragments against the manifest and skips finished ones — mid-run failure
+  costs one partition, not the job (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import pyarrow.compute as pc
+
+from ..stages.extract import extract_pages
+from ..stages.index import term_stats
+from ..stages.tokenize import tokenize_pages
+from ..state import manifest as manifest_mod
+
+# heavy-payload stage: small batches (payload rows can be MBs); tokenize
+# batches larger (text-only rows)
+EXTRACT_BATCH_SIZE = 128
+TOKENIZE_BATCH_SIZE = 512
+
+
+def ingest(webpages, *, tokenize_concurrency: int = 4):
+    """Lazy pipeline: returns dict of stage datasets.
+
+    The ``html`` payload column is consumed inside ``extract_pages`` and never
+    crosses a shuffle boundary (SURVEY.md §4 memory pressure).
+    """
+    pages = webpages.map_batches(
+        extract_pages,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=EXTRACT_BATCH_SIZE,
+    )
+    postings = tokenize_pages(
+        pages, concurrency=tokenize_concurrency, batch_size=TOKENIZE_BATCH_SIZE
+    )
+    return {
+        "pages": pages,
+        "postings": postings,
+        "term_stats": term_stats(postings),
+    }
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def ingest_resumable(
+    input_dir: str,
+    out_dir: str,
+    *,
+    tokenize_concurrency: int = 4,
+    fail_after_partitions: int | None = None,
+) -> dict:
+    """Checkpointed ingest over a directory of webpages Parquet fragments.
+
+    ``fail_after_partitions`` injects a crash after N partitions (tests the
+    resume path). Returns summary counters.
+    """
+    import ray.data as rd
+
+    manifest_dir = os.path.join(out_dir, "_manifest")
+    done = manifest_mod.done_hashes(manifest_dir, stage="ingest")
+    fragments = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+
+    n_done_before = 0
+    n_processed = 0
+    for pid, frag in enumerate(fragments):
+        frag_hash = manifest_mod.fragment_hash(frag)
+        if frag_hash in done:
+            n_done_before += 1
+            continue
+        t0 = time.monotonic()
+        webpages = rd.read_parquet(frag)
+        stages = ingest(webpages, tokenize_concurrency=tokenize_concurrency)
+
+        pages_dir = os.path.join(out_dir, "pages", f"part={pid:05d}")
+        postings_dir = os.path.join(out_dir, "postings", f"part={pid:05d}")
+        # deterministic partition dirs: a rerun overwrites, never duplicates
+        pages = stages["pages"].materialize()
+        pages.write_parquet(pages_dir)
+        stages["postings"].write_parquet(postings_dir)
+
+        n_rows = pages.count()
+        n_errors = pages.map_batches(
+            lambda b: b.filter(pc.equal(b.column("status"), "error")),
+            batch_format="pyarrow",
+        ).count()
+        manifest_mod.append_row(
+            manifest_dir,
+            partition_id=pid,
+            stage="ingest",
+            input_hash=frag_hash,
+            row_count=n_rows,
+            byte_count=_dir_bytes(pages_dir) + _dir_bytes(postings_dir),
+            n_errors=n_errors,
+            status="done",
+            wall_time_s=time.monotonic() - t0,
+        )
+        n_processed += 1
+        if fail_after_partitions is not None and n_processed >= fail_after_partitions:
+            raise RuntimeError(f"injected failure after {n_processed} partitions")
+
+    return {
+        "fragments": len(fragments),
+        "skipped_done": n_done_before,
+        "processed": n_processed,
+    }

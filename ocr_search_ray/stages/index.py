@@ -1,0 +1,79 @@
+"""Inverted-index build: postings → sorted posting table + per-term stats.
+
+The reference's index is the Mongo ``term_freqs`` collection, written one
+upsert per (docId, term) (``src/DbInterface/DbInterface.class.js:366-381``);
+its implicit "index" is Mongo's key lookup. The Ray-Data re-expression
+(SURVEY.md A2) is the wide shuffle of the pipeline:
+
+- **posting table**: postings sorted by ``(term, doc_id)`` — a declared
+  deterministic order (the reference leaves Mongo order unspecified;
+  SURVEY.md K4) — written as hash-bucketed Parquet so query-time term lookups
+  prune to a bucket + row-group predicate pushdown.
+- **term stats** (df, cf): computed with a two-phase aggregate — a partial
+  per-batch combine inside ``map_batches`` (no shuffle) followed by a small
+  ``groupby("term").sum`` over partials. At 10^12-row scale the partial pass
+  shrinks the shuffle input from one row per (doc, term) to one row per
+  (batch, term); hot terms (Zipf head) are thereby pre-combined — the salting
+  analogue for aggregation skew (SURVEY.md §4, §7.4).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..schemas import TERM_STATS, assert_schema
+
+N_BUCKETS_DEFAULT = 64
+
+
+def _partial_term_stats(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: one row per distinct term in the batch."""
+    agg = batch.group_by("term").aggregate([("doc_id", "count"), ("tf", "sum")])
+    return agg.rename_columns(["term", "df_part", "cf_part"])
+
+
+def term_stats(postings) -> "object":
+    """TERM_STATS dataset via two-phase (combine → shuffle) aggregation."""
+    partials = postings.map_batches(_partial_term_stats, batch_format="pyarrow")
+    grouped = partials.groupby("term").sum(["df_part", "cf_part"])
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        table = pa.table(
+            {
+                "term": batch.column("term"),
+                "df": batch.column("sum(df_part)").cast(pa.int64()),
+                "cf": batch.column("sum(cf_part)").cast(pa.int64()),
+            }
+        )
+        return assert_schema(table, TERM_STATS, "term_stats")
+
+    return grouped.map_batches(_finalize, batch_format="pyarrow")
+
+
+def add_term_bucket(postings, n_buckets: int = N_BUCKETS_DEFAULT):
+    """Attach the hash-bucket partition key used for the posting-table layout."""
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        terms = batch.column("term").to_pylist()
+        buckets = [
+            int.from_bytes(hashlib.sha256(t.encode()).digest()[:4], "big")
+            % n_buckets
+            for t in terms
+        ]
+        return batch.append_column("term_bucket", pa.array(buckets, pa.int32()))
+
+    return postings.map_batches(_bucket, batch_format="pyarrow")
+
+
+def build_index(postings, out_dir: str | None = None, n_buckets: int = N_BUCKETS_DEFAULT):
+    """Sort postings into the declared ``(term, doc_id)`` order; optionally
+    persist as Parquet partitioned by ``term_bucket`` (resumable layout:
+    one directory per bucket, rewrite idempotent)."""
+    sorted_postings = postings.sort(["term", "doc_id"])
+    if out_dir is not None:
+        add_term_bucket(sorted_postings, n_buckets).write_parquet(
+            out_dir, partition_cols=["term_bucket"]
+        )
+    return sorted_postings

@@ -1,0 +1,110 @@
+"""Query path: tokenize query → posting lookup → score merge → rank → top-k.
+
+Re-expresses the reference search flow (``src/ApiServer/ApiHandler.const.js:
+19-46`` → ``src/TermMatcher/TermMatcher.class.js:25-53``):
+
+- query is tokenized with the SAME tokenizer as ingest (identical
+  normalization — ApiHandler.const.js:31);
+- per query term, hits score = tf (TermMatcher.class.js:34);
+- a doc hit by several query terms keeps the MAX score, not the sum
+  (TermMatcher.class.js:40-51 — SURVEY.md A3);
+- rank by score desc (K1), truncate to ``max_return`` (K2, default 20,
+  AppConfig.const.js:22). Ties are broken by ``doc_id`` asc — the reference
+  leaves tie order unspecified (JS sort is stable on Mongo's unspecified
+  order); the engine declares one for determinism (SURVEY.md K4).
+
+Physical plan (SURVEY.md J1): the query-term set is tiny → vectorized
+``is_in`` filter over the posting table (predicate pushdown when reading the
+bucketed Parquet index), then the hit set (≪ corpus) is collected and
+broadcast via ``ray.put`` into a ``map_batches`` lookup over ``pages`` —
+a broadcast hash join, never an all-to-all shuffle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.tokenizer import Tokenizer
+
+DEFAULT_MAX_RETURN = 20
+
+_RESULT_COLUMNS = ["url", "page_idx", "img_path", "doc_id", "score"]
+
+
+def validate_query(search_term, max_return) -> None:
+    """Argument validation (ApiHandler.const.js:21-24 semantics)."""
+    if not isinstance(search_term, str):
+        raise ValueError("searchTerm must be a string")
+    if not (isinstance(max_return, int) and max_return >= 1):
+        raise ValueError("maxReturn must be a positive integer")
+
+
+def score_hits(postings, query_terms: list[str]):
+    """Posting semi-join + max-merge: → (doc_id, score) dataset."""
+    terms_arr = pa.array(sorted(set(query_terms)), pa.string())
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("term"), value_set=terms_arr)
+        hits = batch.filter(mask)
+        return pa.table(
+            {"doc_id": hits.column("doc_id"), "score": hits.column("tf")}
+        )
+
+    return (
+        postings.map_batches(_filter, batch_format="pyarrow")
+        .groupby("doc_id")
+        .max("score")
+        .map_batches(
+            lambda b: b.rename_columns(["doc_id", "score"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def join_pages(hits_table: pa.Table, pages):
+    """Broadcast hash join of the (small) hit set against the pages table."""
+    import ray
+
+    hits_ref = ray.put(
+        dict(
+            zip(
+                hits_table.column("doc_id").to_pylist(),
+                hits_table.column("score").to_pylist(),
+            )
+        )
+    )
+
+    def _lookup(batch: pa.Table) -> pa.Table:
+        score_by_doc = ray.get(hits_ref)
+        doc_ids = batch.column("doc_id").to_pylist()
+        keep_idx = [i for i, d in enumerate(doc_ids) if d in score_by_doc]
+        sub = batch.take(pa.array(keep_idx, pa.int64()))
+        scores = pa.array(
+            [score_by_doc[d] for d in sub.column("doc_id").to_pylist()],
+            pa.int64(),
+        )
+        return sub.append_column("score", scores)
+
+    return pages.map_batches(_lookup, batch_format="pyarrow")
+
+
+def search(postings, pages, query: str, max_return: int = DEFAULT_MAX_RETURN,
+           tokenizer: Tokenizer | None = None) -> pa.Table:
+    """Full query path; returns the top-k result as a (small) Arrow table."""
+    validate_query(query, max_return)
+    tok = tokenizer or Tokenizer()
+    query_terms = list(tok.term_freqs(query).keys())
+    if not query_terms:
+        return pa.table({c: [] for c in _RESULT_COLUMNS})
+
+    hits = score_hits(postings, query_terms)
+    # query-time hit set: small by construction; materializing it here is the
+    # broadcast side of the join, not a full-dataset materialization
+    hits_table = pa.Table.from_pandas(hits.to_pandas(), preserve_index=False)
+    scored_pages = join_pages(hits_table, pages)
+    ranked = scored_pages.sort(["score", "doc_id"], descending=[True, False]).limit(
+        max_return
+    )
+    out = pa.Table.from_pandas(ranked.to_pandas(), preserve_index=False)
+    return out.select(_RESULT_COLUMNS)

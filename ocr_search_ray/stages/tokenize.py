@@ -1,0 +1,68 @@
+"""Tokenization stage: page rows → exploded posting rows (doc_id, term, tf).
+
+The reference spawns ONE fresh ``python3`` + NLTK/jieba import per page
+(``src/Tokenizer/Tokenizer.class.js:40`` — SURVEY.md ST1, its biggest
+inefficiency). Here tokenization is a **stateful actor-pool stage**: the
+``TokenizePages`` callable class builds the tokenizer (stopword set, lemma
+tables, CJK segmenter) once per actor in ``__init__`` and streams batches
+through ``__call__``.
+
+The per-page ``termFreqDict`` (tokenize_and_stem.py:58-63) is a per-row local
+aggregate — no shuffle — and is exploded directly into posting rows so every
+downstream groupby is native Arrow (SURVEY.md §1.4).
+
+Usage:
+    pages.map_batches(TokenizePages, concurrency=N, batch_size=512,
+                      batch_format="pyarrow", zero_copy_batch=True)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.tokenizer import Tokenizer
+from ..schemas import POSTINGS, assert_schema
+
+
+class TokenizePages:
+    """Actor-pool callable: PAGES batches → POSTINGS batches."""
+
+    def __init__(self) -> None:
+        # once-per-actor state (the reference pays this per page)
+        self.tokenizer = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+
+        out_doc: list[str] = []
+        out_term: list[str] = []
+        out_tf: list[int] = []
+        for did, text in zip(doc_ids, texts):
+            if not text:
+                continue  # empty/error pages contribute no postings ({} in ref)
+            for term, tf in self.tokenizer.term_freqs(text).items():
+                out_doc.append(did)
+                out_term.append(term)
+                out_tf.append(tf)
+
+        table = pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.string()),
+                "term": pa.array(out_term, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+            }
+        )
+        return assert_schema(table, POSTINGS, "tokenize")
+
+
+def tokenize_pages(pages, *, concurrency: int = 4, batch_size: int = 512):
+    """Attach the tokenize stage to a PAGES dataset (actor pool of size
+    ``concurrency``; callable classes always run as actors in Ray Data)."""
+    return pages.select_columns(["doc_id", "text"]).map_batches(
+        TokenizePages,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,113 @@
+"""End-to-end ingest over Ray Data: byte identity + determinism + resume."""
+
+import collections
+import os
+
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from ocr_search_ray.pipelines.ingest import ingest, ingest_resumable
+from ocr_search_ray.sources.webpages import doc_url, read_webpages
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stage_outputs():
+    webpages = read_webpages(SF_DIR)
+    stages = ingest(webpages, tokenize_concurrency=2)
+    return {
+        "pages": stages["pages"].materialize(),
+        "postings": stages["postings"].materialize(),
+        "term_stats": stages["term_stats"].materialize(),
+    }
+
+
+def test_pages_byte_identical_per_url(stage_outputs):
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet")
+    orig = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+
+    by_url = collections.defaultdict(dict)
+    for row in stage_outputs["pages"].take_all():
+        by_url[row["url"]][row["page_idx"]] = row["text"]
+
+    assert len(by_url) == docs.num_rows
+    for d, text in orig.items():
+        parts = by_url[doc_url(d)]
+        joined = "".join(parts[i] for i in sorted(parts))
+        assert joined == text  # byte-identical extracted text per url
+
+
+def test_no_error_rows_on_clean_corpus(stage_outputs):
+    statuses = {r["status"] for r in stage_outputs["pages"].take_all()}
+    assert "error" not in statuses
+
+
+def test_postings_match_inprocess_tokenizer(stage_outputs):
+    from ocr_search_ray.functions.tokenizer import tokenize
+
+    pages = {r["doc_id"]: r["text"] for r in stage_outputs["pages"].take_all()}
+    got = collections.defaultdict(dict)
+    for r in stage_outputs["postings"].take_all():
+        got[r["doc_id"]][r["term"]] = r["tf"]
+    for did, text in pages.items():
+        expected = tokenize(text)
+        assert got.get(did, {}) == expected
+
+
+def test_term_stats_consistent(stage_outputs):
+    postings = stage_outputs["postings"].take_all()
+    df = collections.Counter()
+    cf = collections.Counter()
+    for r in postings:
+        df[r["term"]] += 1
+        cf[r["term"]] += r["tf"]
+    stats = {r["term"]: (r["df"], r["cf"]) for r in stage_outputs["term_stats"].take_all()}
+    assert stats == {t: (df[t], cf[t]) for t in df}
+
+
+def test_ingest_deterministic_across_runs(stage_outputs):
+    rerun = ingest(read_webpages(SF_DIR), tokenize_concurrency=2)
+    a = sorted(
+        (r["doc_id"], r["term"], r["tf"]) for r in rerun["postings"].take_all()
+    )
+    b = sorted(
+        (r["doc_id"], r["term"], r["tf"])
+        for r in stage_outputs["postings"].take_all()
+    )
+    assert a == b
+
+
+def test_resumable_ingest_skips_done_partitions(tmp_path):
+    # shard the input into 4 fragments
+    input_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    os.makedirs(input_dir)
+    webpages = read_webpages(SF_DIR).materialize()
+    for i, sub in enumerate(webpages.split(4)):
+        tbl = sub.to_pandas()
+        import pyarrow as pa
+
+        pq.write_table(pa.Table.from_pandas(tbl, preserve_index=False),
+                       input_dir / f"frag-{i}.parquet")
+
+    # crash after 2 partitions
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ingest_resumable(str(input_dir), str(out_dir), tokenize_concurrency=2,
+                         fail_after_partitions=2)
+
+    # resume: must skip the 2 finished ones, finish the rest
+    summary = ingest_resumable(str(input_dir), str(out_dir), tokenize_concurrency=2)
+    assert summary["skipped_done"] == 2
+    assert summary["processed"] == 2
+
+    # full output present exactly once (no dup partitions)
+    pages = rd.read_parquet(str(out_dir / "pages")).take_all()
+    n_input = read_webpages(SF_DIR).count()
+    urls = {r["url"] for r in pages}
+    assert len(urls) == n_input
+
+    # rerun again: everything skipped
+    summary2 = ingest_resumable(str(input_dir), str(out_dir), tokenize_concurrency=2)
+    assert summary2["skipped_done"] == 4 and summary2["processed"] == 0
