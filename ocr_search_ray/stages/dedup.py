@@ -1,0 +1,314 @@
+"""Deduplication operators over a documents-style table.
+
+First-class training-data-pipeline operators (no reference counterpart —
+SURVEY.md §2.7 notes the reference has exact upsert-dedup only, which lives
+in ``stages.diff.keep_latest``):
+
+- ``exact_dedup``        — hash-partition on sha256(text), keep min(id)
+- ``minhash_signatures`` — per-doc MinHash signature rows
+- ``minhash_lsh_pairs``  — banded LSH candidate pairs, verified by true
+                           shingle Jaccard (the scalable near-dup path:
+                           candidates come from a bucket groupby, never an
+                           all-pairs scan)
+- ``ngram_jaccard_pairs``— exact all-pairs Jaccard via a shared-shingle
+                           groupby (inverted-index join: pairs emitted only
+                           for docs sharing ≥1 shingle — never a cartesian
+                           product)
+- ``simhash_signatures`` — 64-bit SimHash per doc (pairs via hamming radius)
+
+All outputs carry exact-integer evidence columns (inter, uni) so oracles
+compare integers, not floating division.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+from ..functions.minhash import (
+    jaccard,
+    lsh_bands,
+    minhash_signature,
+    shingles,
+    simhash64,
+)
+from ..functions.tokenizer import Tokenizer
+
+
+def exact_dedup(documents, *, id_col: str = "doc_id", text_col: str = "text"):
+    """→ (text_sha256, rep_id, n_dups): one row per distinct text; the
+    representative is the minimum id (deterministic). Two-phase shape: the
+    sha256 is computed batch-local, the groupby shuffles digests, not text."""
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.table(
+            {
+                "text_sha256": pa.array(
+                    [hashlib.sha256((t or "").encode()).hexdigest() for t in texts],
+                    pa.string(),
+                ),
+                id_col: batch.column(id_col),
+            }
+        )
+
+    def summarize(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "text_sha256": group.column("text_sha256").slice(0, 1),
+                "rep_id": pa.array([pc.min(group.column(id_col)).as_py()],
+                                   group.column(id_col).type),
+                "n_dups": pa.array([group.num_rows], pa.int64()),
+            }
+        )
+
+    return (
+        documents.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("text_sha256")
+        .map_groups(summarize, batch_format="pyarrow")
+    )
+
+
+class _SignatureBatcher:
+    """Actor-pool callable computing shingle sets + MinHash per row."""
+
+    def __init__(self, k: int = 3, num_hashes: int = 16) -> None:
+        self.k = k
+        self.num_hashes = num_hashes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id: list[int] = []
+        out_i: list[int] = []
+        out_mh: list[str] = []
+        for did, text in zip(ids, texts):
+            sig = minhash_signature(shingles(text or "", self.k), self.num_hashes)
+            for i, mh in enumerate(sig):
+                out_id.append(did)
+                out_i.append(i)
+                out_mh.append(mh)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, batch.column("doc_id").type),
+                "i": pa.array(out_i, pa.int32()),
+                "mh": pa.array(out_mh, pa.string()),
+            }
+        )
+
+
+def minhash_signatures(documents, *, k: int = 3, num_hashes: int = 16,
+                       concurrency: int = 4):
+    """→ (doc_id, i, mh): exploded MinHash signatures (docs with <k words
+    emit no rows, matching the SQL formulation)."""
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        _SignatureBatcher(k, num_hashes),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+    )
+
+
+def minhash_lsh_pairs(documents, *, k: int = 3, num_hashes: int = 16,
+                      band_rows: int = 4, min_jaccard_pct: int = 50,
+                      concurrency: int = 4):
+    """Banded-LSH near-dup pairs, verified exactly.
+
+    1. per-doc signature + band keys (batch-local, no shuffle)
+    2. groupby(band_idx, band_sig) → candidate pairs      [the only shuffle]
+    3. dedup pairs, verify true shingle Jaccard ≥ min_jaccard_pct/100 with a
+       broadcast shingle-set lookup (restricted corpora) — at open-web scale
+       the verify step joins back against the docs table by doc_id instead.
+
+    → (doc_id1, doc_id2, inter, uni) with 100*inter >= min_jaccard_pct*uni.
+    """
+    import ray
+
+    def band_rows_fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_b, out_sig = [], [], []
+        for did, text in zip(ids, texts):
+            sig = minhash_signature(shingles(text or "", k), num_hashes)
+            if not sig:
+                continue
+            for b, bsig in enumerate(lsh_bands(sig, band_rows)):
+                out_id.append(did)
+                out_b.append(b)
+                out_sig.append(bsig)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, batch.column("doc_id").type),
+                "band": pa.array(out_b, pa.int32()),
+                "band_sig": pa.array(out_sig, pa.string()),
+            }
+        )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column("doc_id").to_pylist())
+        a_out, b_out = [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a_out.append(ids[x])
+                b_out.append(ids[y])
+        return pa.table(
+            {
+                "doc_id1": pa.array(a_out, group.column("doc_id").type),
+                "doc_id2": pa.array(b_out, group.column("doc_id").type),
+            }
+        )
+
+    candidates = (
+        documents.select_columns(["doc_id", "text"])
+        .map_batches(band_rows_fn, batch_format="pyarrow",
+                     batch_size=256, concurrency=concurrency)
+        .groupby(["band", "band_sig"])
+        .map_groups(emit_pairs, batch_format="pyarrow")
+    )
+    # distinct pairs (a pair may collide in several bands)
+    distinct = candidates.groupby(["doc_id1", "doc_id2"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+    shingle_map = {
+        r["doc_id"]: shingles(r["text"] or "", k)
+        for r in documents.select_columns(["doc_id", "text"]).take_all()
+    }
+    sh_ref = ray.put(shingle_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sh = ray.get(sh_ref)
+        d1 = batch.column("doc_id1").to_pylist()
+        d2 = batch.column("doc_id2").to_pylist()
+        keep1, keep2, inters, unis = [], [], [], []
+        for a, b in zip(d1, d2):
+            inter, uni = jaccard(sh.get(a, set()), sh.get(b, set()))
+            if uni and 100 * inter >= min_jaccard_pct * uni:
+                keep1.append(a)
+                keep2.append(b)
+                inters.append(inter)
+                unis.append(uni)
+        return pa.table(
+            {
+                "doc_id1": pa.array(keep1, batch.column("doc_id1").type),
+                "doc_id2": pa.array(keep2, batch.column("doc_id2").type),
+                "inter": pa.array(inters, pa.int64()),
+                "uni": pa.array(unis, pa.int64()),
+            }
+        )
+
+    return distinct.map_batches(verify, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(documents, *, k: int = 3, min_jaccard_pct: int = 20):
+    """Exact Jaccard pairs via the shared-shingle inverted index:
+    explode distinct shingles → groupby(shingle) → pair hits → sum = |∩|;
+    per-doc shingle counts broadcast for the union term.
+
+    → (doc_id1, doc_id2, inter, uni) with 100*inter >= min_jaccard_pct*uni.
+    """
+    import ray
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_sh = [], []
+        for did, text in zip(ids, texts):
+            for s in shingles(text or "", k):
+                out_id.append(did)
+                out_sh.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, batch.column("doc_id").type),
+                "sh": pa.array(out_sh, pa.string()),
+            }
+        )
+
+    exploded = documents.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def pair_hits(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column("doc_id").to_pylist())
+        a_out, b_out = [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a_out.append(ids[x])
+                b_out.append(ids[y])
+        return pa.table(
+            {
+                "doc_id1": pa.array(a_out, group.column("doc_id").type),
+                "doc_id2": pa.array(b_out, group.column("doc_id").type),
+                "hit": pa.array([1] * len(a_out), pa.int64()),
+            }
+        )
+
+    inter_counts = (
+        exploded.groupby("sh")
+        .map_groups(pair_hits, batch_format="pyarrow")
+        .groupby(["doc_id1", "doc_id2"])
+        .sum("hit")
+    )
+
+    sizes = {
+        r["doc_id"]: len(shingles(r["text"] or "", k))
+        for r in documents.select_columns(["doc_id", "text"]).take_all()
+    }
+    sizes_ref = ray.put(sizes)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sz = ray.get(sizes_ref)
+        d1 = batch.column("doc_id1").to_pylist()
+        d2 = batch.column("doc_id2").to_pylist()
+        inter = batch.column("sum(hit)").to_pylist()
+        keep1, keep2, inters, unis = [], [], [], []
+        for a, b, i in zip(d1, d2, inter):
+            uni = sz[a] + sz[b] - i
+            if uni and 100 * i >= min_jaccard_pct * uni:
+                keep1.append(a)
+                keep2.append(b)
+                inters.append(i)
+                unis.append(uni)
+        return pa.table(
+            {
+                "doc_id1": pa.array(keep1, batch.column("doc_id1").type),
+                "doc_id2": pa.array(keep2, batch.column("doc_id2").type),
+                "inter": pa.array(inters, pa.int64()),
+                "uni": pa.array(unis, pa.int64()),
+            }
+        )
+
+    return inter_counts.map_batches(finalize, batch_format="pyarrow")
+
+
+class _SimhashBatcher:
+    def __init__(self) -> None:
+        self.tokenizer = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        sims = [
+            simhash64(self.tokenizer.term_freqs(t or "")) for t in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, batch.column("doc_id").type),
+                # two's-complement into int64 for Arrow friendliness
+                "simhash": pa.array(
+                    [s - (1 << 64) if s >= (1 << 63) else s for s in sims],
+                    pa.int64(),
+                ),
+            }
+        )
+
+
+def simhash_signatures(documents, *, concurrency: int = 4):
+    """→ (doc_id, simhash:int64) — tokenizer-weighted 64-bit SimHash."""
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        _SimhashBatcher, batch_format="pyarrow", batch_size=256,
+        concurrency=concurrency,
+    )

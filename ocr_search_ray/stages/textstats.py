@@ -1,0 +1,174 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+fingerprinting — first-class training-data-pipeline stages.
+
+All numeric outputs are exact integers (ratios left to consumers) so the
+relational oracles compare integers, not floats.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..functions.minhash import fingerprint
+from ..functions.tokenizer import ENGLISH_STOPWORDS
+
+# Tiny per-language function-word profiles (public-knowledge high-frequency
+# words) for the n-gram/stopword-profile language heuristic.
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to in is was for on are with as at be this have it".split()),
+    "de": frozenset("der die das und ist von mit den nicht ein eine zu auf für".split()),
+    "es": frozenset("el la los las de y en que es un una por con para del".split()),
+    "fr": frozenset("le la les de et est un une que dans pour qui sur avec pas".split()),
+}
+
+_RE_TOKEN = re.compile(r"[a-z]+|[0-9]+")  # BPE-ish: letter runs / digit runs
+_CJK = re.compile(r"[一-鿿]")
+
+
+def detect_lang(text: str) -> str:
+    """Deterministic heuristic language ID: CJK char ratio first, then
+    function-word profile voting (ties broken by profile name order)."""
+    if not text:
+        return "unknown"
+    cjk = len(_CJK.findall(text))
+    if cjk * 10 >= len(text):  # ≥10% CJK chars
+        return "zh"
+    tokens = text.lower().split()
+    if not tokens:
+        return "unknown"
+    best_lang, best_hits = "unknown", 0
+    for lang in sorted(_LANG_PROFILES):
+        hits = sum(1 for t in tokens if t in _LANG_PROFILES[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang if best_hits else "unknown"
+
+
+def lang_id(documents, *, id_col: str = "doc_id", text_col: str = "text"):
+    """→ (doc_id, pred_lang)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "pred_lang": pa.array([detect_lang(t or "") for t in texts],
+                                      pa.string()),
+            }
+        )
+
+    return documents.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def quality_stats(documents, *, id_col: str = "doc_id", text_col: str = "text"):
+    """→ (doc_id, n_chars, n_tokens, n_stopwords, n_types, sum_token_len).
+
+    The classic length/stopword-ratio quality signals as exact counters
+    (ratios = n_stopwords/n_tokens etc. are consumer-side division).
+    Tokens = single-space split, empty tokens excluded (SQL: len(t) > 0).
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        texts = batch.column(text_col).to_pylist()
+        n_chars, n_tokens, n_stop, n_types, sum_len = [], [], [], [], []
+        for t in texts:
+            t = t or ""
+            toks = [w for w in t.split(" ") if w]
+            n_chars.append(len(t))
+            n_tokens.append(len(toks))
+            n_stop.append(sum(1 for w in toks if w in ENGLISH_STOPWORDS))
+            n_types.append(len(set(toks)))
+            sum_len.append(sum(len(w) for w in toks))
+        return pa.table(
+            {
+                id_col: ids,
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_stopwords": pa.array(n_stop, pa.int64()),
+                "n_types": pa.array(n_types, pa.int64()),
+                "sum_token_len": pa.array(sum_len, pa.int64()),
+            }
+        )
+
+    return documents.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def token_counts(documents, *, id_col: str = "doc_id", text_col: str = "text"):
+    """→ (doc_id, n_ws_tokens, n_re_tokens): whitespace tokens and
+    regex-tokenizer tokens ([a-z]+|[0-9]+ runs — the BPE-ish pre-split)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_ws_tokens": pa.array(
+                    [len([w for w in (t or "").split(" ") if w]) for t in texts],
+                    pa.int64(),
+                ),
+                "n_re_tokens": pa.array(
+                    [len(_RE_TOKEN.findall((t or "").lower())) for t in texts],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return documents.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def fingerprints(documents, *, k: int = 5, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """→ (doc_id, fingerprint): min-md5-shingle document fingerprint."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "fingerprint": pa.array(
+                    [fingerprint(t or "", k) for t in texts], pa.string()
+                ),
+            }
+        )
+
+    return documents.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def vocab_stats(postings):
+    """→ single row (n_terms, n_postings, total_tf) — corpus-level vocabulary
+    statistics from a POSTINGS dataset (two-phase: batch partials, then sum)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "n_postings": pa.array([batch.num_rows], pa.int64()),
+                "total_tf": pa.array(
+                    [pc.sum(batch.column("tf")).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    parts = postings.map_batches(partial, batch_format="pyarrow").take_all()
+    n_terms = postings.select_columns(["term"]).unique("term")
+    return pa.table(
+        {
+            "n_terms": pa.array([len(n_terms)], pa.int64()),
+            "n_postings": pa.array([sum(r["n_postings"] for r in parts)], pa.int64()),
+            "total_tf": pa.array([sum(r["total_tf"] for r in parts)], pa.int64()),
+        }
+    )

@@ -1,0 +1,88 @@
+"""Near-dup operators: exact, MinHash+LSH recall, n-gram Jaccard, SimHash."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from ocr_search_ray.functions.minhash import (
+    hamming64,
+    jaccard,
+    minhash_signature,
+    shingles,
+    simhash64,
+)
+from ocr_search_ray.stages.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm window sill and the birds sing in the garden"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-word edit → high jaccard
+FAR = "completely different content about databases and query engines here"
+
+
+def _docs(texts):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_exact_dedup_keeps_min_id():
+    ds = _docs([BASE, FAR, BASE, BASE])
+    out = {r["rep_id"]: r["n_dups"] for r in exact_dedup(ds).take_all()}
+    assert out == {0: 3, 1: 1}
+
+
+def test_minhash_lsh_finds_planted_neardup():
+    ds = _docs([BASE, NEAR, FAR, "tiny"])
+    pairs = minhash_lsh_pairs(ds, min_jaccard_pct=50).take_all()
+    assert {(r["doc_id1"], r["doc_id2"]) for r in pairs} == {(0, 1)}
+    (p,) = pairs
+    inter, uni = jaccard(shingles(BASE), shingles(NEAR))
+    assert (p["inter"], p["uni"]) == (inter, uni)
+
+
+def test_ngram_jaccard_exact_pairs():
+    ds = _docs([BASE, NEAR, FAR])
+    pairs = {(r["doc_id1"], r["doc_id2"]): (r["inter"], r["uni"])
+             for r in ngram_jaccard_pairs(ds, min_jaccard_pct=20).take_all()}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] == jaccard(shingles(BASE), shingles(NEAR))
+
+
+def test_minhash_signature_is_similarity_preserving():
+    sa = minhash_signature(shingles(BASE))
+    sb = minhash_signature(shingles(NEAR))
+    sc = minhash_signature(shingles(FAR))
+    agree_ab = sum(a == b for a, b in zip(sa, sb))
+    agree_ac = sum(a == c for a, c in zip(sa, sc))
+    assert agree_ab > agree_ac
+    assert agree_ac == 0
+
+
+def test_simhash_hamming_orders_similarity():
+    from ocr_search_ray.functions.tokenizer import tokenize
+
+    ha = simhash64(tokenize(BASE))
+    hb = simhash64(tokenize(NEAR))
+    hc = simhash64(tokenize(FAR))
+    assert hamming64(ha, hb) < hamming64(ha, hc)
+
+
+def test_simhash_stage_roundtrip():
+    ds = _docs([BASE, NEAR])
+    out = {r["doc_id"]: r["simhash"] for r in simhash_signatures(ds, concurrency=2).take_all()}
+    from ocr_search_ray.functions.tokenizer import tokenize
+
+    expect = simhash64(tokenize(BASE))
+    expect_signed = expect - (1 << 64) if expect >= (1 << 63) else expect
+    assert out[0] == expect_signed

@@ -1,0 +1,63 @@
+"""Language ID, quality counters, token counts, fingerprints."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from ocr_search_ray.functions.minhash import fingerprint
+from ocr_search_ray.stages.textstats import (
+    detect_lang,
+    fingerprints,
+    lang_id,
+    quality_stats,
+    token_counts,
+)
+
+
+def _docs(texts):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_detect_lang_heuristic():
+    assert detect_lang("the cat is on the mat and it is warm") == "en"
+    assert detect_lang("der hund ist nicht auf der straße und das ist gut") == "de"
+    assert detect_lang("el perro es grande y la casa es de madera") == "es"
+    assert detect_lang("le chat est dans la maison et il est content") == "fr"
+    assert detect_lang("这是一个中文句子这是一个中文句子") == "zh"
+    assert detect_lang("") == "unknown"
+    assert detect_lang("zzz qqq xxx") == "unknown"
+
+
+def test_lang_id_stage():
+    out = {r["doc_id"]: r["pred_lang"]
+           for r in lang_id(_docs(["the cat is here", "中文内容中文内容中文"])).take_all()}
+    assert out == {0: "en", 1: "zh"}
+
+
+def test_quality_stats_counters():
+    (row,) = quality_stats(_docs(["the cat  sat"])).take_all()
+    # split(' ') with empty removed → [the, cat, sat]
+    assert row["n_chars"] == len("the cat  sat")
+    assert row["n_tokens"] == 3
+    assert row["n_stopwords"] == 1  # 'the'
+    assert row["n_types"] == 3
+    assert row["sum_token_len"] == 9
+
+
+def test_token_counts():
+    (row,) = token_counts(_docs(["ab3cd e-f"])).take_all()
+    assert row["n_ws_tokens"] == 2
+    assert row["n_re_tokens"] == 5  # ab / 3 / cd / e / f
+
+
+def test_fingerprints_deterministic_and_match_function():
+    texts = ["one two three four five six seven", "short"]
+    out = {r["doc_id"]: r["fingerprint"] for r in fingerprints(_docs(texts)).take_all()}
+    assert out[0] == fingerprint(texts[0])
+    assert out[1] == fingerprint("short")  # <5 words → whole-text md5
