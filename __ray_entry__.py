@@ -1,16 +1,28 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the ocr_search_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship ingest pipeline at sf0.001; ``queries()`` maps
+operator names to Ray pipelines; ``oracle_sql()`` provides DuckDB-equivalent
+ANSI SQL over the same parquet views for every SQL-expressible operator.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported — nothing
+here calls ray.init()/ray.shutdown().
+
+SQL-parity notes:
+- the webpage input table is synthesized deterministically from ``documents``
+  (ocr_search_ray/sources/webpages.py); the same derivation is written in
+  SQL below, so the ingest pipeline (HTML wrap→extract, paged-binary
+  chunking, sha256 ids with the padding rule) is oracle-checked end to end:
+  the extracted text must round-trip byte-identically for the value hashes
+  to match.
+- the tokenizer oracle mirrors the full chain restricted to this corpus's
+  character class (lowercase ASCII words, no punctuation/CJK — those paths
+  are locked by the pytest golden fixtures instead); the lemmatizer's only
+  action on this vocabulary is data→datum, expressed as a CASE.
+- float columns (tcr) are computed with identical IEEE operation order on
+  both sides (sqrt of exact ints, two sequential divisions); all other
+  numeric outputs are exact integers.
+- non-SQL-expressible ops (simhash, LSH-bucketed ANN, language ID) have
+  queries() entries only → driver records rows-only checks.
 """
 
 from __future__ import annotations
@@ -18,27 +30,389 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from ocr_search_ray.functions.tokenizer import ENGLISH_STOPWORDS
+from ocr_search_ray.pipelines import queries as q
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOPWORDS) if "'" not in w)
+# stopwords containing apostrophes can't appear as corpus tokens (punctuation
+# is split to spaces before the stopword check), so omitting them is exact.
+
+# documents → webpages derivation (mirrors sources/webpages.py)
+_WEB_CTE = """
+web AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 3
+              THEN 'https://hot.example.com/doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+              ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.org/doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+         END AS url,
+         text,
+         CASE WHEN doc_id % 5 = 4 THEN 'pdf'
+              WHEN doc_id % 5 <= 2 THEN 'html'
+              ELSE 'text' END AS kind
+  FROM documents
+)"""
+
+# webpages → pages (mirrors stages/extract.py: pdf rows chunk into 256-char
+# pages, html/text rows are one page; ids follow the padding rule)
+_PAGES_CTE = """
+pages AS (
+  SELECT w.url, w.text AS full_text, w.kind,
+         CAST(p.page_idx AS INT) AS page_idx,
+         CAST(CASE WHEN w.kind = 'pdf'
+              THEN greatest(1, CAST(ceil(length(w.text) / 256.0) AS INT))
+              ELSE 1 END AS INT) AS page_count,
+         CASE WHEN w.kind = 'pdf'
+              THEN substr(w.text, (p.page_idx - 1) * 256 + 1, 256)
+              ELSE w.text END AS text
+  FROM web w,
+  LATERAL (
+    SELECT unnest(generate_series(1,
+      CASE WHEN w.kind = 'pdf'
+           THEN greatest(1, CAST(ceil(length(w.text) / 256.0) AS INT))
+           ELSE 1 END)) AS page_idx
+  ) p
+),
+pages_full AS (
+  SELECT url, page_idx, page_count,
+         sha256(url) AS file_id,
+         sha256(url || '-' || lpad(CAST(page_idx AS VARCHAR),
+                 CAST(length(CAST(page_count AS VARCHAR)) AS INT), '0')) AS doc_id,
+         sha256(url || '-' || lpad(CAST(page_idx AS VARCHAR),
+                 CAST(length(CAST(page_count AS VARCHAR)) AS INT), '0')) || '.png' AS img_path,
+         text,
+         CASE WHEN text = '' THEN 'empty' ELSE 'ok' END AS status
+  FROM pages
+)"""
+
+# pages → postings (mirrors the tokenizer chain on this corpus: whitespace
+# split, len>1 ∧ has-alpha ∧ not-stopword, lemmatize)
+_POSTINGS_CTE = f"""
+tokens AS (
+  SELECT doc_id,
+         CASE WHEN t.term = 'data' THEN 'datum' ELSE t.term END AS term
+  FROM pages_full,
+  LATERAL (SELECT unnest(string_split(pages_full.text, ' ')) AS term) t
+  WHERE length(t.term) > 1
+    AND regexp_matches(t.term, '[a-z]')
+    AND t.term NOT IN ({_STOPLIST_SQL})
+),
+postings AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tokens GROUP BY doc_id, term
+)"""
+
+_INGEST_PREFIX = f"WITH {_WEB_CTE.strip()}, {_PAGES_CTE.strip()}"
+_POSTINGS_PREFIX = f"{_INGEST_PREFIX}, {_POSTINGS_CTE.strip()}"
+
+# word-3-gram shingles over documents (mirrors functions/minhash.py: single-
+# space split, positional k-grams, DISTINCT)
+_SHINGLE_CTE = """
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         list_extract(words, i) || ' ' || list_extract(words, i + 1)
+           || ' ' || list_extract(words, i + 2) AS sh
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i) g
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
+
+_MINHASH_CTE = f"""{_SHINGLE_CTE},
+mh AS (
+  SELECT doc_id, h.i AS i,
+         MIN(md5(CAST(h.i AS VARCHAR) || ':' || sh)) AS mh
+  FROM sh, LATERAL (SELECT unnest(generate_series(0, 15)) AS i) h
+  GROUP BY doc_id, h.i
+)"""
+
+_CORR_SQL = f"""{_POSTINGS_PREFIX},
+corr AS (
+  SELECT a.term AS term1, b.term AS term2,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM postings a JOIN postings b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+),
+norms AS (
+  SELECT term, CAST(SUM(tf * tf) AS BIGINT) AS nsq FROM postings GROUP BY term
+),
+tcr0 AS (
+  SELECT c.term1, c.term2,
+         (CAST(c.dot AS DOUBLE)
+           / (CASE WHEN sqrt(CAST(n1.nsq AS DOUBLE)) = 0 THEN 1
+                   ELSE sqrt(CAST(n1.nsq AS DOUBLE)) END))
+           / (CASE WHEN sqrt(CAST(n2.nsq AS DOUBLE)) = 0 THEN 1
+                   ELSE sqrt(CAST(n2.nsq AS DOUBLE)) END) AS tcr
+  FROM corr c
+  JOIN norms n1 ON c.term1 = n1.term
+  JOIN norms n2 ON c.term2 = n2.term
+)"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    return q.q_ingest_pages("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # ingest / index / search (reference parity)
+        "ingest_pages": q.q_ingest_pages,
+        "postings_tf": q.q_postings_tf,
+        "term_stats": q.q_term_stats,
+        "search_topk": q.q_search,
+        "term_correlations": q.q_term_correlations,
+        "closest_terms": q.q_closest_terms,
+        # incremental layer
+        "manifest_diff": q.q_manifest_diff,
+        "dedup_keep_latest": q.q_dedup_keep_latest,
+        # relational generality
+        "agg_lineitem": q.q_agg_lineitem,
+        "topk_customers": q.q_topk_customers,
+        "filter_events": q.q_filter_events,
+        # training-data ops
+        "exact_dedup": q.q_exact_dedup,
+        "minhash_signatures": q.q_minhash_signatures,
+        "minhash_lsh_pairs": q.q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
+        "simhash_signatures": q.q_simhash_signatures,  # rows-only
+        "quality_stats": q.q_quality_stats,
+        "token_counts": q.q_token_counts,
+        "fingerprints": q.q_fingerprints,
+        "vocab_stats": q.q_vocab_stats,
+        "lang_id": q.q_lang_id,  # rows-only
+        "ann_cosine_topk": q.q_ann_cosine_topk,
+        "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ingest_pages": f"""
+            {_INGEST_PREFIX}
+            SELECT url, page_idx, page_count, file_id, doc_id, img_path,
+                   text, status
+            FROM pages_full
+        """,
+        "postings_tf": f"""
+            {_POSTINGS_PREFIX}
+            SELECT doc_id, term, tf FROM postings
+        """,
+        "term_stats": f"""
+            {_POSTINGS_PREFIX}
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(tf) AS BIGINT) AS cf
+            FROM postings GROUP BY term
+        """,
+        "search_topk": f"""
+            {_POSTINGS_PREFIX},
+            hits AS (
+              SELECT doc_id, CAST(MAX(tf) AS BIGINT) AS score
+              FROM postings
+              WHERE term IN ('spark', 'merge', 'datum')
+              GROUP BY doc_id
+            )
+            SELECT p.url, p.page_idx, p.img_path, h.doc_id, h.score
+            FROM hits h JOIN pages_full p USING (doc_id)
+            ORDER BY h.score DESC, h.doc_id
+            LIMIT 20
+        """,
+        "term_correlations": f"""
+            {_CORR_SQL}
+            SELECT term1, term2, tcr FROM tcr0
+            UNION ALL
+            SELECT term2 AS term1, term1 AS term2, tcr FROM tcr0
+        """,
+        "closest_terms": f"""
+            {_CORR_SQL},
+            sym AS (
+              SELECT term1, term2, tcr FROM tcr0
+              UNION ALL
+              SELECT term2, term1, tcr FROM tcr0
+            ),
+            ranked AS (
+              SELECT term1, term2, tcr,
+                     row_number() OVER (
+                       PARTITION BY term1 ORDER BY tcr DESC, term2) AS rn
+              FROM sym
+            )
+            SELECT term1, term2, tcr FROM ranked WHERE rn <= 5
+        """,
+        "manifest_diff": """
+            WITH old AS (
+              SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS key,
+                     MAX(ts) AS ts
+              FROM events WHERE event_id % 3 <> 0 GROUP BY 1
+            ),
+            new AS (
+              SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS key,
+                     MAX(ts) AS ts
+              FROM events WHERE event_id % 4 <> 0 GROUP BY 1
+            )
+            SELECT COALESCE(o.key, n.key) AS key,
+                   CASE WHEN o.key IS NULL THEN 'added'
+                        WHEN n.key IS NULL THEN 'deleted'
+                        WHEN n.ts > o.ts THEN 'modified'
+                        ELSE 'unchanged' END AS change,
+                   o.ts AS old_ts, n.ts AS new_ts
+            FROM old o FULL OUTER JOIN new n ON o.key = n.key
+        """,
+        "dedup_keep_latest": """
+            SELECT user_id, event_type, event_id, ts, value
+            FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "agg_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_price_cents,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_customers": """
+            SELECT o.o_custkey AS custkey, c.c_name AS name,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+            ORDER BY n_orders DESC, custkey
+            LIMIT 10
+        """,
+        "filter_events": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MIN(event_id) AS BIGINT) AS min_id,
+                   CAST(MAX(event_id) AS BIGINT) AS max_id
+            FROM events WHERE value > 50 GROUP BY event_type
+        """,
+        "exact_dedup": """
+            SELECT sha256(text) AS text_sha256,
+                   CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY sha256(text)
+        """,
+        "minhash_signatures": f"""
+            WITH {_MINHASH_CTE.strip()}
+            SELECT doc_id, CAST(i AS INT) AS i, mh FROM mh
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH {_MINHASH_CTE.strip()},
+            bands AS (
+              SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                     string_agg(mh, ',' ORDER BY i) AS band_sig
+              FROM mh GROUP BY doc_id, CAST(i // 4 AS INT)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+              SELECT c.d1, c.d2, COUNT(*) AS inter
+              FROM cand c
+              JOIN sh s1 ON s1.doc_id = c.d1
+              JOIN sh s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+              GROUP BY c.d1, c.d2
+            )
+            SELECT i.d1 AS doc_id1, i.d2 AS doc_id2,
+                   CAST(i.inter AS BIGINT) AS inter,
+                   CAST(z1.n + z2.n - i.inter AS BIGINT) AS uni
+            FROM inter i
+            JOIN sizes z1 ON z1.doc_id = i.d1
+            JOIN sizes z2 ON z2.doc_id = i.d2
+            WHERE 100 * i.inter >= 50 * (z1.n + z2.n - i.inter)
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {_SHINGLE_CTE.strip()},
+            inter AS (
+              SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS inter
+              FROM sh s1 JOIN sh s2
+                ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.d1 AS doc_id1, i.d2 AS doc_id2,
+                   CAST(i.inter AS BIGINT) AS inter,
+                   CAST(z1.n + z2.n - i.inter AS BIGINT) AS uni
+            FROM inter i
+            JOIN sizes z1 ON z1.doc_id = i.d1
+            JOIN sizes z2 ON z2.doc_id = i.d2
+            WHERE 100 * i.inter >= 30 * (z1.n + z2.n - i.inter)
+        """,
+        "quality_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, t.w
+              FROM documents,
+              LATERAL (SELECT unnest(string_split(text, ' ')) AS w) t
+              WHERE length(t.w) > 0
+            )
+            SELECT d.doc_id,
+                   CAST(length(d.text) AS BIGINT) AS n_chars,
+                   CAST(COUNT(t.w) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(CASE WHEN t.w IN ({_STOPLIST_SQL})
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_stopwords,
+                   CAST(COUNT(DISTINCT t.w) AS BIGINT) AS n_types,
+                   CAST(COALESCE(SUM(length(t.w)), 0) AS BIGINT) AS sum_token_len
+            FROM documents d LEFT JOIN toks t USING (doc_id)
+            GROUP BY d.doc_id, d.text
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> length(x) > 0)) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))
+                        AS BIGINT) AS n_re_tokens
+            FROM documents
+        """,
+        "fingerprints": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            sh5 AS (
+              SELECT DISTINCT doc_id,
+                     list_extract(words, i) || ' ' || list_extract(words, i + 1)
+                       || ' ' || list_extract(words, i + 2)
+                       || ' ' || list_extract(words, i + 3)
+                       || ' ' || list_extract(words, i + 4) AS sh
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(words) - 4, 0))) AS i) g
+            ),
+            fp AS (SELECT doc_id, MIN(md5(sh)) AS fingerprint FROM sh5 GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(fp.fingerprint, md5(d.text)) AS fingerprint
+            FROM documents d LEFT JOIN fp USING (doc_id)
+        """,
+        "vocab_stats": f"""
+            {_POSTINGS_PREFIX}
+            SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+                   CAST(COUNT(*) AS BIGINT) AS n_postings,
+                   CAST(SUM(tf) AS BIGINT) AS total_tf
+            FROM postings
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 5
+            ),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                       AS score
+              FROM embeddings e, q
+            ),
+            r AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+              FROM s
+            )
+            SELECT query_id, vec_id, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 10
+        """,
+    }

@@ -1,0 +1,275 @@
+"""Driver-facing query implementations (the Ray side of __ray_entry__).
+
+Every function takes ``sf_dir`` and returns a Dataset / pyarrow Table whose
+column names + dtypes match the corresponding oracle SQL in
+``__ray_entry__.oracle_sql`` exactly (the driver hash-compares values after
+sorting columns by name).
+
+These are thin compositions of the engine's stages — nothing here implements
+logic of its own.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.webpages import read_webpages
+from ..stages import dedup as dedup_stage
+from ..stages import textstats
+from ..stages.correlate import closest_terms, term_correlations
+from ..stages.diff import diff_snapshots, keep_latest
+from ..stages.index import term_stats
+from ..stages.relational import broadcast_lookup_join, grouped_agg
+from ..stages.search import search
+from ..stages.similarity import ann_brute_topk, lsh_bucket_topk
+from .ingest import ingest
+
+PAGE_COLS = [
+    "url", "page_idx", "page_count", "file_id", "doc_id", "img_path", "text",
+    "status",
+]
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------- ingest core
+
+
+def q_ingest_pages(sf_dir: str):
+    pages = ingest(read_webpages(sf_dir))["pages"]
+    return pages.select_columns(PAGE_COLS)
+
+
+def _postings(sf_dir: str):
+    return ingest(read_webpages(sf_dir))["postings"]
+
+
+def q_postings_tf(sf_dir: str):
+    return _postings(sf_dir)
+
+
+def q_term_stats(sf_dir: str):
+    return term_stats(_postings(sf_dir))
+
+
+def q_search(sf_dir: str):
+    stages = ingest(read_webpages(sf_dir))
+    return search(
+        stages["postings"], stages["pages"], "Spark MERGE data!", max_return=20
+    )
+
+
+def q_term_correlations(sf_dir: str):
+    return term_correlations(_postings(sf_dir))
+
+
+def q_closest_terms(sf_dir: str):
+    return closest_terms(term_correlations(_postings(sf_dir)), num=5)
+
+
+# ------------------------------------------------------------ incremental ops
+
+
+def batch_mod(batch: pa.Table, modulo: int):
+    """event_id mod ``modulo`` (non-negative ints; truncating int division)."""
+    return pc.subtract(
+        batch.column("event_id"),
+        pc.multiply(
+            pc.divide(batch.column("event_id"), modulo), modulo
+        ),
+    )
+
+
+def _snapshot_impl(events, modulo: int):
+    def keep(batch: pa.Table) -> pa.Table:
+        rem = batch_mod(batch, modulo)
+        return batch.filter(pc.not_equal(rem, 0))
+
+    filtered = events.map_batches(keep, batch_format="pyarrow")
+    agg = grouped_agg(filtered, ["user_id", "event_type"], [("ts", "ts", "max")])
+
+    def to_key(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{u}|{e}"
+            for u, e in zip(
+                batch.column("user_id").to_pylist(),
+                batch.column("event_type").to_pylist(),
+            )
+        ]
+        return pa.table(
+            {"url": pa.array(keys, pa.string()), "warc_ts": batch.column("ts")}
+        )
+
+    return agg.map_batches(to_key, batch_format="pyarrow")
+
+
+def q_manifest_diff(sf_dir: str):
+    events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    old = _snapshot_impl(events, 3)
+    new = _snapshot_impl(events, 4)
+    return diff_snapshots(old, new, key="url", ts="warc_ts")
+
+
+def q_dedup_keep_latest(sf_dir: str):
+    events = _read(sf_dir, "events")
+    return keep_latest(events, ["user_id", "event_type"], ["ts", "event_id"]).select_columns(
+        ["user_id", "event_type", "event_id", "ts", "value"]
+    )
+
+
+# ------------------------------------------------------------- relational ops
+
+
+def q_agg_lineitem(sf_dir: str):
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch.column("l_quantity"), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100)), pa.int64()
+        )
+        ones = pa.array([1] * batch.num_rows, pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": qty,
+                "cents": cents,
+                "one": ones,
+            }
+        )
+
+    prepped = li.map_batches(prep, batch_format="pyarrow")
+    return grouped_agg(
+        prepped,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum_qty", "qty", "sum"),
+            ("sum_price_cents", "cents", "sum"),
+            ("count_order", "one", "count"),
+        ],
+    )
+
+
+def q_topk_customers(sf_dir: str):
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    counts = grouped_agg(orders, ["o_custkey"], [("n_orders", "o_custkey", "count")])
+    customers = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).take_all()
+    lookup = {r["c_custkey"]: (r["c_name"],) for r in customers}
+    joined = broadcast_lookup_join(
+        counts, lookup, "o_custkey", {"name": pa.string()}
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch.column("o_custkey"),
+                "name": batch.column("name"),
+                "n_orders": batch.column("n_orders"),
+            }
+        )
+
+    out = (
+        joined.map_batches(rename, batch_format="pyarrow")
+        .sort(["n_orders", "custkey"], descending=[True, False])
+        .limit(10)
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def q_filter_events(sf_dir: str):
+    events = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("value"), 50.0))
+
+    filtered = events.map_batches(keep, batch_format="pyarrow")
+    return grouped_agg(
+        filtered,
+        ["event_type"],
+        [
+            ("n", "event_id", "count"),
+            ("min_id", "event_id", "min"),
+            ("max_id", "event_id", "max"),
+        ],
+    )
+
+
+# ---------------------------------------------------------- training-data ops
+
+
+def q_exact_dedup(sf_dir: str):
+    return dedup_stage.exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_minhash_signatures(sf_dir: str):
+    return dedup_stage.minhash_signatures(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def q_minhash_lsh_pairs(sf_dir: str):
+    return dedup_stage.minhash_lsh_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), min_jaccard_pct=50
+    )
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    return dedup_stage.ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), min_jaccard_pct=30
+    )
+
+
+def q_simhash_signatures(sf_dir: str):
+    return dedup_stage.simhash_signatures(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def q_quality_stats(sf_dir: str):
+    return textstats.quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_token_counts(sf_dir: str):
+    return textstats.token_counts(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_fingerprints(sf_dir: str):
+    return textstats.fingerprints(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_vocab_stats(sf_dir: str):
+    return textstats.vocab_stats(_postings(sf_dir))
+
+
+def q_lang_id(sf_dir: str):
+    return textstats.lang_id(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("vec_id"), n))
+
+    rows = emb.map_batches(keep, batch_format="pyarrow").take_all()
+    return {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+
+def q_ann_cosine_topk(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_brute_topk(emb, _query_vectors(sf_dir), k=10)
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_bucket_topk(emb, _query_vectors(sf_dir), k=10)

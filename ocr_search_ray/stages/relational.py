@@ -1,0 +1,93 @@
+"""Generic relational helpers: two-phase aggregation + broadcast hash join.
+
+These are the engine's reusable wide-operator building blocks (SURVEY.md
+§7.4): every groupby here is preceded by a batch-local partial combine so the
+shuffle moves one row per (batch, key) instead of one per input row — the
+standard combiner/salting defense for hot keys at scale.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+_PARTIAL_FUNCS = {"sum": "sum", "min": "min", "max": "max", "count": "count"}
+_MERGE_OF = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+
+
+def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]]):
+    """Two-phase grouped aggregation.
+
+    ``specs``: list of (out_name, column, fn) with fn ∈ sum|min|max|count
+    (count ignores the column's values, counts rows). Returns a dataset with
+    ``keys + [out_name...]`` columns, exact dtypes preserved (sums cast back
+    to the partial's type).
+    """
+    agg_list = []
+    for out, col, fn in specs:
+        agg_list.append((col, _PARTIAL_FUNCS[fn]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = set(keys)
+        for _, col, _fn in specs:
+            cols.add(col)
+        sub = batch.select([c for c in batch.column_names if c in cols])
+        agg = sub.group_by(keys).aggregate(agg_list)
+        # arrow names results like "col_sum"; rename to partial slots
+        names = keys + [f"p{i}" for i in range(len(specs))]
+        # arrow puts keys last in group_by output; reorder by lookup
+        out_cols = {}
+        for i, (_out, col, fn) in enumerate(specs):
+            out_cols[f"p{i}"] = agg.column(f"{col}_{_PARTIAL_FUNCS[fn]}")
+        for k in keys:
+            out_cols[k] = agg.column(k)
+        return pa.table({n: out_cols[n] for n in names})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    merge_aggs = []
+    for i, (_out, _col, fn) in enumerate(specs):
+        merge = _MERGE_OF[fn]
+        cls = {"sum": Sum, "min": Min, "max": Max}[merge]
+        merge_aggs.append(cls(f"p{i}"))
+    grouped = partials.groupby(keys).aggregate(*merge_aggs)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        out = {k: batch.column(k) for k in keys}
+        for i, (out_name, _col, fn) in enumerate(specs):
+            merge = _MERGE_OF[fn]
+            col = batch.column(f"{merge}(p{i})")
+            if fn == "count":
+                col = col.cast(pa.int64())
+            out[out_name] = col
+        return pa.table(out)
+
+    return grouped.map_batches(finalize, batch_format="pyarrow")
+
+
+def broadcast_lookup_join(ds, lookup: dict, key: str, out_cols: dict[str, "pa.DataType"],
+                          how: str = "inner"):
+    """Broadcast hash join: ``lookup`` maps key → tuple of values appended as
+    ``out_cols`` (name → arrow type, in tuple order). Small side shipped once
+    via ``ray.put``, probed per batch — never a shuffle (SURVEY.md J1)."""
+    import ray
+
+    lookup_ref = ray.put(lookup)
+    names = list(out_cols)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        table = ray.get(lookup_ref)
+        keys_list = batch.column(key).to_pylist()
+        if how == "inner":
+            keep = [i for i, k in enumerate(keys_list) if k in table]
+            batch = batch.take(pa.array(keep, pa.int64()))
+            keys_list = [keys_list[i] for i in keep]
+        for j, name in enumerate(names):
+            values = [
+                (table[k][j] if k in table else None) for k in keys_list
+            ]
+            batch = batch.append_column(name, pa.array(values, out_cols[name]))
+        return batch
+
+    return ds.map_batches(probe, batch_format="pyarrow")
