@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Benchmark harness for the ocr_search_ray engine.
+
+Default mode: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and
+print ONE JSON line:
+    {"metric": ..., "value": <headline seconds>, "unit": "sec",
+     "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N,
+     "docs_per_s": ..., "mb_per_s": ...}
+
+--scaling: run the headline pipeline in TWO FRESH PROCESSES (num_cpus=8 then
+32) on the same input and report both throughputs + scaling efficiency
+(= throughput ratio / resource ratio; north_rule target ≥ 0.8). This is the
+sandbox stand-in for the N vs 4N-node cluster criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _corpus_stats(sf_dir: str) -> tuple[int, int]:
+    """(n_docs, total_text_chars) straight from the parquet footer + one scan."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return t.num_rows, pc.sum(t.column("n_chars")).as_py()
+
+
+def run_headline(sf_dir: str, out_dir: str, num_cpus: int, repeat: int) -> dict:
+    """Flagship ingest+index: synth → extract → tokenize → postings index
+    written to parquet + term stats consumed. Returns counters + seconds.
+
+    ``repeat`` amplifies the corpus deterministically (read_webpages_scaled)
+    so the job is compute-bound — the honest condition for measuring scaling
+    (at repeat=1 and small sf the wall time is pure fixed overhead).
+    """
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_search_ray.pipelines.ingest import ingest
+    from ocr_search_ray.stages.index import build_index
+    from ocr_search_ray.stages.tokenize import tokenize_pages
+    from ocr_search_ray.sources.webpages import read_webpages, read_webpages_scaled
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pages_dir = os.path.join(out_dir, "pages")
+
+    # warm the worker pool so process spawn cost isn't measured as pipeline
+    # time at either parallelism level
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b, batch_format="numpy"
+    ).count()
+
+    if repeat > 1:
+        webpages = read_webpages_scaled(sf_dir, repeat=repeat,
+                                        num_blocks=num_cpus * 4)
+    else:
+        webpages = read_webpages(sf_dir)
+
+    t0 = time.monotonic()
+    # production shape: extract streams to the persisted pages table, then the
+    # index derives from the persisted table — each stage executes once.
+    ingest(webpages)["pages"].write_parquet(pages_dir)
+    postings = tokenize_pages(
+        rd.read_parquet(pages_dir, columns=["doc_id", "text"]))
+    build_index(postings, out_dir=os.path.join(out_dir, "postings_index"))
+    wall = time.monotonic() - t0
+    n_pages = sum(
+        pq.read_metadata(os.path.join(pages_dir, f)).num_rows
+        for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )
+    return {"wall_s": wall, "n_pages": n_pages}
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Representative per-pipeline wall times (materialized via count/take)."""
+    from ocr_search_ray.pipelines import queries as q
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        res = fn(sf_dir)
+        if hasattr(res, "count") and not isinstance(res, (int, float)):
+            try:
+                res.count()
+            except AttributeError:
+                pass
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    timed("search_topk", q.q_search)
+    timed("term_stats", q.q_term_stats)
+    timed("term_correlations", q.q_term_correlations)
+    timed("dedup_keep_latest", q.q_dedup_keep_latest)
+    timed("minhash_lsh_pairs", q.q_minhash_lsh_pairs)
+    timed("ann_cosine_topk", q.q_ann_cosine_topk)
+    timed("agg_lineitem", q.q_agg_lineitem)
+    return timings
+
+
+def _bench_once(sf_dir: str, num_cpus: int, *, with_queries: bool) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "1"))
+    out_dir = f"/tmp/ocr_search_ray_bench_{num_cpus}"
+    headline = run_headline(sf_dir, out_dir, num_cpus, repeat)
+    queries = run_queries(sf_dir) if with_queries else {}
+    ray.shutdown()
+
+    n_docs, n_chars = _corpus_stats(sf_dir)
+    n_docs *= repeat
+    n_chars *= repeat
+    wall = headline["wall_s"]
+    return {
+        "wall_s": wall,
+        "n_docs": n_docs,
+        "n_pages": headline["n_pages"],
+        "docs_per_s": round(n_docs / wall, 2),
+        "mb_per_s": round(n_chars / 1e6 / wall, 3),
+        "queries": queries,
+    }
+
+
+def main() -> int:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        # two fresh processes so each level gets a clean Ray session; the
+        # corpus is amplified so the job is compute-bound at both levels
+        repeat = os.environ.get("GRAFT_BENCH_REPEAT", "100")
+        results = {}
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--single-level"],
+                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus),
+                     "GRAFT_SF_DIR": sf_dir, "GRAFT_BENCH_REPEAT": repeat},
+                capture_output=True, text=True, check=True,
+            )
+            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        t8, t32 = results[8]["docs_per_s"], results[32]["docs_per_s"]
+        efficiency = (t32 / t8) / (32 / 8)
+        print(json.dumps({
+            "metric": "ingest-index scaling 8→32 cpus",
+            "unit": "docs/s",
+            "sf": _sf_of(sf_dir),
+            "throughput_8": t8,
+            "throughput_32": t32,
+            "wall_8_s": results[8]["value"],
+            "wall_32_s": results[32]["value"],
+            "scaling_efficiency": round(efficiency, 3),
+        }))
+        return 0
+
+    with_queries = "--single-level" not in sys.argv
+    r = _bench_once(sf_dir, num_cpus, with_queries=with_queries)
+    print(json.dumps({
+        "metric": "end-to-end ingest+index wall time (synth→extract→tokenize→"
+                  "sorted bucketed postings index) + per-pipeline timings",
+        "value": round(r["wall_s"], 3),
+        "unit": "sec",
+        "queries": r["queries"],
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "n_docs": r["n_docs"],
+        "n_pages": r["n_pages"],
+        "docs_per_s": r["docs_per_s"],
+        "mb_per_s": r["mb_per_s"],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -38,7 +38,7 @@ EXTRACT_BATCH_SIZE = 128
 TOKENIZE_BATCH_SIZE = 512
 
 
-def ingest(webpages, *, tokenize_concurrency: int = 4):
+def ingest(webpages, *, tokenize_concurrency: int | None = None):
     """Lazy pipeline: returns dict of stage datasets.
 
     The ``html`` payload column is consumed inside ``extract_pages`` and never
@@ -72,7 +72,7 @@ def ingest_resumable(
     input_dir: str,
     out_dir: str,
     *,
-    tokenize_concurrency: int = 4,
+    tokenize_concurrency: int | None = None,
     fail_after_partitions: int | None = None,
 ) -> dict:
     """Checkpointed ingest over a directory of webpages Parquet fragments.

@@ -1,0 +1,105 @@
+"""Index-backed search: the production query path (SURVEY.md §3.2).
+
+``search()`` in stages/search.py operates on in-memory datasets; this module
+is the on-disk variant a deployed engine serves queries from:
+
+1. tokenize the query with the SAME tokenizer as ingest
+   (ApiHandler.const.js:31 parity),
+2. read ONLY the index buckets that can contain the query terms
+   (hash-bucket layout from stages/index.build_index) with a row-level
+   ``term IN (...)`` filter pushed into the Parquet scan — a point lookup
+   against a 10^12-row index touches ``len(terms)`` buckets, not the corpus,
+3. score/merge/rank exactly as the in-memory path,
+4. append a search-history event (the reference's ``search_history``
+   collection, DbInterface.class.js:477-496).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.tokenizer import Tokenizer
+from ..stages.index import N_BUCKETS_DEFAULT
+from ..stages.search import DEFAULT_MAX_RETURN, join_pages, score_hits, validate_query
+
+
+def term_bucket(term: str, n_buckets: int = N_BUCKETS_DEFAULT) -> int:
+    return int.from_bytes(hashlib.sha256(term.encode()).digest()[:4], "big") % n_buckets
+
+
+def append_search_history(history_dir: str, query: str,
+                          term_freqs: dict[str, int],
+                          now: dt.datetime | None = None) -> None:
+    """Append-only query log: one small parquet per event, atomic rename
+    (the engine's version of the Mongo insert at DbInterface.class.js:485)."""
+    os.makedirs(history_dir, exist_ok=True)
+    now = now or dt.datetime.now()
+    table = pa.table(
+        {
+            "time": pa.array([now], pa.timestamp("us")),
+            "search_terms": pa.array([json.dumps(term_freqs)], pa.string()),
+            "search_query": pa.array([query], pa.string()),
+        }
+    )
+    tmp = os.path.join(history_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(history_dir, f"evt-{uuid.uuid4().hex}.parquet"))
+
+
+def search_index(index_dir: str, pages_path: str, query: str,
+                 max_return: int = DEFAULT_MAX_RETURN,
+                 *, n_buckets: int = N_BUCKETS_DEFAULT,
+                 history_dir: str | None = None) -> pa.Table:
+    """Query the on-disk bucketed posting index + pages table."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    validate_query(query, max_return)
+    tok = Tokenizer()
+    tfs = tok.term_freqs(query)
+    if history_dir is not None:
+        append_search_history(history_dir, query, tfs)
+    terms = sorted(tfs)
+    if not terms:
+        return pa.table(
+            {c: [] for c in ["url", "page_idx", "img_path", "doc_id", "score"]}
+        )
+
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    # bucket pruning by partition path (only the buckets that can contain a
+    # query term are opened) + row pruning via a term predicate pushed into
+    # the parquet scan
+    import glob as _glob
+
+    paths = [
+        f
+        for b in buckets
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, f"term_bucket={b}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        return pa.table(
+            {c: [] for c in ["url", "page_idx", "img_path", "doc_id", "score"]}
+        )
+    postings = rd.read_parquet(paths, filter=pc.field("term").isin(terms),
+                               columns=["doc_id", "term", "tf"])
+
+    hits = score_hits(postings, terms)
+    hits_table = pa.Table.from_pandas(hits.to_pandas(), preserve_index=False)
+    pages = rd.read_parquet(pages_path,
+                            columns=["url", "page_idx", "img_path", "doc_id"])
+    ranked = (
+        join_pages(hits_table, pages)
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(max_return)
+    )
+    out = pa.Table.from_pandas(ranked.to_pandas(), preserve_index=False)
+    return out.select(["url", "page_idx", "img_path", "doc_id", "score"])

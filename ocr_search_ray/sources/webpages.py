@@ -120,6 +120,44 @@ def documents_to_webpages(batch: pa.Table) -> pa.Table:
     return assert_schema(table, WEBPAGES, "documents_to_webpages")
 
 
+def read_webpages_scaled(sf_dir: str, *, repeat: int, num_blocks: int):
+    """Amplified web-page source for load benchmarking.
+
+    Generates ``repeat`` deterministic copies of the corpus (copy c of doc d
+    gets url ``doc_url(d) + '?copy=c'`` for c > 0 — byte-identity per url is
+    preserved) as ``num_blocks`` independent blocks via ``ray.data.range``,
+    with the small documents table broadcast once (``ray.put``). This is the
+    bench stand-in for a many-file production input: parallelism comes from
+    the range partitioning, not from parquet fragment count.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    docs_ref = ray.put(docs)
+    n = docs.num_rows
+
+    def synth(batch) -> pa.Table:
+        table = ray.get(docs_ref)
+        idx = batch["id"]
+        rows = [int(i) % n for i in idx]
+        copies = [int(i) // n for i in idx]
+        sub = table.take(pa.array(rows, pa.int64()))
+        web = documents_to_webpages(sub)
+        urls = [
+            u if c == 0 else f"{u}?copy={c}"
+            for u, c in zip(web.column("url").to_pylist(), copies)
+        ]
+        return web.set_column(0, "url", pa.array(urls, pa.string()))
+
+    return rd.range(n * repeat, override_num_blocks=num_blocks).map_batches(
+        synth, batch_format="numpy"
+    )
+
+
 def read_webpages(sf_dir: str, *, columns: list[str] | None = None):
     """Dataset of synthesized web pages for one testdata scale dir.
 

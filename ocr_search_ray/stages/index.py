@@ -67,13 +67,29 @@ def add_term_bucket(postings, n_buckets: int = N_BUCKETS_DEFAULT):
     return postings.map_batches(_bucket, batch_format="pyarrow")
 
 
+def _sort_group(group: pa.Table) -> pa.Table:
+    return group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+
+
 def build_index(postings, out_dir: str | None = None, n_buckets: int = N_BUCKETS_DEFAULT):
-    """Sort postings into the declared ``(term, doc_id)`` order; optionally
-    persist as Parquet partitioned by ``term_bucket`` (resumable layout:
-    one directory per bucket, rewrite idempotent)."""
-    sorted_postings = postings.sort(["term", "doc_id"])
-    if out_dir is not None:
-        add_term_bucket(sorted_postings, n_buckets).write_parquet(
-            out_dir, partition_cols=["term_bucket"]
-        )
-    return sorted_postings
+    """Build the posting index in the declared ``(term, doc_id)`` order.
+
+    With ``out_dir``: hash-bucket by term, sort WITHIN each bucket, write one
+    Parquet partition per bucket. The bucket is a pure function of the term,
+    so per-bucket order is fully deterministic and query-time pruning only
+    needs the bucket + the in-file order — a GLOBAL sort (range-partitioned
+    all-to-all with sampling) would add cost and no capability at 10^12 rows.
+    The shuffle here is a hash exchange on ``n_buckets`` keys; each bucket
+    sorts locally in Arrow (embarrassingly parallel).
+
+    Without ``out_dir``: return the globally sorted dataset (small/in-memory
+    consumers, deterministic comparisons).
+    """
+    if out_dir is None:
+        return postings.sort(["term", "doc_id"])
+    bucketed = add_term_bucket(postings, n_buckets)
+    per_bucket = bucketed.groupby("term_bucket").map_groups(
+        _sort_group, batch_format="pyarrow"
+    )
+    per_bucket.write_parquet(out_dir, partition_cols=["term_bucket"])
+    return per_bucket

@@ -56,10 +56,36 @@ class TokenizePages:
         return assert_schema(table, POSTINGS, "tokenize")
 
 
-def tokenize_pages(pages, *, concurrency: int = 4, batch_size: int = 512):
-    """Attach the tokenize stage to a PAGES dataset (actor pool of size
-    ``concurrency``; callable classes always run as actors in Ray Data)."""
-    return pages.select_columns(["doc_id", "text"]).map_batches(
+_WORKER_TOKENIZER: TokenizePages | None = None
+
+
+def _tokenize_task(batch: pa.Table) -> pa.Table:
+    """Task-pool variant with once-per-worker-process state: Ray reuses
+    worker processes across tasks, so a module-level cache gives the same
+    load-once semantics as an actor pool without pinning a fixed pool size —
+    the right trade when the state is cheap (compiled tables, not models)."""
+    global _WORKER_TOKENIZER
+    if _WORKER_TOKENIZER is None:
+        _WORKER_TOKENIZER = TokenizePages()
+    return _WORKER_TOKENIZER(batch)
+
+
+def tokenize_pages(pages, *, concurrency: int | None = None,
+                   batch_size: int = 512):
+    """Attach the tokenize stage to a PAGES dataset.
+
+    ``concurrency=None`` (default) → elastic task pool with per-worker cached
+    state; an integer → fixed actor pool of that size (use when the tokenizer
+    backend is heavyweight, e.g. real jieba/nltk models)."""
+    projected = pages.select_columns(["doc_id", "text"])
+    if concurrency is None:
+        return projected.map_batches(
+            _tokenize_task,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
+    return projected.map_batches(
         TokenizePages,
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -1,0 +1,66 @@
+"""On-disk index query path: bucket pruning, pushdown, history sink."""
+
+import json
+
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ocr_search_ray.pipelines.ingest import ingest
+from ocr_search_ray.pipelines.query import append_search_history, search_index
+from ocr_search_ray.sources.webpages import read_webpages
+from ocr_search_ray.stages.index import build_index
+from ocr_search_ray.stages.search import search
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_index_query_matches_in_memory_search(tmp_path):
+    stages = ingest(read_webpages(SF_DIR))
+    pages = stages["pages"].materialize()
+    postings = stages["postings"].materialize()
+
+    index_dir = str(tmp_path / "index")
+    pages_dir = str(tmp_path / "pages")
+    build_index(postings, out_dir=index_dir)
+    pages.write_parquet(pages_dir)
+
+    query = "Spark MERGE data!"
+    expected = search(postings, pages, query, max_return=15)
+    got = search_index(index_dir, pages_dir, query, max_return=15,
+                       history_dir=str(tmp_path / "history"))
+    assert got.to_pydict() == expected.to_pydict()
+
+    # history event was appended with the tokenized terms
+    hist = rd.read_parquet(str(tmp_path / "history")).take_all()
+    assert len(hist) == 1
+    terms = json.loads(hist[0]["search_terms"])
+    assert terms == {"spark": 1, "merge": 1, "datum": 1}
+    assert hist[0]["search_query"] == query
+
+
+def test_history_appends_accumulate(tmp_path):
+    d = str(tmp_path / "h")
+    append_search_history(d, "q1", {"a": 1})
+    append_search_history(d, "q2", {"b": 2})
+    rows = rd.read_parquet(d).take_all()
+    assert sorted(r["search_query"] for r in rows) == ["q1", "q2"]
+
+
+def test_bucketed_index_layout(tmp_path):
+    stages = ingest(read_webpages(SF_DIR))
+    index_dir = str(tmp_path / "index")
+    build_index(stages["postings"], out_dir=index_dir)
+    # partition dirs exist and carry the bucket key
+    import glob
+    import os
+
+    parts = glob.glob(os.path.join(index_dir, "term_bucket=*"))
+    assert len(parts) > 1
+    # a file inside a bucket holds only terms hashing to that bucket
+    from ocr_search_ray.pipelines.query import term_bucket
+
+    some = parts[0]
+    bucket = int(some.split("=")[-1])
+    f = glob.glob(os.path.join(some, "*.parquet"))[0]
+    terms = set(pq.read_table(f, columns=["term"]).column("term").to_pylist())
+    assert terms and all(term_bucket(t) == bucket for t in terms)
