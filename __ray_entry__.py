@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q.q_lang_id,  # rows-only
         "ann_cosine_topk": q.q_ann_cosine_topk,
         "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only
+        "embedding_neardup": q.q_embedding_neardup,
+        # multimodal plumbing (decode stubbed; layout/status are exact)
+        "media_features": q.q_media_features,
     }
 
 
@@ -414,5 +417,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "embedding_neardup": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 200
+            )
+            SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.39
+        """,
+        "media_features": """
+            SELECT 'm-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                   'ok' AS status,
+                   CAST(16 AS INT) AS feature_dim
+            FROM documents
         """,
     }

@@ -100,6 +100,10 @@ class Tokenizer:
     per-string subprocess.
     """
 
+    # word→result memo cap; Zipf vocabularies plateau far below this, the cap
+    # only bounds adversarial corpora (random strings) on long-lived workers
+    _CACHE_MAX = 1_000_000
+
     def __init__(
         self,
         stopwords: frozenset[str] = ENGLISH_STOPWORDS,
@@ -107,6 +111,26 @@ class Tokenizer:
     ) -> None:
         self.stopwords = stopwords
         self.segment_cjk = segment_cjk or _segment_cjk
+        # memo for the English word path: word → lemmatized term, or None when
+        # the filter drops the word. Pure function of the word, so caching is
+        # exact; per-worker state paid once (SURVEY.md ST1 posture).
+        self._eng_cache: dict[str, str | None] = {}
+
+    def _eng_term(self, w: str) -> str | None:
+        """Filter+lemmatize one ASCII word (tokenize_and_stem.py:42,46-47)."""
+        cache = self._eng_cache
+        try:
+            return cache[w]
+        except KeyError:
+            pass
+        if len(w) > 1 and any(c.isalpha() for c in w) and w not in self.stopwords:
+            term = lemmatize_double(w)
+        else:
+            term = None
+        if len(cache) >= self._CACHE_MAX:
+            cache.clear()
+        cache[w] = term
+        return term
 
     def terms(self, raw_text: str) -> list[str]:
         """The ordered term list for a raw page text (before counting)."""
@@ -121,17 +145,31 @@ class Tokenizer:
                 # all non-ASCII tokens are concatenated into ONE string before
                 # the CJK-range filter — separate runs merge (reference :37-40,51)
                 cjk_chars.extend(c for c in w if _CJK_LO <= ord(c) <= _CJK_HI)
-            elif (
-                len(w) > 1
-                and any(c.isalpha() for c in w)
-                and w not in self.stopwords
-            ):
-                eng_terms.append(lemmatize_double(w))
+            else:
+                term = self._eng_term(w)
+                if term is not None:
+                    eng_terms.append(term)
         cjk_terms = self.segment_cjk("".join(cjk_chars))
         return eng_terms + list(cjk_terms)
 
     def term_freqs(self, raw_text: str) -> dict[str, int]:
-        """TermFreqDict: term → occurrences (tokenize_and_stem.py:58-63)."""
+        """TermFreqDict: term → occurrences (tokenize_and_stem.py:58-63).
+
+        Fast path for pure-ASCII pages: count distinct WORDS first (C-level
+        Counter), then map each distinct word through the memoized English
+        path once. Counting commutes with the per-word map, so the result is
+        identical to the ordered path; the CJK pipeline is order-sensitive
+        (cross-token bigrams) and keeps the exact ordered walk."""
+        text = preclean(raw_text)
+        if text.isascii():
+            text = text.translate(_PUNCT_TO_SPACE)
+            out: dict[str, int] = {}
+            eng_term = self._eng_term
+            for w, c in Counter(text.split()).items():
+                term = eng_term(w)
+                if term is not None:
+                    out[term] = out.get(term, 0) + c
+            return out
         return dict(Counter(self.terms(raw_text)))
 
 

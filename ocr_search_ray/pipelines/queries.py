@@ -22,7 +22,12 @@ from ..stages.diff import diff_snapshots, keep_latest
 from ..stages.index import term_stats
 from ..stages.relational import broadcast_lookup_join, grouped_agg
 from ..stages.search import search
-from ..stages.similarity import ann_brute_topk, lsh_bucket_topk
+from ..stages.multimodal import extract_media_features
+from ..stages.similarity import (
+    ann_brute_topk,
+    embedding_neardup_pairs,
+    lsh_bucket_topk,
+)
 from .ingest import ingest
 
 PAGE_COLS = [
@@ -273,3 +278,59 @@ def q_ann_cosine_topk(sf_dir: str):
 def q_ann_lsh_topk(sf_dir: str):
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return lsh_bucket_topk(emb, _query_vectors(sf_dir), k=10)
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs over vec_id < 200 at threshold 0.39.
+
+    Output is id pairs only (the score stays internal) so the oracle compare
+    is exact-integer; 0.39 sits in a ≥1.5e-3 gap of the sf0.01 score
+    distribution, far beyond any cross-engine float ulp drift.
+    """
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(emb, threshold=0.39, max_id=200)
+    return pairs.select_columns(["vec_id1", "vec_id2"])
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal feature stage over a media table synthesized from the
+    documents payloads (kind cycles image/audio/video by doc_id; payload =
+    utf-8 text bytes). Decode itself is the documented stub — this entry
+    exercises the real Ray plumbing (actor pool, quarantine, layout)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        kinds = [("image", "audio", "video")[i % 3] for i in ids]
+        return pa.table(
+            {
+                "media_id": pa.array([f"m-{i:06d}" for i in ids], pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "payload": pa.array(
+                    [t.encode("utf-8") for t in texts], pa.binary()
+                ),
+                "width": pa.array([-1] * len(ids), pa.int32()),
+                "height": pa.array([-1] * len(ids), pa.int32()),
+                "duration_ms": pa.array([-1] * len(ids), pa.int32()),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    feats = extract_media_features(media, concurrency=2, batch_size=64)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "status": batch.column("status"),
+                "feature_dim": pa.array(
+                    [len(f) if f is not None else -1
+                     for f in batch.column("feature").to_pylist()],
+                    pa.int32(),
+                ),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")

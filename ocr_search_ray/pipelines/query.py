@@ -17,7 +17,6 @@ is the on-disk variant a deployed engine serves queries from:
 from __future__ import annotations
 
 import datetime as dt
-import hashlib
 import json
 import os
 import uuid
@@ -26,12 +25,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions.tokenizer import Tokenizer
-from ..stages.index import N_BUCKETS_DEFAULT
+from ..stages.index import N_BUCKETS_DEFAULT, term_bucket
 from ..stages.search import DEFAULT_MAX_RETURN, join_pages, score_hits, validate_query
-
-
-def term_bucket(term: str, n_buckets: int = N_BUCKETS_DEFAULT) -> int:
-    return int.from_bytes(hashlib.sha256(term.encode()).digest()[:4], "big") % n_buckets
 
 
 def append_search_history(history_dir: str, query: str,

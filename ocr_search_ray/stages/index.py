@@ -50,19 +50,35 @@ def term_stats(postings) -> "object":
     return grouped.map_batches(_finalize, batch_format="pyarrow")
 
 
+def term_bucket(term: str, n_buckets: int = N_BUCKETS_DEFAULT) -> int:
+    """Bucket assignment for one term — the SAME pure function on the build
+    and query side (pipelines/query.py prunes partition dirs with it).
+    crc32 is deterministic across platforms/processes and ~20× cheaper than a
+    cryptographic hash; bucket skew only needs uniformity, not security."""
+    import zlib
+
+    return zlib.crc32(term.encode()) % n_buckets
+
+
 def add_term_bucket(postings, n_buckets: int = N_BUCKETS_DEFAULT):
-    """Attach the hash-bucket partition key used for the posting-table layout."""
+    """Attach the hash-bucket partition key used for the posting-table layout.
+
+    Terms repeat heavily (Zipf), so each batch hashes its DISTINCT terms once
+    and maps the full column through an Arrow dictionary — no per-row Python
+    hash in the hot path."""
+    import zlib
 
     def _bucket(batch: pa.Table) -> pa.Table:
-        import hashlib
+        import pyarrow.compute as pc
 
-        terms = batch.column("term").to_pylist()
-        buckets = [
-            int.from_bytes(hashlib.sha256(t.encode()).digest()[:4], "big")
-            % n_buckets
-            for t in terms
-        ]
-        return batch.append_column("term_bucket", pa.array(buckets, pa.int32()))
+        encoded = pc.dictionary_encode(batch.column("term").combine_chunks())
+        dictionary = encoded.dictionary
+        lut = pa.array(
+            [zlib.crc32(t.encode()) % n_buckets for t in dictionary.to_pylist()],
+            pa.int32(),
+        )
+        buckets = lut.take(encoded.indices)
+        return batch.append_column("term_bucket", buckets)
 
     return postings.map_batches(_bucket, batch_format="pyarrow")
 
@@ -74,13 +90,15 @@ def _sort_group(group: pa.Table) -> pa.Table:
 def build_index(postings, out_dir: str | None = None, n_buckets: int = N_BUCKETS_DEFAULT):
     """Build the posting index in the declared ``(term, doc_id)`` order.
 
-    With ``out_dir``: hash-bucket by term, sort WITHIN each bucket, write one
-    Parquet partition per bucket. The bucket is a pure function of the term,
-    so per-bucket order is fully deterministic and query-time pruning only
-    needs the bucket + the in-file order — a GLOBAL sort (range-partitioned
-    all-to-all with sampling) would add cost and no capability at 10^12 rows.
-    The shuffle here is a hash exchange on ``n_buckets`` keys; each bucket
-    sorts locally in Arrow (embarrassingly parallel).
+    With ``out_dir``: attach the bucket key, shuffle ONCE on the int32
+    ``term_bucket`` key (``groupby`` — the range exchange over an integer
+    key is cheap to partition; a composite-string sort key makes Ray's
+    boundary search convert whole string columns per boundary), Arrow-sort
+    each bucket by ``(term, doc_id)``, and write Parquet partitioned by
+    ``term_bucket``. Every output file is fully sorted, so query-time
+    lookups prune by bucket dir AND by row-group term statistics. The
+    bucket is a pure function of the term (crc32), so layout is
+    deterministic and the query side recomputes it locally.
 
     Without ``out_dir``: return the globally sorted dataset (small/in-memory
     consumers, deterministic comparisons).

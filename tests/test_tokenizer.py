@@ -87,3 +87,39 @@ def test_stopwords_is_standard_english_list():
     assert "the" in ENGLISH_STOPWORDS
     assert "doing" in ENGLISH_STOPWORDS
     assert "spark" not in ENGLISH_STOPWORDS
+
+
+def test_fast_path_matches_ordered_path_on_mixed_corpora():
+    """term_freqs (ASCII fast path + memo) must equal Counter(terms) on every
+    kind of input: pure English, mixed CJK, punctuation, repeats."""
+    from collections import Counter
+
+    samples = [
+        "Spark data DATA data-driven; the cats RAN!",
+        "中文分詞 engine 測試 data 中文",
+        "",
+        "the a of",  # all stopwords
+        "x " * 1000 + "index " * 50,  # heavy repetition (memo hits)
+        "naïve café résumé",  # non-ASCII, non-CJK
+    ]
+    fresh = Tokenizer()
+    memoized = Tokenizer()
+    for s in samples:
+        assert memoized.term_freqs(s) == dict(Counter(fresh.terms(s))), s[:40]
+    # memo survives across calls and stays consistent
+    for s in samples:
+        assert memoized.term_freqs(s) == dict(Counter(fresh.terms(s))), s[:40]
+
+
+def test_term_bucket_is_stable_and_uniform():
+    from ocr_search_ray.stages.index import N_BUCKETS_DEFAULT, term_bucket
+
+    # pure function: same term → same bucket, range respected
+    assert term_bucket("spark") == term_bucket("spark")
+    buckets = {term_bucket(f"term{i}") for i in range(2000)}
+    assert buckets <= set(range(N_BUCKETS_DEFAULT))
+    assert len(buckets) == N_BUCKETS_DEFAULT  # 2000 Zipf-free terms hit all 64
+    # query side uses the SAME function (import parity)
+    from ocr_search_ray.pipelines.query import term_bucket as query_bucket
+
+    assert query_bucket is term_bucket
