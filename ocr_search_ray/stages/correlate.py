@@ -24,28 +24,49 @@ import math
 import pyarrow as pa
 
 from ..schemas import TERM_CORRELATIONS, assert_schema
+from .relational import cluster_apply
 
 
-def _pair_products(group: pa.Table) -> pa.Table:
-    """All ordered pairs term1 < term2 within one doc, with tf products."""
-    terms = group.column("term").to_pylist()
-    tfs = group.column("tf").to_pylist()
-    order = sorted(range(len(terms)), key=lambda i: terms[i])
+def _block_pair_products(block: pa.Table) -> pa.Table:
+    """All ordered pairs term1 < term2 within each doc of a clustered block,
+    with tf products. The block arrives via ``cluster_apply(["doc_id"])`` so
+    every doc's postings are complete within it; runs are made contiguous by
+    a block-local Arrow sort."""
+    block = block.sort_by([("doc_id", "ascending"), ("term", "ascending")])
+    doc_ids = block.column("doc_id").to_pylist()
+    terms = block.column("term").to_pylist()
+    tfs = block.column("tf").to_pylist()
     t1s: list[str] = []
     t2s: list[str] = []
     prods: list[int] = []
-    for a in range(len(order)):
-        ia = order[a]
-        for b in range(a + 1, len(order)):
-            ib = order[b]
-            t1s.append(terms[ia])
-            t2s.append(terms[ib])
-            prods.append(tfs[ia] * tfs[ib])
+    i, n = 0, len(doc_ids)
+    while i < n:
+        j = i
+        while j < n and doc_ids[j] == doc_ids[i]:
+            j += 1
+        for a in range(i, j):
+            for b in range(a + 1, j):
+                t1s.append(terms[a])
+                t2s.append(terms[b])
+                prods.append(tfs[a] * tfs[b])
+        i = j
     return pa.table(
         {
             "term1": pa.array(t1s, pa.string()),
             "term2": pa.array(t2s, pa.string()),
             "dot_part": pa.array(prods, pa.int64()),
+        }
+    )
+
+
+def _block_pair_sums(block: pa.Table) -> pa.Table:
+    """Exact per-pair dot sums within a clustered block (Arrow group_by)."""
+    agg = block.group_by(["term1", "term2"]).aggregate([("dot_part", "sum")])
+    return pa.table(
+        {
+            "term1": agg.column("term1"),
+            "term2": agg.column("term2"),
+            "sum(dot_part)": agg.column("dot_part_sum"),
         }
     )
 
@@ -95,12 +116,8 @@ def term_correlations(postings, *, terms: set[str] | None = None):
         postings = filter_terms(postings, terms)
 
     norms_ref = ray.put(_norms_sq(postings))
-    dots = (
-        postings.groupby("doc_id")
-        .map_groups(_pair_products, batch_format="pyarrow")
-        .groupby(["term1", "term2"])
-        .sum("dot_part")
-    )
+    pairs = cluster_apply(postings, ["doc_id"], _block_pair_products)
+    dots = cluster_apply(pairs, ["term1", "term2"], _block_pair_sums)
 
     def finalize(batch: pa.Table) -> pa.Table:
         norms = ray.get(norms_ref)
@@ -133,13 +150,22 @@ def term_correlations(postings, *, terms: set[str] | None = None):
 def closest_terms(correlations, num: int = 5):
     """Per-term top-``num`` neighbors by tcr desc, term2 asc (SURVEY.md K3 —
     implementing the reference's *intended* semantics; its ``.slice`` on a
-    mapped object at DbInterface.class.js:419 is a documented bug)."""
-    import pyarrow.compute as pc
+    mapped object at DbInterface.class.js:419 is a documented bug).
 
-    def topk(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group, sort_keys=[("tcr", "descending"), ("term2", "ascending")]
+    Per-group top-k over a large string key domain → cluster by ``term1``
+    and take the head of each run after one block-local Arrow sort."""
+
+    def block_topk(block: pa.Table) -> pa.Table:
+        block = block.sort_by(
+            [("term1", "ascending"), ("tcr", "descending"), ("term2", "ascending")]
         )
-        return group.take(idx[:num])
+        t1 = block.column("term1").to_pylist()
+        keep: list[int] = []
+        run_start = 0
+        for i in range(len(t1) + 1):
+            if i == len(t1) or (i > 0 and t1[i] != t1[i - 1]):
+                keep.extend(range(run_start, min(run_start + num, i)))
+                run_start = i
+        return block.take(pa.array(keep, pa.int64()))
 
-    return correlations.groupby("term1").map_groups(topk, batch_format="pyarrow")
+    return cluster_apply(correlations, ["term1"], block_topk)

@@ -34,6 +34,7 @@ from ..functions.minhash import (
     simhash64,
 )
 from ..functions.tokenizer import Tokenizer
+from .relational import cluster_apply
 
 
 def exact_dedup(documents, *, id_col: str = "doc_id", text_col: str = "text"):
@@ -53,22 +54,22 @@ def exact_dedup(documents, *, id_col: str = "doc_id", text_col: str = "text"):
             }
         )
 
-    def summarize(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
+    def block_summarize(block: pa.Table) -> pa.Table:
+        agg = block.group_by("text_sha256").aggregate(
+            [(id_col, "min"), (id_col, "count")]
+        )
         return pa.table(
             {
-                "text_sha256": group.column("text_sha256").slice(0, 1),
-                "rep_id": pa.array([pc.min(group.column(id_col)).as_py()],
-                                   group.column(id_col).type),
-                "n_dups": pa.array([group.num_rows], pa.int64()),
+                "text_sha256": agg.column("text_sha256"),
+                "rep_id": agg.column(f"{id_col}_min"),
+                "n_dups": agg.column(f"{id_col}_count").cast(pa.int64()),
             }
         )
 
-    return (
-        documents.map_batches(hash_batch, batch_format="pyarrow")
-        .groupby("text_sha256")
-        .map_groups(summarize, batch_format="pyarrow")
+    return cluster_apply(
+        documents.map_batches(hash_batch, batch_format="pyarrow"),
+        ["text_sha256"],
+        block_summarize,
     )
 
 
@@ -101,7 +102,7 @@ class _SignatureBatcher:
 
 
 def minhash_signatures(documents, *, k: int = 3, num_hashes: int = 16,
-                       concurrency: int = 4):
+                       concurrency: int | None = None):
     """→ (doc_id, i, mh): exploded MinHash signatures (docs with <k words
     emit no rows, matching the SQL formulation)."""
     return documents.select_columns(["doc_id", "text"]).map_batches(
@@ -114,7 +115,7 @@ def minhash_signatures(documents, *, k: int = 3, num_hashes: int = 16,
 
 def minhash_lsh_pairs(documents, *, k: int = 3, num_hashes: int = 16,
                       band_rows: int = 4, min_jaccard_pct: int = 50,
-                      concurrency: int = 4):
+                      concurrency: int | None = None):
     """Banded-LSH near-dup pairs, verified exactly.
 
     1. per-doc signature + band keys (batch-local, no shuffle)
@@ -147,35 +148,67 @@ def minhash_lsh_pairs(documents, *, k: int = 3, num_hashes: int = 16,
             }
         )
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
+    def block_emit_pairs(block: pa.Table) -> pa.Table:
+        block = block.sort_by(
+            [("band", "ascending"), ("band_sig", "ascending"),
+             ("doc_id", "ascending")]
+        )
+        bands = block.column("band").to_pylist()
+        sigs = block.column("band_sig").to_pylist()
+        ids = block.column("doc_id").to_pylist()
         a_out, b_out = [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                a_out.append(ids[x])
-                b_out.append(ids[y])
+        i, n = 0, len(ids)
+        while i < n:
+            j = i
+            while j < n and bands[j] == bands[i] and sigs[j] == sigs[i]:
+                j += 1
+            for x in range(i, j):
+                for y in range(x + 1, j):
+                    a_out.append(ids[x])
+                    b_out.append(ids[y])
+            i = j
         return pa.table(
             {
-                "doc_id1": pa.array(a_out, group.column("doc_id").type),
-                "doc_id2": pa.array(b_out, group.column("doc_id").type),
+                "doc_id1": pa.array(a_out, block.column("doc_id").type),
+                "doc_id2": pa.array(b_out, block.column("doc_id").type),
             }
         )
 
-    candidates = (
+    candidates = cluster_apply(
         documents.select_columns(["doc_id", "text"])
         .map_batches(band_rows_fn, batch_format="pyarrow",
-                     batch_size=256, concurrency=concurrency)
-        .groupby(["band", "band_sig"])
-        .map_groups(emit_pairs, batch_format="pyarrow")
+                     batch_size=256, concurrency=concurrency),
+        ["band", "band_sig"],
+        block_emit_pairs,
     )
     # distinct pairs (a pair may collide in several bands)
-    distinct = candidates.groupby(["doc_id1", "doc_id2"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    distinct = cluster_apply(
+        candidates,
+        ["doc_id1", "doc_id2"],
+        lambda block: block.group_by(["doc_id1", "doc_id2"]).aggregate([]),
     )
 
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, batch.column("doc_id").type),
+                "sh": pa.array(
+                    [sorted(shingles(t or "", k)) for t in texts],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+
+    # shingle sets computed in parallel; only the compact (id, shingles)
+    # pairs are collected for the broadcast verify side (restricted corpora
+    # — at open-web scale verify joins by doc_id instead, see docstring)
     shingle_map = {
-        r["doc_id"]: shingles(r["text"] or "", k)
-        for r in documents.select_columns(["doc_id", "text"]).take_all()
+        r["doc_id"]: set(r["sh"])
+        for r in documents.select_columns(["doc_id", "text"])
+        .map_batches(shingle_rows, batch_format="pyarrow")
+        .take_all()
     }
     sh_ref = ray.put(shingle_map)
 
@@ -231,31 +264,64 @@ def ngram_jaccard_pairs(documents, *, k: int = 3, min_jaccard_pct: int = 20):
         explode, batch_format="pyarrow"
     )
 
-    def pair_hits(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
+    def block_pair_hits(block: pa.Table) -> pa.Table:
+        block = block.sort_by([("sh", "ascending"), ("doc_id", "ascending")])
+        shs = block.column("sh").to_pylist()
+        ids = block.column("doc_id").to_pylist()
         a_out, b_out = [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                a_out.append(ids[x])
-                b_out.append(ids[y])
+        i, n = 0, len(ids)
+        while i < n:
+            j = i
+            while j < n and shs[j] == shs[i]:
+                j += 1
+            for x in range(i, j):
+                for y in range(x + 1, j):
+                    a_out.append(ids[x])
+                    b_out.append(ids[y])
+            i = j
         return pa.table(
             {
-                "doc_id1": pa.array(a_out, group.column("doc_id").type),
-                "doc_id2": pa.array(b_out, group.column("doc_id").type),
+                "doc_id1": pa.array(a_out, block.column("doc_id").type),
+                "doc_id2": pa.array(b_out, block.column("doc_id").type),
                 "hit": pa.array([1] * len(a_out), pa.int64()),
             }
         )
 
-    inter_counts = (
-        exploded.groupby("sh")
-        .map_groups(pair_hits, batch_format="pyarrow")
-        .groupby(["doc_id1", "doc_id2"])
-        .sum("hit")
+    def block_hit_sums(block: pa.Table) -> pa.Table:
+        agg = block.group_by(["doc_id1", "doc_id2"]).aggregate([("hit", "sum")])
+        return pa.table(
+            {
+                "doc_id1": agg.column("doc_id1"),
+                "doc_id2": agg.column("doc_id2"),
+                "sum(hit)": agg.column("hit_sum"),
+            }
+        )
+
+    inter_counts = cluster_apply(
+        cluster_apply(exploded, ["sh"], block_pair_hits),
+        ["doc_id1", "doc_id2"],
+        block_hit_sums,
     )
 
+    def size_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, batch.column("doc_id").type),
+                "n_sh": pa.array(
+                    [len(shingles(t or "", k)) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    # per-doc shingle counts computed in parallel; only (id, count) ints are
+    # collected for the broadcast union term
     sizes = {
-        r["doc_id"]: len(shingles(r["text"] or "", k))
-        for r in documents.select_columns(["doc_id", "text"]).take_all()
+        r["doc_id"]: r["n_sh"]
+        for r in documents.select_columns(["doc_id", "text"])
+        .map_batches(size_rows, batch_format="pyarrow")
+        .take_all()
     }
     sizes_ref = ray.put(sizes)
 
@@ -306,7 +372,7 @@ class _SimhashBatcher:
         )
 
 
-def simhash_signatures(documents, *, concurrency: int = 4):
+def simhash_signatures(documents, *, concurrency: int | None = None):
     """→ (doc_id, simhash:int64) — tokenizer-weighted 64-bit SimHash."""
     return documents.select_columns(["doc_id", "text"]).map_batches(
         _SimhashBatcher, batch_format="pyarrow", batch_size=256,

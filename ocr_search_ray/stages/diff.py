@@ -19,7 +19,8 @@ two snapshots are tagged and unioned, then classified per key group.
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
+
+from .relational import cluster_apply
 
 
 def _tag(ds, side: str, key: str, ts: str):
@@ -43,29 +44,45 @@ def diff_snapshots(old_ds, new_ds, *, key: str = "url", ts: str = "warc_ts"):
     """
     tagged = _tag(old_ds, "old", key, ts).union(_tag(new_ds, "new", key, ts))
 
-    def classify(group: pa.Table) -> pa.Table:
-        sides = group.column("side").to_pylist()
-        tss = group.column("ts").to_pylist()
-        old_ts = max((t for s, t in zip(sides, tss) if s == "old"), default=None)
-        new_ts = max((t for s, t in zip(sides, tss) if s == "new"), default=None)
-        if old_ts is None:
-            change = "added"
-        elif new_ts is None:
-            change = "deleted"
-        elif new_ts > old_ts:
-            change = "modified"
-        else:
-            change = "unchanged"
+    def block_classify(block: pa.Table) -> pa.Table:
+        block = block.sort_by([("key", "ascending")])
+        keys = block.column("key").to_pylist()
+        sides = block.column("side").to_pylist()
+        tss = block.column("ts").to_pylist()
+        out_key, out_change, out_old, out_new = [], [], [], []
+        i, n = 0, len(keys)
+        while i < n:
+            j = i
+            while j < n and keys[j] == keys[i]:
+                j += 1
+            old_ts = max((tss[x] for x in range(i, j) if sides[x] == "old"),
+                         default=None)
+            new_ts = max((tss[x] for x in range(i, j) if sides[x] == "new"),
+                         default=None)
+            if old_ts is None:
+                change = "added"
+            elif new_ts is None:
+                change = "deleted"
+            elif new_ts > old_ts:
+                change = "modified"
+            else:
+                change = "unchanged"
+            out_key.append(keys[i])
+            out_change.append(change)
+            out_old.append(old_ts)
+            out_new.append(new_ts)
+            i = j
+        ts_type = block.column("ts").type
         return pa.table(
             {
-                "key": group.column("key").slice(0, 1),
-                "change": pa.array([change], pa.string()),
-                "old_ts": pa.array([old_ts], group.column("ts").type),
-                "new_ts": pa.array([new_ts], group.column("ts").type),
+                "key": pa.array(out_key, pa.string()),
+                "change": pa.array(out_change, pa.string()),
+                "old_ts": pa.array(out_old, ts_type),
+                "new_ts": pa.array(out_new, ts_type),
             }
         )
 
-    return tagged.groupby("key").map_groups(classify, batch_format="pyarrow")
+    return cluster_apply(tagged, ["key"], block_classify)
 
 
 def keep_latest(ds, key_cols: list[str], order_cols: list[str]):
@@ -75,11 +92,17 @@ def keep_latest(ds, key_cols: list[str], order_cols: list[str]):
     ``[warc_ts, event_id]``) so the survivor is deterministic.
     """
 
-    def pick(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group,
-            sort_keys=[(c, "descending") for c in order_cols],
+    def block_pick(block: pa.Table) -> pa.Table:
+        block = block.sort_by(
+            [(c, "ascending") for c in key_cols]
+            + [(c, "descending") for c in order_cols]
         )
-        return group.take(idx[:1])
+        keys = [block.column(c).to_pylist() for c in key_cols]
+        keep: list[int] = []
+        n = block.num_rows
+        for i in range(n):
+            if i == 0 or any(col[i] != col[i - 1] for col in keys):
+                keep.append(i)
+        return block.take(pa.array(keep, pa.int64()))
 
-    return ds.groupby(key_cols).map_groups(pick, batch_format="pyarrow")
+    return cluster_apply(ds, key_cols, block_pick)

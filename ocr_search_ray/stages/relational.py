@@ -91,3 +91,62 @@ def broadcast_lookup_join(ds, lookup: dict, key: str, out_cols: dict[str, "pa.Da
         return batch
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+KEY_HASH = "__key_hash"
+
+
+def _append_key_hash(batch: pa.Table, key_cols: list[str],
+                     name: str = KEY_HASH) -> pa.Table:
+    """int64 hash of the composite key, computed once per DISTINCT key via
+    Arrow dictionary encoding (no per-row Python in the hot path)."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    if len(key_cols) == 1:
+        key = batch.column(key_cols[0]).cast(pa.string())
+    else:
+        parts = [batch.column(c).cast(pa.string()) for c in key_cols]
+        key = pc.binary_join_element_wise(*parts, "\x1f")
+    enc = pc.dictionary_encode(key.combine_chunks())
+    lut = pa.array(
+        [zlib.crc32(v.encode()) for v in enc.dictionary.to_pylist()],
+        pa.int64(),
+    )
+    return batch.append_column(name, lut.take(enc.indices))
+
+
+def cluster_by(ds, key_cols: list[str]):
+    """Co-locate all rows sharing ``key_cols`` into one block.
+
+    The exchange runs on a derived int64 key hash — range-partitioning an
+    integer column is cheap for Ray's sort boundaries, whereas composite
+    string sort keys make the boundary search convert whole string columns
+    per boundary (the pathology measured in BENCH/BASELINE.md). Range
+    partitioning never splits equal values across partitions, so after this
+    call ANY block-local group_by on the REAL key columns is globally exact
+    — hash collisions between distinct keys merely share a block and are
+    disambiguated by the block-local grouping. Callers drop ``KEY_HASH``.
+
+    This is the engine's generic "hash-cluster then combine locally"
+    primitive for wide ops whose per-group logic is cheap but whose key
+    domain is large (pair sums, per-doc products, keep-latest)."""
+    hashed = ds.map_batches(
+        lambda b: _append_key_hash(b, key_cols), batch_format="pyarrow"
+    )
+    return hashed.sort(KEY_HASH)
+
+
+def cluster_apply(ds, key_cols: list[str], block_fn):
+    """cluster_by + apply ``block_fn(table)`` to each clustered block (whole
+    block per call, KEY_HASH already dropped). ``block_fn`` must group by
+    ``key_cols`` itself (Arrow ``group_by``/``sort_by`` — C++ speed) and may
+    return any schema."""
+
+    def apply(batch: pa.Table) -> pa.Table:
+        return block_fn(batch.drop_columns([KEY_HASH]))
+
+    return cluster_by(ds, key_cols).map_batches(
+        apply, batch_format="pyarrow", batch_size=None
+    )
