@@ -26,7 +26,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..functions import fakepdf
-from ..functions.hashing import doc_id, file_id, img_path
+from ..functions.hashing import doc_id, file_id
 from ..functions.html_extract import extract_main_text
 from ..schemas import PAGES, assert_schema
 
@@ -62,13 +62,16 @@ def extract_pages(batch: pa.Table) -> pa.Table:
         page_count = 0 if status == "error" else n
         for idx, page_text in enumerate(page_texts, start=1):
             row_status = status if (status != "ok" or page_text) else "empty"
+            did = doc_id(url, idx, max(page_count, 1))
             out["file_id"].append(fid)
-            out["doc_id"].append(doc_id(url, idx, max(page_count, 1)))
+            out["doc_id"].append(did)
             out["url"].append(url)
             out["warc_ts"].append(ts)
             out["page_idx"].append(idx)
             out["page_count"].append(page_count)
-            out["img_path"].append(img_path(url, idx, max(page_count, 1)))
+            # img_path = "<docId>.png" (ProcessDirector.class.js:140) — derive
+            # from the already-computed id, don't hash twice
+            out["img_path"].append(f"{did}.png")
             out["text"].append(page_text)
             out["lang"].append(lang)
             out["status"].append(row_status)
