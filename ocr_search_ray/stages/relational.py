@@ -96,14 +96,19 @@ def broadcast_lookup_join(ds, lookup: dict, key: str, out_cols: dict[str, "pa.Da
 KEY_HASH = "__key_hash"
 
 
-def _append_key_hash(batch: pa.Table, key_cols: list[str],
-                     name: str = KEY_HASH) -> pa.Table:
-    """int64 hash of the composite key, computed once per DISTINCT key via
-    Arrow dictionary encoding (no per-row Python in the hot path)."""
+def _default_key_hash(key: bytes) -> int:
     import zlib
 
+    return zlib.crc32(key)
+
+
+def _append_key_hash(batch: pa.Table, key_cols: list[str],
+                     name: str = KEY_HASH, hash_fn=None) -> pa.Table:
+    """int64 hash of the composite key, computed once per DISTINCT key via
+    Arrow dictionary encoding (no per-row Python in the hot path)."""
     import pyarrow.compute as pc
 
+    hash_fn = hash_fn or _default_key_hash
     if len(key_cols) == 1:
         key = batch.column(key_cols[0]).cast(pa.string())
     else:
@@ -111,13 +116,13 @@ def _append_key_hash(batch: pa.Table, key_cols: list[str],
         key = pc.binary_join_element_wise(*parts, "\x1f")
     enc = pc.dictionary_encode(key.combine_chunks())
     lut = pa.array(
-        [zlib.crc32(v.encode()) for v in enc.dictionary.to_pylist()],
+        [hash_fn(v.encode()) for v in enc.dictionary.to_pylist()],
         pa.int64(),
     )
     return batch.append_column(name, lut.take(enc.indices))
 
 
-def cluster_by(ds, key_cols: list[str]):
+def cluster_by(ds, key_cols: list[str], *, hash_fn=None):
     """Co-locate all rows sharing ``key_cols`` into one block.
 
     The exchange runs on a derived int64 key hash — range-partitioning an
@@ -133,12 +138,13 @@ def cluster_by(ds, key_cols: list[str]):
     primitive for wide ops whose per-group logic is cheap but whose key
     domain is large (pair sums, per-doc products, keep-latest)."""
     hashed = ds.map_batches(
-        lambda b: _append_key_hash(b, key_cols), batch_format="pyarrow"
+        lambda b: _append_key_hash(b, key_cols, hash_fn=hash_fn),
+        batch_format="pyarrow",
     )
     return hashed.sort(KEY_HASH)
 
 
-def cluster_apply(ds, key_cols: list[str], block_fn):
+def cluster_apply(ds, key_cols: list[str], block_fn, *, hash_fn=None):
     """cluster_by + apply ``block_fn(table)`` to each clustered block (whole
     block per call, KEY_HASH already dropped). ``block_fn`` must group by
     ``key_cols`` itself (Arrow ``group_by``/``sort_by`` — C++ speed) and may
@@ -147,6 +153,6 @@ def cluster_apply(ds, key_cols: list[str], block_fn):
     def apply(batch: pa.Table) -> pa.Table:
         return block_fn(batch.drop_columns([KEY_HASH]))
 
-    return cluster_by(ds, key_cols).map_batches(
+    return cluster_by(ds, key_cols, hash_fn=hash_fn).map_batches(
         apply, batch_format="pyarrow", batch_size=None
     )

@@ -1,0 +1,92 @@
+"""cluster_by/cluster_apply: the engine's int-key exchange primitive."""
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ocr_search_ray.stages.relational import cluster_apply, cluster_by
+
+
+def _docs(n_keys=50, rows_per_key=8):
+    keys, vals = [], []
+    for k in range(n_keys):
+        for r in range(rows_per_key):
+            keys.append(f"key-{k:03d}")
+            vals.append(k * 1000 + r)
+    return rd.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    ).repartition(7)  # scatter keys across blocks
+
+
+def _sums(ds, **kw):
+    # defined as a closure so cloudpickle ships it by value (test modules
+    # aren't importable in Ray workers)
+    def block_sum(block: pa.Table) -> pa.Table:
+        agg = block.group_by("k").aggregate([("v", "sum")])
+        return pa.table({"k": agg.column("k"), "s": agg.column("v_sum")})
+
+    rows = cluster_apply(ds, ["k"], block_sum, **kw).take_all()
+    return {r["k"]: r["s"] for r in rows}
+
+
+def test_cluster_apply_block_local_groupby_is_globally_exact():
+    got = _sums(_docs())
+    expected = {
+        f"key-{k:03d}": sum(k * 1000 + r for r in range(8)) for k in range(50)
+    }
+    assert got == expected
+
+
+def test_cluster_by_never_splits_a_key_across_blocks():
+    mat = cluster_by(_docs(), ["k"]).materialize()
+    owners: dict[str, int] = {}
+    for bi, ref in enumerate(mat.get_internal_block_refs()):
+        block = ray.get(ref)
+        for key in set(block.column("k").to_pylist()):
+            assert owners.setdefault(key, bi) == bi, f"{key} split across blocks"
+    assert len(owners) == 50
+
+
+def test_cluster_apply_exact_under_total_hash_collision():
+    """Force every key to hash identically — all rows land in one block and
+    the block-local group_by must still produce exact per-key results
+    (collision safety is by construction, not by hash quality)."""
+    got = _sums(_docs(n_keys=20, rows_per_key=5), hash_fn=lambda b: 7)
+    expected = {
+        f"key-{k:03d}": sum(k * 1000 + r for r in range(5)) for k in range(20)
+    }
+    assert got == expected
+
+
+def test_skewed_hot_key_completes_and_is_exact():
+    """One key holds 90% of rows (Zipf head) — the exchange must not lose or
+    duplicate anything."""
+    keys = ["hot"] * 9000 + [f"cold-{i}" for i in range(1000)]
+    vals = list(range(10000))
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    ).repartition(11)
+    got = _sums(ds)
+    assert got["hot"] == sum(range(9000))
+    assert len(got) == 1001
+    assert got["cold-0"] == 9000
+
+
+def test_multi_column_keys_and_int_keys():
+    t = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 2, 1], pa.int64()),
+            "b": pa.array(["x", "x", "x", "y", "x"]),
+            "v": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        }
+    )
+
+    def blk(block: pa.Table) -> pa.Table:
+        agg = block.group_by(["a", "b"]).aggregate([("v", "sum")])
+        return pa.table(
+            {"a": agg.column("a"), "b": agg.column("b"), "s": agg.column("v_sum")}
+        )
+
+    rows = cluster_apply(rd.from_arrow(t).repartition(3), ["a", "b"], blk).take_all()
+    got = {(r["a"], r["b"]): r["s"] for r in rows}
+    assert got == {(1, "x"): 80, (2, "x"): 30, (2, "y"): 40}
