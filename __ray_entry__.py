@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ingest / index / search (reference parity)
         "ingest_pages": q.q_ingest_pages,
         "postings_tf": q.q_postings_tf,
+        "posting_lists": q.q_posting_lists,
         "term_stats": q.q_term_stats,
         "search_topk": q.q_search,
         "term_correlations": q.q_term_correlations,
@@ -181,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": q.q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
         "simhash_signatures": q.q_simhash_signatures,  # rows-only
+        "simhash_neardup": q.q_simhash_neardup,  # rows-only (md5-bit sig)
         "quality_stats": q.q_quality_stats,
         "token_counts": q.q_token_counts,
         "fingerprints": q.q_fingerprints,
@@ -205,6 +207,14 @@ def oracle_sql() -> dict[str, str]:
         "postings_tf": f"""
             {_POSTINGS_PREFIX}
             SELECT doc_id, term, tf FROM postings
+        """,
+        "posting_lists": f"""
+            {_POSTINGS_PREFIX}
+            SELECT term,
+                   to_json(list(doc_id ORDER BY doc_id)) AS doc_ids_json,
+                   to_json(list(tf ORDER BY doc_id)) AS tfs_json,
+                   CAST(COUNT(*) AS BIGINT) AS df
+            FROM postings GROUP BY term
         """,
         "term_stats": f"""
             {_POSTINGS_PREFIX}

@@ -240,6 +240,18 @@ def q_simhash_signatures(sf_dir: str):
     )
 
 
+def q_simhash_neardup(sf_dir: str):
+    return dedup_stage.simhash_neardup_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), radius=3
+    )
+
+
+def q_posting_lists(sf_dir: str):
+    from ..stages.index import posting_lists
+
+    return posting_lists(_postings(sf_dir))
+
+
 def q_quality_stats(sf_dir: str):
     return textstats.quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 

@@ -375,6 +375,96 @@ class _SimhashBatcher:
 def simhash_signatures(documents, *, concurrency: int | None = None):
     """→ (doc_id, simhash:int64) — tokenizer-weighted 64-bit SimHash."""
     return documents.select_columns(["doc_id", "text"]).map_batches(
-        _SimhashBatcher, batch_format="pyarrow", batch_size=256,
+        _SimhashBatcher(), batch_format="pyarrow", batch_size=256,
         concurrency=concurrency,
+    )
+
+
+def simhash_neardup_pairs(documents, *, radius: int = 3, n_chunks: int = 4,
+                          concurrency: int | None = None):
+    """SimHash near-dup pairs within a hamming radius.
+
+    Pigeonhole banding: each 64-bit signature splits into ``n_chunks``
+    16-bit chunks; any two signatures within hamming distance
+    ``radius <= n_chunks - 1`` must agree on at least one chunk, so
+    clustering on (chunk_idx, chunk_value) finds ALL such pairs — complete
+    recall, no all-pairs scan. Candidates are verified exactly with a
+    popcount.
+
+    → (doc_id1, doc_id2, hamming:int64), doc_id1 < doc_id2, hamming <= radius.
+    """
+    if radius > n_chunks - 1:
+        raise ValueError(
+            f"radius {radius} needs n_chunks > radius (got {n_chunks}): "
+            "pigeonhole recall guarantee would not hold"
+        )
+    sigs = simhash_signatures(documents, concurrency=concurrency)
+    bits_per = 64 // n_chunks
+    mask = (1 << bits_per) - 1
+
+    def explode_chunks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        sims = batch.column("simhash").to_pylist()
+        out_id, out_c, out_v, out_s = [], [], [], []
+        for did, s in zip(ids, sims):
+            u = s & ((1 << 64) - 1)  # back to unsigned
+            for c in range(n_chunks):
+                out_id.append(did)
+                out_c.append(c)
+                out_v.append((u >> (c * bits_per)) & mask)
+                out_s.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, batch.column("doc_id").type),
+                "chunk": pa.array(out_c, pa.int32()),
+                "chunk_val": pa.array(out_v, pa.int64()),
+                "simhash": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    def block_candidate_pairs(block: pa.Table) -> pa.Table:
+        block = block.sort_by(
+            [("chunk", "ascending"), ("chunk_val", "ascending"),
+             ("doc_id", "ascending")]
+        )
+        chunks = block.column("chunk").to_pylist()
+        vals = block.column("chunk_val").to_pylist()
+        ids = block.column("doc_id").to_pylist()
+        sims = block.column("simhash").to_pylist()
+        a_out, b_out, h_out = [], [], []
+        i, n = 0, len(ids)
+        while i < n:
+            j = i
+            while j < n and chunks[j] == chunks[i] and vals[j] == vals[i]:
+                j += 1
+            for x in range(i, j):
+                for y in range(x + 1, j):
+                    if ids[x] == ids[y]:
+                        continue
+                    h = bin((sims[x] ^ sims[y]) & ((1 << 64) - 1)).count("1")
+                    if h <= radius:
+                        a_out.append(min(ids[x], ids[y]))
+                        b_out.append(max(ids[x], ids[y]))
+                        h_out.append(h)
+            i = j
+        return pa.table(
+            {
+                "doc_id1": pa.array(a_out, block.column("doc_id").type),
+                "doc_id2": pa.array(b_out, block.column("doc_id").type),
+                "hamming": pa.array(h_out, pa.int64()),
+            }
+        )
+
+    candidates = cluster_apply(
+        sigs.map_batches(explode_chunks, batch_format="pyarrow"),
+        ["chunk", "chunk_val"],
+        block_candidate_pairs,
+    )
+    # a pair can agree on several chunks → distinct
+    return cluster_apply(
+        candidates,
+        ["doc_id1", "doc_id2"],
+        lambda block: block.group_by(["doc_id1", "doc_id2"])
+        .aggregate([("hamming", "min")])
+        .rename_columns(["doc_id1", "doc_id2", "hamming"]),
     )

@@ -111,3 +111,43 @@ def build_index(postings, out_dir: str | None = None, n_buckets: int = N_BUCKETS
     )
     per_bucket.write_parquet(out_dir, partition_cols=["term_bucket"])
     return per_bucket
+
+
+def posting_lists(postings):
+    """Grouped posting-list form of the index (SURVEY.md §1.4): one row per
+    term with the doc_ids and tfs as JSON arrays ordered by doc_id — the
+    Dataset analogue of the reference's per-term Mongo lookup result
+    (``getDocsByTerm``, DbInterface.class.js:301-327). JSON strings (not
+    Arrow lists) so cross-engine value comparison is bytewise.
+    """
+    import json
+
+    from .relational import cluster_apply
+
+    def block_lists(block: pa.Table) -> pa.Table:
+        block = block.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        terms = block.column("term").to_pylist()
+        docs = block.column("doc_id").to_pylist()
+        tfs = block.column("tf").to_pylist()
+        out_t, out_d, out_f, out_df = [], [], [], []
+        i, n = 0, len(terms)
+        while i < n:
+            j = i
+            while j < n and terms[j] == terms[i]:
+                j += 1
+            out_t.append(terms[i])
+            # compact separators == DuckDB to_json array format, bytewise
+            out_d.append(json.dumps(docs[i:j], separators=(",", ":")))
+            out_f.append(json.dumps(tfs[i:j], separators=(",", ":")))
+            out_df.append(j - i)
+            i = j
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "doc_ids_json": pa.array(out_d, pa.string()),
+                "tfs_json": pa.array(out_f, pa.string()),
+                "df": pa.array(out_df, pa.int64()),
+            }
+        )
+
+    return cluster_apply(postings, ["term"], block_lists)

@@ -86,3 +86,53 @@ def test_simhash_stage_roundtrip():
     expect = simhash64(tokenize(BASE))
     expect_signed = expect - (1 << 64) if expect >= (1 << 63) else expect
     assert out[0] == expect_signed
+
+
+def test_simhash_neardup_pigeonhole_recall():
+    """A pair whose signatures differ within the radius MUST be found
+    (complete recall by chunk pigeonhole), and identical docs pair at 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.dedup import simhash_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([base, base, "entirely different topic matter"]),
+        }
+    )
+    out = simhash_neardup_pairs(rd.from_arrow(docs), radius=3).take_all()
+    pairs = {(r["doc_id1"], r["doc_id2"]): r["hamming"] for r in out}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs or pairs[(1, 3)] > 0  # distinct content
+
+    # radius must be < n_chunks (pigeonhole guarantee)
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(rd.from_arrow(docs), radius=4, n_chunks=4)
+
+
+def test_posting_lists_grouped_form():
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.index import posting_lists
+
+    postings = pa.table(
+        {
+            "doc_id": pa.array(["d2", "d1", "d1", "d3"]),
+            "term": pa.array(["x", "x", "y", "x"]),
+            "tf": pa.array([5, 2, 1, 9], pa.int64()),
+        }
+    )
+    rows = {r["term"]: r for r in posting_lists(rd.from_arrow(postings).repartition(3)).take_all()}
+    assert json.loads(rows["x"]["doc_ids_json"]) == ["d1", "d2", "d3"]
+    assert json.loads(rows["x"]["tfs_json"]) == [2, 5, 9]
+    assert rows["x"]["df"] == 3
+    assert json.loads(rows["y"]["doc_ids_json"]) == ["d1"]
+    assert rows["y"]["df"] == 1
