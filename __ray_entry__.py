@@ -21,8 +21,8 @@ SQL-parity notes:
 - float columns (tcr) are computed with identical IEEE operation order on
   both sides (sqrt of exact ints, two sequential divisions); all other
   numeric outputs are exact integers.
-- non-SQL-expressible ops (simhash, LSH-bucketed ANN, language ID) have
-  queries() entries only → driver records rows-only checks.
+- non-SQL-expressible ops (simhash signatures/pairs, LSH-bucketed ANN,
+  language ID) have queries() entries only → driver records rows-only checks.
 """
 
 from __future__ import annotations
@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental layer
         "manifest_diff": q.q_manifest_diff,
         "dedup_keep_latest": q.q_dedup_keep_latest,
+        "compact_delete": q.q_compact_delete,
         # relational generality
         "agg_lineitem": q.q_agg_lineitem,
         "topk_customers": q.q_topk_customers,
@@ -427,6 +428,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "compact_delete": f"""
+            {_POSTINGS_PREFIX}
+            SELECT p.doc_id, p.term, p.tf
+            FROM postings p
+            JOIN pages_full pf USING (doc_id)
+            WHERE pf.url NOT IN (SELECT url FROM web WHERE doc_id % 50 = 0)
         """,
         "embedding_neardup": """
             WITH e AS (

@@ -252,6 +252,20 @@ def q_posting_lists(sf_dir: str):
     return posting_lists(_postings(sf_dir))
 
 
+def q_compact_delete(sf_dir: str):
+    """Delete cascade (SURVEY.md §3.3/J5/D3) under the oracle: remove every
+    url whose source doc number is ≡ 0 (mod 50), return surviving postings."""
+    from ..pipelines.compact import delete_urls
+
+    stages = ingest(read_webpages(sf_dir))
+    web_urls = read_webpages(sf_dir).select_columns(["url"]).take_all()
+    deleted = {
+        r["url"] for r in web_urls if int(r["url"].rsplit("-", 1)[-1]) % 50 == 0
+    }
+    pages2, postings2 = delete_urls(stages["pages"], stages["postings"], deleted)
+    return postings2.select_columns(["doc_id", "term", "tf"])
+
+
 def q_quality_stats(sf_dir: str):
     return textstats.quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
