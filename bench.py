@@ -78,7 +78,7 @@ def run_headline(sf_dir: str, out_dir: str, num_cpus: int, repeat: int) -> dict:
     t0 = time.monotonic()
     # production shape: extract streams to the persisted pages table, then the
     # index derives from the persisted table — each stage executes once.
-    ingest(webpages)["pages"].write_parquet(pages_dir)
+    ingest(webpages)["pages"].write_parquet(pages_dir, compression="zstd")
     # coarse blocks into the index shuffle: the all-to-all cost scales with
     # map-blocks × reduce-partitions, so the posting stream is read at
     # ~2 blocks/cpu with large tokenize batches instead of one block per

@@ -101,8 +101,8 @@ def ingest_resumable(
         postings_dir = os.path.join(out_dir, "postings", f"part={pid:05d}")
         # deterministic partition dirs: a rerun overwrites, never duplicates
         pages = stages["pages"].materialize()
-        pages.write_parquet(pages_dir)
-        stages["postings"].write_parquet(postings_dir)
+        pages.write_parquet(pages_dir, compression="zstd")
+        stages["postings"].write_parquet(postings_dir, compression="zstd")
 
         n_rows = pages.count()
         n_errors = pages.map_batches(
