@@ -68,61 +68,102 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _process_fragment(pid: int, webpages, frag_hash: str, out_dir: str,
+                      manifest_dir: str,
+                      tokenize_concurrency: int | None) -> None:
+    """Run one fragment's (already-constructed) pipeline and append its
+    manifest row. Dataset CONSTRUCTION stays on the main thread — Ray's
+    read-path filesystem resolution has an import race under concurrent
+    first-use from multiple threads; execution itself is thread-safe."""
+    t0 = time.monotonic()
+    stages = ingest(webpages, tokenize_concurrency=tokenize_concurrency)
+
+    pages_dir = os.path.join(out_dir, "pages", f"part={pid:05d}")
+    postings_dir = os.path.join(out_dir, "postings", f"part={pid:05d}")
+    # deterministic partition dirs: a rerun overwrites, never duplicates
+    pages = stages["pages"].materialize()
+    pages.write_parquet(pages_dir, compression="zstd")
+    stages["postings"].write_parquet(postings_dir, compression="zstd")
+
+    n_rows = pages.count()
+    n_errors = pages.map_batches(
+        lambda b: b.filter(pc.equal(b.column("status"), "error")),
+        batch_format="pyarrow",
+    ).count()
+    manifest_mod.append_row(
+        manifest_dir,
+        partition_id=pid,
+        stage="ingest",
+        input_hash=frag_hash,
+        row_count=n_rows,
+        byte_count=_dir_bytes(pages_dir) + _dir_bytes(postings_dir),
+        n_errors=n_errors,
+        status="done",
+        wall_time_s=time.monotonic() - t0,
+    )
+
+
 def ingest_resumable(
     input_dir: str,
     out_dir: str,
     *,
     tokenize_concurrency: int | None = None,
     fail_after_partitions: int | None = None,
+    max_in_flight: int | None = None,
 ) -> dict:
     """Checkpointed ingest over a directory of webpages Parquet fragments.
 
-    ``fail_after_partitions`` injects a crash after N partitions (tests the
-    resume path). Returns summary counters.
+    Up to ``max_in_flight`` fragment pipelines run concurrently (driver
+    threads; Ray executes the datasets side by side) so the driver loop is
+    not the throughput ceiling when fragments are numerous — checkpoint
+    granularity stays one manifest row per fragment. Default: 4 with the
+    elastic tokenizer (task pool), 1 when ``tokenize_concurrency`` pins a
+    fixed actor pool — N concurrent pipelines would reserve N pools and
+    starve each other on a small CPU budget. ``fail_after_partitions``
+    injects a crash after N completed partitions to exercise the resume path
+    (forces sequential execution so the crash point is deterministic).
+    Returns summary counters.
     """
-    import ray.data as rd
+    if max_in_flight is None:
+        max_in_flight = 1 if tokenize_concurrency is not None else 4
+    from concurrent.futures import ThreadPoolExecutor
 
     manifest_dir = os.path.join(out_dir, "_manifest")
     done = manifest_mod.done_hashes(manifest_dir, stage="ingest")
     fragments = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
 
+    pending: list[tuple[int, str, str]] = []
     n_done_before = 0
-    n_processed = 0
     for pid, frag in enumerate(fragments):
         frag_hash = manifest_mod.fragment_hash(frag)
         if frag_hash in done:
             n_done_before += 1
-            continue
-        t0 = time.monotonic()
-        webpages = rd.read_parquet(frag)
-        stages = ingest(webpages, tokenize_concurrency=tokenize_concurrency)
+        else:
+            pending.append((pid, frag, frag_hash))
 
-        pages_dir = os.path.join(out_dir, "pages", f"part={pid:05d}")
-        postings_dir = os.path.join(out_dir, "postings", f"part={pid:05d}")
-        # deterministic partition dirs: a rerun overwrites, never duplicates
-        pages = stages["pages"].materialize()
-        pages.write_parquet(pages_dir, compression="zstd")
-        stages["postings"].write_parquet(postings_dir, compression="zstd")
+    import ray.data as rd
 
-        n_rows = pages.count()
-        n_errors = pages.map_batches(
-            lambda b: b.filter(pc.equal(b.column("status"), "error")),
-            batch_format="pyarrow",
-        ).count()
-        manifest_mod.append_row(
-            manifest_dir,
-            partition_id=pid,
-            stage="ingest",
-            input_hash=frag_hash,
-            row_count=n_rows,
-            byte_count=_dir_bytes(pages_dir) + _dir_bytes(postings_dir),
-            n_errors=n_errors,
-            status="done",
-            wall_time_s=time.monotonic() - t0,
-        )
-        n_processed += 1
-        if fail_after_partitions is not None and n_processed >= fail_after_partitions:
-            raise RuntimeError(f"injected failure after {n_processed} partitions")
+    n_processed = 0
+    if fail_after_partitions is not None:
+        for pid, frag, frag_hash in pending:
+            _process_fragment(pid, rd.read_parquet(frag), frag_hash, out_dir,
+                              manifest_dir, tokenize_concurrency)
+            n_processed += 1
+            if n_processed >= fail_after_partitions:
+                raise RuntimeError(
+                    f"injected failure after {n_processed} partitions"
+                )
+    elif pending:
+        with ThreadPoolExecutor(max_workers=max_in_flight) as ex:
+            futures = [
+                ex.submit(_process_fragment, pid, rd.read_parquet(frag),
+                          frag_hash, out_dir, manifest_dir,
+                          tokenize_concurrency)
+                for pid, frag, frag_hash in pending
+            ]
+            for f in futures:
+                f.result()  # re-raise the first failure
+                n_processed += 1
 
     return {
         "fragments": len(fragments),

@@ -111,3 +111,30 @@ def test_resumable_ingest_skips_done_partitions(tmp_path):
     # rerun again: everything skipped
     summary2 = ingest_resumable(str(input_dir), str(out_dir), tokenize_concurrency=2)
     assert summary2["skipped_done"] == 4 and summary2["processed"] == 0
+
+
+def test_resumable_ingest_concurrent_fragments(tmp_path):
+    """max_in_flight > 1 (elastic tokenizer): all fragments complete, one
+    manifest row each, outputs identical to sequential processing."""
+    input_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    os.makedirs(input_dir)
+    webpages = read_webpages(SF_DIR).materialize()
+    for i, sub in enumerate(webpages.split(3)):
+        import pyarrow as pa
+
+        pq.write_table(
+            pa.Table.from_pandas(sub.to_pandas(), preserve_index=False),
+            input_dir / f"frag-{i}.parquet",
+        )
+    summary = ingest_resumable(str(input_dir), str(out_dir), max_in_flight=3)
+    assert summary["processed"] == 3 and summary["skipped_done"] == 0
+    pages = rd.read_parquet(str(out_dir / "pages")).take_all()
+    assert {r["url"] for r in pages} == {
+        r["url"] for r in webpages.take_all()
+    }
+    from ocr_search_ray.state import manifest as m
+
+    rows = m.read(str(out_dir / "_manifest"))
+    assert rows.num_rows == 3
+    assert set(rows.column("status").to_pylist()) == {"done"}
