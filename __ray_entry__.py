@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q.q_embedding_neardup,
         # multimodal plumbing (decode stubbed; layout/status are exact)
         "media_features": q.q_media_features,
+        "media_resize": q.q_media_resize,
+        "media_frames": q.q_media_frames,
     }
 
 
@@ -453,5 +455,22 @@ def oracle_sql() -> dict[str, str]:
                    'ok' AS status,
                    CAST(16 AS INT) AS feature_dim
             FROM documents
+        """,
+        "media_resize": """
+            SELECT 'm-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                   CASE WHEN doc_id % 3 = 0 THEN 'ok' ELSE 'error' END AS status,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 256 ELSE -1 END AS INT) AS width,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 256 ELSE -1 END AS INT) AS height
+            FROM documents
+        """,
+        "media_frames": """
+            SELECT 'm-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+                   CAST(0 AS INT) AS frame_idx,
+                   CAST(0 AS INT) AS ts_ms,
+                   'ok' AS status
+            FROM documents WHERE doc_id % 3 = 2
         """,
     }

@@ -318,11 +318,9 @@ def q_embedding_neardup(sf_dir: str):
     return pairs.select_columns(["vec_id1", "vec_id2"])
 
 
-def q_media_features(sf_dir: str):
-    """Multimodal feature stage over a media table synthesized from the
-    documents payloads (kind cycles image/audio/video by doc_id; payload =
-    utf-8 text bytes). Decode itself is the documented stub — this entry
-    exercises the real Ray plumbing (actor pool, quarantine, layout)."""
+def _media_from_documents(sf_dir: str):
+    """Deterministic media table synthesized from documents (kind cycles
+    image/audio/video by doc_id; payload = utf-8 text bytes; dims unknown)."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def to_media(batch: pa.Table) -> pa.Table:
@@ -342,7 +340,14 @@ def q_media_features(sf_dir: str):
             }
         )
 
-    media = docs.map_batches(to_media, batch_format="pyarrow")
+    return docs.map_batches(to_media, batch_format="pyarrow")
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal feature stage over the synthesized media table. Decode
+    itself is the documented stub — this entry exercises the real Ray
+    plumbing (actor pool, quarantine, layout)."""
+    media = _media_from_documents(sf_dir)
     feats = extract_media_features(media, concurrency=2, batch_size=64)
 
     def summarize(batch: pa.Table) -> pa.Table:
@@ -360,3 +365,29 @@ def q_media_features(sf_dir: str):
         )
 
     return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_media_resize(sf_dir: str):
+    """Image-resize actor stage (pixel transform stubbed; metadata exact):
+    unknown dims default to the target box, non-images quarantine."""
+    from ..stages.multimodal import resize_images
+
+    resized = resize_images(_media_from_documents(sf_dir), concurrency=2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["media_id", "kind", "status", "width", "height"])
+
+    return resized.map_batches(project, batch_format="pyarrow")
+
+
+def q_media_frames(sf_dir: str):
+    """Video frame sampling (1→N fan-out; decode stubbed, layout exact):
+    unknown duration samples exactly one frame at t=0."""
+    from ..stages.multimodal import sample_frames
+
+    frames = sample_frames(_media_from_documents(sf_dir))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["media_id", "frame_idx", "ts_ms", "status"])
+
+    return frames.map_batches(project, batch_format="pyarrow")

@@ -85,3 +85,118 @@ def extract_media_features(media, *, concurrency: int = 2, batch_size: int = 32)
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ImageResizer:
+    """Actor-pool callable: MEDIA image rows → resized MEDIA rows.
+
+    The pixel transform is STUBBED (no image codec in this container): the
+    fake "resize" deterministically re-digests the payload with the target
+    box so plumbing (schema preservation, dimension metadata, quarantine,
+    batch sizing) is real. A deployment replaces ``_resize_stub`` with a
+    pinned PIL/libvips handle created in ``__init__``.
+    """
+
+    def __init__(self, max_w: int = 256, max_h: int = 256) -> None:
+        self.max_w = max_w
+        self.max_h = max_h  # codec handle would be pinned here
+
+    def _resize_stub(self, payload: bytes, w: int, h: int) -> tuple[bytes, int, int]:
+        if payload is None:
+            raise ValueError("null payload")
+        # aspect-preserving box fit on the declared metadata dims
+        if w <= 0 or h <= 0:
+            out_w, out_h = self.max_w, self.max_h
+        else:
+            scale = min(self.max_w / w, self.max_h / h, 1.0)
+            out_w, out_h = max(1, int(w * scale)), max(1, int(h * scale))
+        fake = hashlib.sha256(
+            b"resize\x00" + payload + f"\x00{out_w}x{out_h}".encode()
+        ).digest()
+        return fake, out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {n: batch.column(n).to_pylist() for n in batch.column_names}
+        out = {n: [] for n in MEDIA.names}
+        out_status: list[str] = []
+        for i in range(batch.num_rows):
+            kind = cols["kind"][i]
+            try:
+                if kind != "image":
+                    raise ValueError(f"not an image: {kind}")
+                payload, w, h = self._resize_stub(
+                    cols["payload"][i], cols["width"][i], cols["height"][i]
+                )
+                status = "ok"
+            except Exception:
+                payload, w, h = None, -1, -1
+                status = "error"
+            out["media_id"].append(cols["media_id"][i])
+            out["kind"].append(kind)
+            out["payload"].append(payload)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["duration_ms"].append(cols["duration_ms"][i])
+            out_status.append(status)
+        table = pa.table(
+            {n: pa.array(out[n], MEDIA.field(n).type) for n in MEDIA.names}
+        ).append_column("status", pa.array(out_status, pa.string()))
+        return table
+
+
+def resize_images(media, *, max_w: int = 256, max_h: int = 256,
+                  concurrency: int = 2, batch_size: int = 32):
+    """Attach the (stubbed) image-resize actor stage to a MEDIA dataset."""
+    return media.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"max_w": max_w, "max_h": max_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(media, *, every_ms: int = 1000, max_frames: int = 8):
+    """Video rows → frame rows (1 → N fan-out, the multimodal analogue of
+    page fan-out): one row per sampled timestamp with a deterministic fake
+    frame digest as payload. Non-video rows are dropped; null payloads
+    quarantine as a single ``status='error'`` row. Real decode = a pinned
+    ffmpeg/pyav handle inside an actor class with this exact contract.
+    """
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        cols = {n: batch.column(n).to_pylist() for n in batch.column_names}
+        out_id, out_frame, out_ts, out_payload, out_status = [], [], [], [], []
+        for i in range(batch.num_rows):
+            if cols["kind"][i] != "video":
+                continue
+            payload = cols["payload"][i]
+            if payload is None:
+                out_id.append(cols["media_id"][i])
+                out_frame.append(-1)
+                out_ts.append(-1)
+                out_payload.append(None)
+                out_status.append("error")
+                continue
+            duration = max(cols["duration_ms"][i], 0)
+            n = min(max_frames, max(1, duration // every_ms + 1))
+            for f in range(int(n)):
+                ts = f * every_ms
+                out_id.append(cols["media_id"][i])
+                out_frame.append(f)
+                out_ts.append(ts)
+                out_payload.append(
+                    hashlib.sha256(b"frame\x00" + payload + f"\x00{ts}".encode()).digest()
+                )
+                out_status.append("ok")
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.string()),
+                "frame_idx": pa.array(out_frame, pa.int32()),
+                "ts_ms": pa.array(out_ts, pa.int32()),
+                "payload": pa.array(out_payload, pa.binary()),
+                "status": pa.array(out_status, pa.string()),
+            }
+        )
+
+    return media.map_batches(fan_out, batch_format="pyarrow", batch_size=32)

@@ -42,3 +42,66 @@ def test_features_deterministic_and_kind_sensitive():
     # same payload bytes under a different kind would hash differently —
     # feature depends on (kind, payload)
     assert out1["m1"] != out1["m2"]
+
+
+def test_resize_stage_dims_and_quarantine():
+    from ocr_search_ray.stages.multimodal import resize_images
+
+    out = {r["media_id"]: r for r in resize_images(_media(), concurrency=2).take_all()}
+    # m1 is a 100x80 image → fits in 256 box untouched dims
+    assert out["m1"]["status"] == "ok"
+    assert (out["m1"]["width"], out["m1"]["height"]) == (100, 80)
+    assert out["m1"]["payload"] is not None
+    # m2 is audio → not an image, quarantined
+    assert out["m2"]["status"] == "error" and out["m2"]["payload"] is None
+    # m3 has a null payload → quarantined
+    assert out["m3"]["status"] == "error"
+
+
+def test_resize_downscales_preserving_aspect():
+    from ocr_search_ray.stages.multimodal import resize_images
+
+    big = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(["big"], pa.string()),
+                "kind": pa.array(["image"], pa.string()),
+                "payload": pa.array([b"\x89PNG big"], pa.binary()),
+                "width": pa.array([1024], pa.int32()),
+                "height": pa.array([512], pa.int32()),
+                "duration_ms": pa.array([-1], pa.int32()),
+            },
+            schema=MEDIA,
+        )
+    )
+    r = resize_images(big, max_w=256, max_h=256, concurrency=2).take_all()[0]
+    assert (r["width"], r["height"]) == (256, 128)  # aspect preserved
+
+
+def test_sample_frames_fan_out():
+    from ocr_search_ray.stages.multimodal import sample_frames
+
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(["v1", "i1", "v2"], pa.string()),
+                "kind": pa.array(["video", "image", "video"], pa.string()),
+                "payload": pa.array([b"VID1", b"PNG", None], pa.binary()),
+                "width": pa.array([-1, 10, -1], pa.int32()),
+                "height": pa.array([-1, 10, -1], pa.int32()),
+                "duration_ms": pa.array([3500, -1, 2000], pa.int32()),
+            },
+            schema=MEDIA,
+        )
+    )
+    rows = sample_frames(media, every_ms=1000, max_frames=8).take_all()
+    v1 = [r for r in rows if r["media_id"] == "v1"]
+    assert [r["frame_idx"] for r in sorted(v1, key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
+    assert all(r["status"] == "ok" and r["payload"] is not None for r in v1)
+    assert not [r for r in rows if r["media_id"] == "i1"]  # images dropped
+    v2 = [r for r in rows if r["media_id"] == "v2"]
+    assert len(v2) == 1 and v2[0]["status"] == "error"  # null payload quarantined
+    # deterministic frame payloads
+    rows2 = sample_frames(media, every_ms=1000, max_frames=8).take_all()
+    assert {(r["media_id"], r["frame_idx"]): r["payload"] for r in rows} == \
+           {(r["media_id"], r["frame_idx"]): r["payload"] for r in rows2}
