@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_pages": q.q_ingest_pages,
         "postings_tf": q.q_postings_tf,
         "posting_lists": q.q_posting_lists,
+        "tfidf_weights": q.q_tfidf_weights,
         "term_stats": q.q_term_stats,
         "search_topk": q.q_search,
         "term_correlations": q.q_term_correlations,
@@ -173,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "manifest_diff": q.q_manifest_diff,
         "dedup_keep_latest": q.q_dedup_keep_latest,
         "compact_delete": q.q_compact_delete,
+        "sessionize": q.q_sessionize,
         # relational generality
         "agg_lineitem": q.q_agg_lineitem,
         "topk_customers": q.q_topk_customers,
@@ -218,6 +220,19 @@ def oracle_sql() -> dict[str, str]:
                    to_json(list(tf ORDER BY doc_id)) AS tfs_json,
                    CAST(COUNT(*) AS BIGINT) AS df
             FROM postings GROUP BY term
+        """,
+        "tfidf_weights": f"""
+            {_POSTINGS_PREFIX},
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM pages_full),
+            df AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM postings GROUP BY term
+            )
+            SELECT p.doc_id, p.term,
+                   CAST(p.tf AS DOUBLE)
+                     * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+                     AS tfidf
+            FROM postings p JOIN df USING (term), n
         """,
         "term_stats": f"""
             {_POSTINGS_PREFIX}
@@ -430,6 +445,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT *, SUM(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+              FROM o
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ts) AS start_ts, MAX(ts) AS end_ts
+            FROM s GROUP BY user_id, session_idx
         """,
         "compact_delete": f"""
             {_POSTINGS_PREFIX}

@@ -391,3 +391,19 @@ def q_media_frames(sf_dir: str):
         return batch.select(["media_id", "frame_idx", "ts_ms", "status"])
 
     return frames.map_batches(project, batch_format="pyarrow")
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessions over the events stream (30-min gap)."""
+    from ..stages.sessionize import sessionize
+
+    return sessionize(_read(sf_dir, "events",
+                            columns=["user_id", "ts", "event_id"]))
+
+
+def q_tfidf_weights(sf_dir: str):
+    """tf·idf weight per posting (N = total pages; df from term_stats)."""
+    from ..stages.index import tfidf_weights
+
+    stages = ingest(read_webpages(sf_dir))
+    return tfidf_weights(stages["postings"], stages["pages"])

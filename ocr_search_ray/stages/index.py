@@ -153,3 +153,41 @@ def posting_lists(postings):
         )
 
     return cluster_apply(postings, ["term"], block_lists)
+
+
+def tfidf_weights(postings, pages):
+    """→ (doc_id, term, tfidf): tf·ln(N/df) per posting (N = page rows).
+
+    The df table (one row per distinct term — vocabulary-sized, orders of
+    magnitude smaller than the posting stream) is broadcast via ``ray.put``
+    and joined inside ``map_batches``; the corpus-sized side never shuffles.
+    Float ops are two-operand (double(tf) × ln(double(N)/double(df))) so any
+    IEEE re-implementation reproduces them bitwise.
+    """
+    import math
+
+    import ray
+
+    n_docs = pages.count()
+    df_map = {
+        r["term"]: r["df"] for r in term_stats(postings).take_all()
+    }
+    df_ref = ray.put(df_map)
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        df = ray.get(df_ref)
+        terms = batch.column("term").to_pylist()
+        tfs = batch.column("tf").to_pylist()
+        vals = [
+            float(tf) * math.log(float(n_docs) / float(df[t]))
+            for t, tf in zip(terms, tfs)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "term": batch.column("term"),
+                "tfidf": pa.array(vals, pa.float64()),
+            }
+        )
+
+    return postings.map_batches(weigh, batch_format="pyarrow")

@@ -1,0 +1,79 @@
+"""Gap-based sessionization — the engine's windowed-aggregate pattern.
+
+No reference counterpart (the reference is a polling micro-batch loop,
+SURVEY.md §2.9); this is the custom-operator shape the engine uses for
+order-sensitive windowed semantics Ray Data has no primitive for
+(brief: "windowed aggregate"): ``cluster_by`` co-locates each partition key
+(user) in one block, a block-local Arrow sort restores event-time order,
+and the per-key walk runs once per block, not once per key.
+
+Partitioning assumption (documented per the brief): one user's events fit
+in one block. Holds whenever per-key history is bounded (sessions, device
+logs); keys larger than a block need a time-bucketed pre-split.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+
+from .relational import cluster_apply
+
+DEFAULT_GAP = dt.timedelta(minutes=30)
+
+
+def sessionize(events, *, gap: dt.timedelta = DEFAULT_GAP,
+               user_col: str = "user_id", ts_col: str = "ts",
+               order_col: str = "event_id"):
+    """→ (user_id, session_idx, n_events, start_ts, end_ts).
+
+    A new session starts when the gap to the previous event (per user,
+    ordered by (ts, order_col)) exceeds ``gap`` (strict). ``session_idx``
+    is 0-based per user in time order.
+    """
+
+    def block_sessions(block: pa.Table) -> pa.Table:
+        block = block.sort_by(
+            [(user_col, "ascending"), (ts_col, "ascending"),
+             (order_col, "ascending")]
+        )
+        users = block.column(user_col).to_pylist()
+        tss = block.column(ts_col).to_pylist()
+        out_u, out_s, out_n, out_a, out_b = [], [], [], [], []
+
+        def flush(user, sidx, n, start, end):
+            out_u.append(user)
+            out_s.append(sidx)
+            out_n.append(n)
+            out_a.append(start)
+            out_b.append(end)
+
+        i, n_rows = 0, len(users)
+        while i < n_rows:
+            j = i
+            while j < n_rows and users[j] == users[i]:
+                j += 1
+            sidx, count, start = 0, 1, tss[i]
+            for k in range(i + 1, j):
+                if tss[k] - tss[k - 1] > gap:
+                    flush(users[i], sidx, count, start, tss[k - 1])
+                    sidx += 1
+                    count, start = 1, tss[k]
+                else:
+                    count += 1
+            flush(users[i], sidx, count, start, tss[j - 1])
+            i = j
+        ts_type = block.column(ts_col).type
+        return pa.table(
+            {
+                user_col: pa.array(out_u, block.column(user_col).type),
+                "session_idx": pa.array(out_s, pa.int64()),
+                "n_events": pa.array(out_n, pa.int64()),
+                "start_ts": pa.array(out_a, ts_type),
+                "end_ts": pa.array(out_b, ts_type),
+            }
+        )
+
+    projected = events.select_columns([user_col, ts_col, order_col])
+    return cluster_apply(projected, [user_col], block_sessions)
