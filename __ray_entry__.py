@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_latest": q.q_dedup_keep_latest,
         "compact_delete": q.q_compact_delete,
         "sessionize": q.q_sessionize,
+        "asof_join": q.q_asof_join,
         # relational generality
         "agg_lineitem": q.q_agg_lineitem,
         "topk_customers": q.q_topk_customers,
@@ -445,6 +446,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "asof_join": """
+            WITH clicks AS (
+              SELECT user_id, ts, event_id AS click_id
+              FROM events WHERE event_type = 'click'
+            ),
+            views AS (
+              SELECT user_id, ts, CAST(MAX(event_id) AS BIGINT) AS view_id
+              FROM events WHERE event_type = 'view'
+              GROUP BY user_id, ts
+            )
+            SELECT c.user_id, c.ts, c.click_id,
+                   v.ts AS ts_r, v.view_id
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "sessionize": """
             WITH o AS (

@@ -407,3 +407,32 @@ def q_tfidf_weights(sf_dir: str):
 
     stages = ingest(read_webpages(sf_dir))
     return tfidf_weights(stages["postings"], stages["pages"])
+
+
+def q_asof_join(sf_dir: str):
+    """For every click, the user's latest view at-or-before it (LEFT ASOF).
+
+    The right side is deduped to one row per (user, ts) — max event_id —
+    so the as-of pick is well-defined on both engines."""
+    from ..stages.asof import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def side(kind, out_name):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = batch.filter(pc.equal(batch.column("event_type"), kind))
+            return pa.table(
+                {
+                    "user_id": keep.column("user_id"),
+                    "ts": keep.column("ts"),
+                    out_name: keep.column("event_id"),
+                }
+            )
+
+        return f
+
+    clicks = events.map_batches(side("click", "click_id"), batch_format="pyarrow")
+    views = events.map_batches(side("view", "view_id"), batch_format="pyarrow")
+    views = keep_latest(views, ["user_id", "ts"], ["view_id"])
+    return asof_join(clicks, views, on="user_id", ts_col="ts",
+                     left_cols=["click_id"], right_cols=["view_id"])
