@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_delete": q.q_compact_delete,
         "sessionize": q.q_sessionize,
         "asof_join": q.q_asof_join,
+        "range_join": q.q_range_join,
         # relational generality
         "agg_lineitem": q.q_agg_lineitem,
         "topk_customers": q.q_topk_customers,
@@ -446,6 +447,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "range_join": """
+            WITH ranges(lo, hi, bucket) AS (VALUES
+              (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'),
+              (25.0, 50.0, 'high'), (50.0, 75.0, 'very_high'))
+            SELECT e.event_id, e.value, r.lo, r.hi, r.bucket
+            FROM events e LEFT JOIN ranges r
+              ON e.value >= r.lo AND e.value < r.hi
         """,
         "asof_join": """
             WITH clicks AS (

@@ -436,3 +436,20 @@ def q_asof_join(sf_dir: str):
     views = keep_latest(views, ["user_id", "ts"], ["view_id"])
     return asof_join(clicks, views, on="user_id", ts_col="ts",
                      left_cols=["click_id"], right_cols=["view_id"])
+
+
+_VALUE_RANGES = [
+    (0.0, 10.0, "low"),
+    (10.0, 25.0, "mid"),
+    (25.0, 50.0, "high"),
+    (50.0, 75.0, "very_high"),
+]
+
+
+def q_range_join(sf_dir: str):
+    """Broadcast range join: event value → (lo, hi, bucket), null outside."""
+    from ..stages.relational import broadcast_range_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "value"])
+    return broadcast_range_join(events, _VALUE_RANGES, "value",
+                                label_names=["bucket"])

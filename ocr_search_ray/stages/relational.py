@@ -156,3 +156,51 @@ def cluster_apply(ds, key_cols: list[str], block_fn, *, hash_fn=None):
     return cluster_by(ds, key_cols, hash_fn=hash_fn).map_batches(
         apply, batch_format="pyarrow", batch_size=None
     )
+
+
+def broadcast_range_join(ds, ranges: list[tuple], value_col: str,
+                         *, label_names: list[str], lo_col: str = "lo",
+                         hi_col: str = "hi"):
+    """Range join against a SMALL ranges side (brief: custom operators —
+    "range join"): each row joins the range with lo <= value < hi.
+
+    ``ranges``: sorted, non-overlapping (lo, hi, *labels) tuples. The ranges
+    table is broadcast via ``ray.put`` once and matched per batch with a
+    vectorized ``np.searchsorted`` — never a shuffle; rows outside every
+    range get null labels. The corpus side streams.
+    """
+    import numpy as np
+    import ray
+
+    los = [r[0] for r in ranges]
+    his = [r[1] for r in ranges]
+    if any(his[i] > los[i + 1] for i in range(len(ranges) - 1)) or any(
+        h <= lo for lo, h in zip(los, his)
+    ):
+        raise ValueError("ranges must be sorted, non-empty, non-overlapping")
+    ref = ray.put((np.asarray(los, dtype=np.float64),
+                   np.asarray(his, dtype=np.float64),
+                   [tuple(r[2:]) for r in ranges]))
+
+    def join(batch: pa.Table) -> pa.Table:
+        lo_arr, hi_arr, labels = ray.get(ref)
+        vals = np.asarray(batch.column(value_col).to_numpy(zero_copy_only=False),
+                          dtype=np.float64)
+        idx = np.searchsorted(lo_arr, vals, side="right") - 1
+        ok = (idx >= 0) & (vals < hi_arr[np.clip(idx, 0, len(hi_arr) - 1)])
+        out = {c: batch.column(c) for c in batch.column_names}
+        out[lo_col] = pa.array(
+            [float(lo_arr[i]) if k else None for i, k in zip(idx, ok)],
+            pa.float64(),
+        )
+        out[hi_col] = pa.array(
+            [float(hi_arr[i]) if k else None for i, k in zip(idx, ok)],
+            pa.float64(),
+        )
+        for li, name in enumerate(label_names):
+            out[name] = pa.array(
+                [labels[i][li] if k else None for i, k in zip(idx, ok)]
+            )
+        return pa.table(out)
+
+    return ds.map_batches(join, batch_format="pyarrow")

@@ -90,3 +90,32 @@ def test_multi_column_keys_and_int_keys():
     rows = cluster_apply(rd.from_arrow(t).repartition(3), ["a", "b"], blk).take_all()
     got = {(r["a"], r["b"]): r["s"] for r in rows}
     assert got == {(1, "x"): 80, (2, "x"): 30, (2, "y"): 40}
+
+
+def test_broadcast_range_join():
+    from ocr_search_ray.stages.relational import broadcast_range_join
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "value": pa.array([5.0, 10.0, 99.0, 24.999], pa.float64()),
+            }
+        )
+    )
+    ranges = [(0.0, 10.0, "low"), (10.0, 25.0, "mid")]
+    out = {r["id"]: r for r in broadcast_range_join(
+        ds, ranges, "value", label_names=["bucket"]).take_all()}
+    assert out[1]["bucket"] == "low" and out[1]["lo"] == 0.0
+    assert out[2]["bucket"] == "mid"      # boundary: lo inclusive
+    assert out[3]["bucket"] is None       # outside every range
+    assert out[4]["bucket"] == "mid"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        broadcast_range_join(ds, [(5.0, 2.0, "bad")], "value",
+                             label_names=["bucket"])
+    with pytest.raises(ValueError):
+        broadcast_range_join(ds, [(0.0, 10.0, "a"), (5.0, 20.0, "b")],
+                             "value", label_names=["bucket"])
