@@ -119,6 +119,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("minhash_lsh_pairs", q.q_minhash_lsh_pairs)
     timed("ann_cosine_topk", q.q_ann_cosine_topk)
     timed("agg_lineitem", q.q_agg_lineitem)
+    timed("sessionize", q.q_sessionize)
+    timed("asof_join", q.q_asof_join)
+    timed("tfidf_weights", q.q_tfidf_weights)
     return timings
 
 
