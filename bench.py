@@ -63,6 +63,11 @@ def run_headline(sf_dir: str, out_dir: str, num_cpus: int, repeat: int) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     pages_dir = os.path.join(out_dir, "pages")
 
+    # settle dirty-page writeback from any previous run before timing —
+    # consecutive multi-GB runs otherwise contend with the flusher and
+    # inflate wall time by up to ~2x (measured)
+    os.sync()
+
     # warm the worker pool so process spawn cost isn't measured as pipeline
     # time at either parallelism level
     rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
