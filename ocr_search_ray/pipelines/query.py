@@ -26,7 +26,13 @@ import pyarrow.parquet as pq
 
 from ..functions.tokenizer import Tokenizer
 from ..stages.index import N_BUCKETS_DEFAULT, term_bucket
-from ..stages.search import DEFAULT_MAX_RETURN, join_pages, score_hits, validate_query
+from ..stages.search import (
+    DEFAULT_MAX_RETURN,
+    hits_to_table,
+    join_pages,
+    score_hits,
+    validate_query,
+)
 
 
 def append_search_history(history_dir: str, query: str,
@@ -88,7 +94,11 @@ def search_index(index_dir: str, pages_path: str, query: str,
                                columns=["doc_id", "term", "tf"])
 
     hits = score_hits(postings, terms)
-    hits_table = pa.Table.from_pandas(hits.to_pandas(), preserve_index=False)
+    hits_table = hits_to_table(hits)
+    if hits_table.num_rows == 0:
+        return pa.table(
+            {c: [] for c in ["url", "page_idx", "img_path", "doc_id", "score"]}
+        )
     pages = rd.read_parquet(pages_path,
                             columns=["url", "page_idx", "img_path", "doc_id"])
     ranked = (

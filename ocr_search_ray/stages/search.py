@@ -51,14 +51,34 @@ def score_hits(postings, query_terms: list[str]):
             {"doc_id": hits.column("doc_id"), "score": hits.column("tf")}
         )
 
+    def _rename(b: pa.Table) -> pa.Table:
+        # Ray's aggregate can emit a schema-less EMPTY block when every
+        # input block filtered to zero rows — normalize it so downstream
+        # consumers always see the declared schema
+        if b.num_columns != 2:
+            return pa.table(
+                {"doc_id": pa.array([], pa.string()),
+                 "score": pa.array([], pa.int64())}
+            )
+        return b.rename_columns(["doc_id", "score"])
+
     return (
         postings.map_batches(_filter, batch_format="pyarrow")
         .groupby("doc_id")
         .max("score")
-        .map_batches(
-            lambda b: b.rename_columns(["doc_id", "score"]),
-            batch_format="pyarrow",
-        )
+        .map_batches(_rename, batch_format="pyarrow")
+    )
+
+
+def hits_to_table(hits) -> pa.Table:
+    """Collect the (small) hit dataset into a typed Arrow table — immune to
+    schema-less empty blocks (rows-based, explicit schema)."""
+    rows = hits.take_all()
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+            "score": pa.array([r["score"] for r in rows], pa.int64()),
+        }
     )
 
 
@@ -101,7 +121,9 @@ def search(postings, pages, query: str, max_return: int = DEFAULT_MAX_RETURN,
     hits = score_hits(postings, query_terms)
     # query-time hit set: small by construction; materializing it here is the
     # broadcast side of the join, not a full-dataset materialization
-    hits_table = pa.Table.from_pandas(hits.to_pandas(), preserve_index=False)
+    hits_table = hits_to_table(hits)
+    if hits_table.num_rows == 0:
+        return pa.table({c: [] for c in _RESULT_COLUMNS})
     scored_pages = join_pages(hits_table, pages)
     ranked = scored_pages.sort(["score", "doc_id"], descending=[True, False]).limit(
         max_return

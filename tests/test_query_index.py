@@ -64,3 +64,29 @@ def test_bucketed_index_layout(tmp_path):
     f = glob.glob(os.path.join(some, "*.parquet"))[0]
     terms = set(pq.read_table(f, columns=["term"]).column("term").to_pylist())
     assert terms and all(term_bucket(t) == bucket for t in terms)
+
+
+def test_index_query_cjk_and_missing_terms(tmp_path):
+    """Multi-bucket queries, CJK terms, and terms absent from the index."""
+    stages = ingest(read_webpages(SF_DIR))
+    postings = stages["postings"].materialize()
+    pages = stages["pages"].materialize()
+    index_dir = str(tmp_path / "index")
+    pages_dir = str(tmp_path / "pages")
+    build_index(postings, out_dir=index_dir)
+    pages.write_parquet(pages_dir)
+
+    # a query whose terms hash to multiple buckets; in-memory path is oracle
+    q = "storage layer merge checkpoint"
+    got = search_index(index_dir, pages_dir, q, max_return=10)
+    expected = search(postings, pages, q, max_return=10)
+    assert got.to_pydict() == expected.to_pydict()
+
+    # nonexistent vocabulary → 0 hits, no error
+    got = search_index(index_dir, pages_dir, "zzqqxx nonexistentterm", max_return=5)
+    assert got.num_rows == 0
+
+    # CJK query tokenizes through the same chain (unigrams+bigrams); corpus
+    # is ASCII so no hits, but the path must not error
+    got = search_index(index_dir, pages_dir, "中文查詢", max_return=5)
+    assert got.num_rows == 0

@@ -123,3 +123,15 @@ def test_term_bucket_is_stable_and_uniform():
     from ocr_search_ray.pipelines.query import term_bucket as query_bucket
 
     assert query_bucket is term_bucket
+
+
+def test_cache_cap_clears_and_stays_exact():
+    class Tiny(Tokenizer):
+        _CACHE_MAX = 5
+
+    tok = Tiny()
+    words = [f"word{i}x" for i in range(20)]
+    text = " ".join(words)
+    first = tok.term_freqs(text)
+    assert len(tok._eng_cache) <= Tiny._CACHE_MAX + 1  # cap respected
+    assert tok.term_freqs(text) == first == Tokenizer().term_freqs(text)
