@@ -38,6 +38,8 @@ def term_stats(postings) -> "object":
     grouped = partials.groupby("term").sum(["df_part", "cf_part"])
 
     def _finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:  # schema-less empty aggregate block
+            return TERM_STATS.empty_table()
         table = pa.table(
             {
                 "term": batch.column("term"),

@@ -54,6 +54,11 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]]):
     grouped = partials.groupby(keys).aggregate(*merge_aggs)
 
     def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            # Ray's aggregate can emit a schema-less empty block when every
+            # input block was empty — drop it (schema restored downstream by
+            # non-empty blocks; fully-empty results stay empty)
+            return pa.table({})
         out = {k: batch.column(k) for k in keys}
         for i, (out_name, _col, fn) in enumerate(specs):
             merge = _MERGE_OF[fn]
