@@ -68,6 +68,36 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _stabilize_fs_probe() -> None:
+    """Make Ray's filesystem probe race-free under driver threads.
+
+    Ray's read/write path resolution tries ``from
+    fsspec.implementations.http import HTTPFileSystem`` and catches
+    ModuleNotFoundError (aiohttp absent here). A FAILED module import is not
+    cached, so two threads resolving paths concurrently can race: one sees
+    the other's partially-initialized module and raises a bare ImportError
+    ("cannot import name ...") that Ray does not catch. Pre-caching either
+    the real module or an isinstance-only stub makes every subsequent import
+    hit sys.modules — deterministic and equivalent to the not-installed
+    branch (the stub class matches no real filesystem object)."""
+    import sys
+    import types
+
+    name = "fsspec.implementations.http"
+    if name in sys.modules:
+        return
+    try:
+        __import__(name)
+    except Exception:
+        stub = types.ModuleType(name)
+
+        class HTTPFileSystem:  # isinstance sentinel only; never constructed
+            pass
+
+        stub.HTTPFileSystem = HTTPFileSystem
+        sys.modules[name] = stub
+
+
 def _process_fragment(pid: int, webpages, frag_hash: str, out_dir: str,
                       manifest_dir: str,
                       tokenize_concurrency: int | None) -> None:
@@ -126,6 +156,7 @@ def ingest_resumable(
     """
     if max_in_flight is None:
         max_in_flight = 1 if tokenize_concurrency is not None else 4
+    _stabilize_fs_probe()
     from concurrent.futures import ThreadPoolExecutor
 
     manifest_dir = os.path.join(out_dir, "_manifest")
