@@ -453,3 +453,11 @@ def q_range_join(sf_dir: str):
     events = _read(sf_dir, "events", columns=["event_id", "value"])
     return broadcast_range_join(events, _VALUE_RANGES, "value",
                                 label_names=["bucket"])
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    from ..stages.similarity import ivf_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(emb, _query_vectors(sf_dir), k=10, n_centroids=16,
+                    nprobe=16)

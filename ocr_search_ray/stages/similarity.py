@@ -200,3 +200,119 @@ def embedding_neardup_pairs(embeddings, *, threshold: float, max_id: int,
         )
 
     return restricted.map_batches(pairs, batch_format="pyarrow")
+
+
+def ivf_topk(embeddings, queries: dict[int, list[float]], *, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, train_iters: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF-style ANN: coarse k-means centroids partition the corpus; each
+    query probes only its ``nprobe`` nearest cells (the scale path next to
+    ``lsh_bucket_topk``).
+
+    Deterministic end to end: centroids initialize from the ``n_centroids``
+    smallest ids, Lloyd iterations run as distributed partial-sum passes
+    (driver holds only the (n_centroids × dim) table), assignment ties break
+    toward the lower centroid index. With ``nprobe >= n_centroids`` every
+    cell is probed and the result EQUALS ``ann_brute_topk`` exactly (tested);
+    smaller nprobe trades recall for a corpus-fraction scan.
+    """
+    import ray
+
+    # ---- deterministic init: the n_centroids smallest vec_ids
+    def keep_seed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.less(batch.column(id_col), n_centroids))
+
+    seed_rows = sorted(
+        embeddings.map_batches(keep_seed, batch_format="pyarrow").take_all(),
+        key=lambda r: r[id_col],
+    )
+    centroids = _normalize(
+        np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    )
+
+    # ---- Lloyd iterations: one distributed partial-sum pass each
+    for _ in range(train_iters):
+        c_ref = ray.put(centroids)
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            cen = ray.get(c_ref)
+            m = _normalize(_batch_matrix(batch, vec_col))
+            assign = np.argmax(m @ cen.T, axis=1)  # argmax: first (lowest) wins ties
+            sums = np.zeros_like(cen)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(cen))
+            return pa.table(
+                {
+                    "centroid": pa.array(range(len(cen)), pa.int32()),
+                    "vec_sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                    "count": pa.array(counts.tolist(), pa.int64()),
+                }
+            )
+
+        parts = embeddings.map_batches(
+            partial_sums, batch_format="pyarrow"
+        ).take_all()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for r in parts:
+            sums[r["centroid"]] += np.asarray(r["vec_sum"])
+            counts[r["centroid"]] += r["count"]
+        nonempty = counts > 0
+        centroids[nonempty] = _normalize(
+            sums[nonempty] / counts[nonempty, None]
+        )
+
+    # ---- probe sets per query
+    q_ids = sorted(queries)
+    q_mat = _normalize(np.array([queries[q] for q in q_ids], dtype=np.float64))
+    order = np.argsort(-(q_mat @ centroids.T), axis=1, kind="stable")
+    probes = [set(row[: min(nprobe, len(centroids))].tolist()) for row in order]
+    ctx = ray.put((q_ids, q_mat, probes, centroids))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids, qm, probe_sets, cen = ray.get(ctx)
+        vec_ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        assign = np.argmax(m @ cen.T, axis=1)
+        scores = m @ qm.T
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(ids):
+            mask = np.isin(assign, list(probe_sets[qi]))
+            if not mask.any():
+                continue
+            sub_ids = vec_ids[mask]
+            col = scores[mask, qi]
+            idx = np.lexsort((sub_ids, -col))[: min(k, len(sub_ids))]
+            out_q.extend([qid] * len(idx))
+            out_v.extend(sub_ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group, sort_keys=[("score", "descending"), ("vec_id", "ascending")]
+        )
+        top = group.take(idx[:k])
+        return pa.table(
+            {
+                "query_id": top.column("query_id"),
+                "vec_id": top.column("vec_id"),
+                "rank": pa.array(range(1, top.num_rows + 1), pa.int32()),
+            }
+        )
+
+    return (
+        embeddings.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )

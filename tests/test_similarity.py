@@ -70,3 +70,36 @@ def test_embedding_neardup_finds_planted_pair():
     ds, _ = _embeddings()
     pairs = embedding_neardup_pairs(ds, threshold=0.95, max_id=N).take_all()
     assert {(r["vec_id1"], r["vec_id2"]) for r in pairs} == {(0, 150)}
+
+
+def test_ivf_full_probe_equals_brute_force():
+    """nprobe >= n_centroids probes every cell → must EQUAL brute force."""
+    from ocr_search_ray.stages.similarity import ivf_topk
+
+    emb, vecs = _embeddings()
+    queries = {i: list(map(float, vecs[i])) for i in range(4)}
+    brute = ann_brute_topk(emb, queries, k=8).take_all()
+    ivf = ivf_topk(emb, queries, k=8, n_centroids=8, nprobe=8).take_all()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted((r["query_id"], r["rank"], r["vec_id"]) for r in ivf) == \
+           sorted((r["query_id"], r["rank"], r["vec_id"]) for r in brute)
+
+
+def test_ivf_partial_probe_recall():
+    """nprobe=2 of 8 cells: results are a (ranked) subset of the corpus and
+    overlap the exact top-k substantially."""
+    from ocr_search_ray.stages.similarity import ivf_topk
+
+    emb, vecs = _embeddings()
+    queries = {i: list(map(float, vecs[i])) for i in range(4)}
+    brute = {(r["query_id"], r["vec_id"]) for r in ann_brute_topk(emb, queries, k=8).take_all()}
+    ivf = ivf_topk(emb, queries, k=8, n_centroids=8, nprobe=2).take_all()
+    got = {(r["query_id"], r["vec_id"]) for r in ivf}
+    assert got  # finds something
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.5, recall
+
+    # deterministic across runs
+    ivf2 = ivf_topk(emb, queries, k=8, n_centroids=8, nprobe=2).take_all()
+    assert sorted(map(tuple, (r.items() for r in ivf))) == \
+           sorted(map(tuple, (r.items() for r in ivf2)))
