@@ -33,23 +33,28 @@ def _partial_term_stats(batch: pa.Table) -> pa.Table:
 
 
 def term_stats(postings) -> "object":
-    """TERM_STATS dataset via two-phase (combine → shuffle) aggregation."""
-    partials = postings.map_batches(_partial_term_stats, batch_format="pyarrow")
-    grouped = partials.groupby("term").sum(["df_part", "cf_part"])
+    """TERM_STATS dataset via two-phase (combine → exchange) aggregation.
 
-    def _finalize(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0:  # schema-less empty aggregate block
-            return TERM_STATS.empty_table()
+    The final exchange runs through ``cluster_apply`` (int-key; see
+    relational.py) rather than a string-key groupby."""
+    from .relational import cluster_apply
+
+    partials = postings.map_batches(_partial_term_stats, batch_format="pyarrow")
+
+    def _block_sum(block: pa.Table) -> pa.Table:
+        agg = block.group_by("term").aggregate(
+            [("df_part", "sum"), ("cf_part", "sum")]
+        )
         table = pa.table(
             {
-                "term": batch.column("term"),
-                "df": batch.column("sum(df_part)").cast(pa.int64()),
-                "cf": batch.column("sum(cf_part)").cast(pa.int64()),
+                "term": agg.column("term"),
+                "df": agg.column("df_part_sum").cast(pa.int64()),
+                "cf": agg.column("cf_part_sum").cast(pa.int64()),
             }
         )
         return assert_schema(table, TERM_STATS, "term_stats")
 
-    return grouped.map_batches(_finalize, batch_format="pyarrow")
+    return cluster_apply(partials, ["term"], _block_sum)
 
 
 def term_bucket(term: str, n_buckets: int = N_BUCKETS_DEFAULT) -> int:

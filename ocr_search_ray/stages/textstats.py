@@ -161,13 +161,15 @@ def vocab_stats(postings):
             }
         )
 
-    import pyarrow.compute as pc
-
     parts = postings.map_batches(partial, batch_format="pyarrow").take_all()
-    n_terms = postings.select_columns(["term"]).unique("term")
+    # distinct-term count via the int-key term_stats exchange (one row per
+    # term) — not a string-key unique() over the posting stream
+    from .index import term_stats
+
+    n_terms = term_stats(postings).count()
     return pa.table(
         {
-            "n_terms": pa.array([len(n_terms)], pa.int64()),
+            "n_terms": pa.array([n_terms], pa.int64()),
             "n_postings": pa.array([sum(r["n_postings"] for r in parts)], pa.int64()),
             "total_tf": pa.array([sum(r["total_tf"] for r in parts)], pa.int64()),
         }
