@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_tf": q.q_postings_tf,
         "posting_lists": q.q_posting_lists,
         "tfidf_weights": q.q_tfidf_weights,
+        "heavy_terms": q.q_heavy_terms,
         "term_stats": q.q_term_stats,
         "search_topk": q.q_search,
         "term_correlations": q.q_term_correlations,
@@ -237,6 +238,12 @@ def oracle_sql() -> dict[str, str]:
                      * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
                      AS tfidf
             FROM postings p JOIN df USING (term), n
+        """,
+        "heavy_terms": f"""
+            {_POSTINGS_PREFIX}
+            SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
+            FROM postings GROUP BY term
+            HAVING SUM(tf) >= 900
         """,
         "term_stats": f"""
             {_POSTINGS_PREFIX}

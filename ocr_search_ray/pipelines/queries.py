@@ -461,3 +461,10 @@ def q_ann_ivf_topk(sf_dir: str):
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ivf_topk(emb, _query_vectors(sf_dir), k=10, n_centroids=16,
                     nprobe=16)
+
+
+def q_heavy_terms(sf_dir: str):
+    """Exact heavy hitters (cf ≥ 900) via the Misra-Gries sketch+verify plan."""
+    from ..stages.index import heavy_terms
+
+    return heavy_terms(_postings(sf_dir), min_cf=900)

@@ -198,3 +198,78 @@ def tfidf_weights(postings, pages):
         )
 
     return postings.map_batches(weigh, batch_format="pyarrow")
+
+
+def heavy_terms(postings, *, min_cf: int, slots: int = 4096):
+    """Exact heavy hitters (terms with total tf ≥ ``min_cf``) via a
+    Misra-Gries pre-filter — the sketch-then-verify plan for Zipf heads.
+
+    Pass 1 (no shuffle): each batch summarizes into a ``slots``-entry
+    Misra-Gries sketch; the driver merges the small summaries. MG guarantees
+    every term with true count ≥ N/slots survives as a candidate, so with
+    slots ≥ N/min_cf the candidate set is a SUPERSET of the answer (the
+    merge only over-approximates). Pass 2: exact counts for candidates only
+    (vectorized is_in filter + partial sums) — the exchange carries one row
+    per (batch, candidate), never the posting stream.
+
+    → (term, cf) exact, for every term with cf ≥ min_cf.
+    """
+    import ray
+
+    def mg_sketch(batch: pa.Table) -> pa.Table:
+        counters: dict[str, int] = {}
+        terms = batch.column("term").to_pylist()
+        tfs = batch.column("tf").to_pylist()
+        for t, w in zip(terms, tfs):
+            if t in counters:
+                counters[t] += w
+            elif len(counters) < slots:
+                counters[t] = w
+            else:
+                # decrement-all by the smallest counter, drop zeros
+                dec = min(min(counters.values()), w)
+                w_left = w - dec
+                counters = {k: v - dec for k, v in counters.items() if v > dec}
+                if w_left > 0 and len(counters) < slots:
+                    counters[t] = w_left
+        return pa.table(
+            {
+                "term": pa.array(list(counters), pa.string()),
+                "est": pa.array(list(counters.values()), pa.int64()),
+            }
+        )
+
+    # driver-side merge of the small per-batch summaries (≤ slots rows each)
+    merged: dict[str, int] = {}
+    for r in postings.map_batches(mg_sketch, batch_format="pyarrow").take_all():
+        merged[r["term"]] = merged.get(r["term"], 0) + r["est"]
+    candidates = sorted(merged)
+    cand_ref = ray.put(pa.array(candidates, pa.string()))
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cand = ray.get(cand_ref)
+        hits = batch.filter(pc.is_in(batch.column("term"), value_set=cand))
+        agg = hits.select(["term", "tf"]).group_by("term").aggregate(
+            [("tf", "sum")]
+        )
+        return pa.table(
+            {"term": agg.column("term"),
+             "cf_part": agg.column("tf_sum").cast(pa.int64())}
+        )
+
+    from .relational import cluster_apply
+
+    def block_final(block: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        agg = block.group_by("term").aggregate([("cf_part", "sum")])
+        out = pa.table(
+            {"term": agg.column("term"),
+             "cf": agg.column("cf_part_sum").cast(pa.int64())}
+        )
+        return out.filter(pc.greater_equal(out.column("cf"), min_cf))
+
+    partials = postings.map_batches(exact_partial, batch_format="pyarrow")
+    return cluster_apply(partials, ["term"], block_final)

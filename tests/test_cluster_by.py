@@ -119,3 +119,36 @@ def test_broadcast_range_join():
     with pytest.raises(ValueError):
         broadcast_range_join(ds, [(0.0, 10.0, "a"), (5.0, 20.0, "b")],
                              "value", label_names=["bucket"])
+
+
+def test_heavy_terms_sketch_verify_is_exact_under_eviction():
+    """Tiny slot budget forces MG evictions; the verify pass must still
+    produce exactly the terms with cf >= min_cf."""
+    from collections import Counter
+
+    from ocr_search_ray.stages.index import heavy_terms
+
+    docs, terms, tfs = [], [], []
+    # zipf-ish: term t_i appears ~ 600/i times across docs
+    true = Counter()
+    row = 0
+    for i in range(1, 40):
+        for rep in range(600 // i):
+            docs.append(f"d{row % 17}")
+            terms.append(f"t{i}")
+            tfs.append(1 + (row % 3))
+            true[f"t{i}"] += 1 + (row % 3)
+            row += 1
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(docs),
+                "term": pa.array(terms),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+    ).repartition(9)
+    min_cf = 300
+    got = {r["term"]: r["cf"] for r in heavy_terms(ds, min_cf=min_cf, slots=8).take_all()}
+    expected = {t: c for t, c in true.items() if c >= min_cf}
+    assert got == expected
