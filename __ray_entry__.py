@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_events": q.q_filter_events,
         # training-data ops
         "exact_dedup": q.q_exact_dedup,
+        "curate": q.q_curate,
         "minhash_signatures": q.q_minhash_signatures,
         "minhash_lsh_pairs": q.q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
@@ -335,6 +336,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(event_id) AS BIGINT) AS min_id,
                    CAST(MAX(event_id) AS BIGINT) AS max_id
             FROM events WHERE value > 50 GROUP BY event_type
+        """,
+        "curate": f"""
+            WITH {_SHINGLE_CTE.strip()},
+            mh AS (
+              SELECT doc_id, h.i AS i,
+                     MIN(md5(CAST(h.i AS VARCHAR) || ':' || sh)) AS mh
+              FROM sh, LATERAL (SELECT unnest(generate_series(0, 15)) AS i) h
+              GROUP BY doc_id, h.i
+            ),
+            bands AS (
+              SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                     string_agg(mh, ',' ORDER BY i) AS band_sig
+              FROM mh GROUP BY doc_id, CAST(i // 4 AS INT)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+              SELECT c.d1, c.d2, COUNT(*) AS inter
+              FROM cand c
+              JOIN sh s1 ON s1.doc_id = c.d1
+              JOIN sh s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+              GROUP BY c.d1, c.d2
+            ),
+            losers AS (
+              SELECT DISTINCT i.d2 AS doc_id
+              FROM inter i
+              JOIN sizes z1 ON z1.doc_id = i.d1
+              JOIN sizes z2 ON z2.doc_id = i.d2
+              WHERE (z1.n + z2.n - i.inter) > 0
+                AND 100 * i.inter >= 50 * (z1.n + z2.n - i.inter)
+            ),
+            reps AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+            ),
+            toks AS (
+              SELECT doc_id, t.w
+              FROM documents,
+              LATERAL (SELECT unnest(string_split(text, ' ')) AS w) t
+              WHERE length(t.w) > 0
+            ),
+            quality AS (
+              SELECT d.doc_id,
+                     CAST(length(d.text) AS BIGINT) AS n_chars,
+                     CAST(COUNT(t.w) AS BIGINT) AS n_tokens,
+                     CAST(COALESCE(SUM(CASE WHEN t.w IN ({_STOPLIST_SQL})
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_stopwords
+              FROM documents d LEFT JOIN toks t USING (doc_id)
+              GROUP BY d.doc_id, d.text
+            )
+            SELECT q.doc_id, q.n_chars, q.n_tokens
+            FROM quality q
+            WHERE q.n_tokens >= 30 AND q.n_chars >= 150
+              AND 100 * q.n_stopwords <= 60 * q.n_tokens
+              AND q.doc_id IN (SELECT doc_id FROM reps)
+              AND q.doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "exact_dedup": """
             SELECT sha256(text) AS text_sha256,

@@ -468,3 +468,10 @@ def q_heavy_terms(sf_dir: str):
     from ..stages.index import heavy_terms
 
     return heavy_terms(_postings(sf_dir), min_cf=900)
+
+
+def q_curate(sf_dir: str):
+    """Training-data curation: quality gate + exact dedup + near-dup drop."""
+    from .curate import curate
+
+    return curate(_read(sf_dir, "documents", columns=["doc_id", "text"]))

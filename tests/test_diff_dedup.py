@@ -47,3 +47,31 @@ def test_keep_latest_is_deterministic_total_order():
     by_url = {r["url"]: r for r in out}
     assert by_url["u"]["payload"] == "new"  # ts tie broken by event_id
     assert by_url["v"]["payload"] == "only"
+
+
+def test_curate_pipeline_composition():
+    """quality gate + exact-rep + near-dup loser removal compose exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.pipelines.curate import curate
+
+    # 60 distinct words → appended word keeps jaccard ≈ 0.98 (verified
+    # deterministically caught by the banded LSH with these md5 planes)
+    long = "spark " + " ".join(f"w{i}" for i in range(60))
+    near = long + " extraword"  # near-dup of `long`
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array([
+                long,                 # 1: survives (rep, quality ok)
+                long,                 # 2: exact dup of 1 → dropped (not rep)
+                near,                 # 3: near-dup of 1 → dropped (loser)
+                "too short",          # 4: fails quality
+                ("the and of to in is was " * 20).strip(),  # 5: stopword soup
+            ]),
+        }
+    )
+    out = curate(rd.from_arrow(docs)).take_all()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["n_tokens"] > 30
