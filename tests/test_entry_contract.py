@@ -1,0 +1,50 @@
+"""Driver-contract invariants for __ray_entry__ (the judge's entry surface)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __ray_entry__ as entrymod  # noqa: E402
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    assert set(sqls) <= set(qs), set(sqls) - set(qs)
+    # rows-only ops are the documented four
+    assert set(qs) - set(sqls) == {
+        "simhash_signatures", "simhash_neardup", "lang_id", "ann_lsh_topk",
+    }
+
+
+def test_queries_are_callables_and_sql_is_nonempty():
+    for name, fn in entrymod.queries().items():
+        assert callable(fn), name
+    for name, sql in entrymod.oracle_sql().items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_oracle_sql_parses_in_duckdb():
+    """Every oracle must at least PREPARE against the sf0.001 views —
+    catches SQL syntax drift without paying full execution."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t}.parquet'"
+        )
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.sql(f"EXPLAIN {sql}")
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"oracle {name} does not plan: {e}") from e
+
+
+def test_entry_returns_rows_with_stable_schema():
+    res = entrymod.entry()
+    cols = set(res.schema().names)
+    assert {"url", "doc_id", "page_idx", "text", "status"} <= cols
+    assert res.count() > 0
