@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q.q_fingerprints,
         "vocab_stats": q.q_vocab_stats,
         "lang_id": q.q_lang_id,  # rows-only
+        "ngram_counts": q.q_ngram_counts,
+        "domain_stats": q.q_domain_stats,
         "ann_cosine_topk": q.q_ann_cosine_topk,
         "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only
         # IVF with full probes == exact cosine top-k → reuse the brute oracle
@@ -239,6 +241,30 @@ def oracle_sql() -> dict[str, str]:
                      * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
                      AS tfidf
             FROM postings p JOIN df USING (term), n
+        """,
+        "ngram_counts": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> length(x) > 0) AS words
+              FROM documents
+            ),
+            grams AS (
+              SELECT list_extract(words, i) || ' ' || list_extract(words, i + 1)
+                       AS ngram
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(words) - 1, 0)))
+                  AS i) g
+            )
+            SELECT ngram, CAST(COUNT(*) AS BIGINT) AS count
+            FROM grams GROUP BY ngram HAVING COUNT(*) >= 10
+        """,
+        "domain_stats": f"""
+            {_INGEST_PREFIX}
+            SELECT split_part(split_part(url, '://', 2), '/', 1) AS domain,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls
+            FROM pages_full GROUP BY 1
         """,
         "heavy_terms": f"""
             {_POSTINGS_PREFIX}

@@ -475,3 +475,17 @@ def q_curate(sf_dir: str):
     from .curate import curate
 
     return curate(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_ngram_counts(sf_dir: str):
+    """Corpus-wide word-bigram counts (count >= 10)."""
+    return textstats.ngram_counts(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        n=2, min_count=10,
+    )
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-domain page/url volume over the ingested pages (skew monitor)."""
+    pages = ingest(read_webpages(sf_dir))["pages"]
+    return textstats.domain_stats(pages)

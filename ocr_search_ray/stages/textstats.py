@@ -174,3 +174,93 @@ def vocab_stats(postings):
             "total_tf": pa.array([sum(r["total_tf"] for r in parts)], pa.int64()),
         }
     )
+
+
+def ngram_counts(documents, *, n: int = 2, min_count: int = 1,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """→ (ngram, count): corpus-wide word n-gram frequencies.
+
+    Per-batch partial counts (one row per distinct n-gram per batch — the
+    combiner collapses the Zipf head before the exchange), exact sums via
+    the int-key exchange. Tokens = single-space split, empties excluded.
+    """
+    from collections import Counter
+
+    from .relational import cluster_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = [w for w in (t or "").split(" ") if w]
+            for i in range(len(toks) - n + 1):
+                counts[" ".join(toks[i:i + n])] += 1
+        return pa.table(
+            {
+                "ngram": pa.array(list(counts), pa.string()),
+                "c_part": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def block_sum(block: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        agg = block.group_by("ngram").aggregate([("c_part", "sum")])
+        out = pa.table(
+            {"ngram": agg.column("ngram"),
+             "count": agg.column("c_part_sum").cast(pa.int64())}
+        )
+        return out.filter(pc.greater_equal(out.column("count"), min_count))
+
+    partials = documents.select_columns([id_col, text_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return cluster_apply(partials, ["ngram"], block_sum)
+
+
+def domain_stats(pages, *, url_col: str = "url"):
+    """→ (domain, n_pages, n_urls): per-domain volume — the skew monitor for
+    hot domains (SURVEY.md §4). Domain = host part of the url. Two-phase:
+    batch-local partials, int-key exchange merge."""
+    from urllib.parse import urlsplit
+
+    from .relational import cluster_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # one flat row per DISTINCT url in the batch with its page count —
+        # no nested lists cross the exchange
+        counts: dict[tuple[str, str], int] = {}
+        for u in batch.column(url_col).to_pylist():
+            key = (urlsplit(u).netloc, u)
+            counts[key] = counts.get(key, 0) + 1
+        keys = sorted(counts)
+        return pa.table(
+            {
+                "domain": pa.array([k[0] for k in keys], pa.string()),
+                "url": pa.array([k[1] for k in keys], pa.string()),
+                "n_part": pa.array([counts[k] for k in keys], pa.int64()),
+            }
+        )
+
+    def block_merge(block: pa.Table) -> pa.Table:
+        rows: dict[str, tuple[int, set]] = {}
+        for d, u, npart in zip(
+            block.column("domain").to_pylist(),
+            block.column("url").to_pylist(),
+            block.column("n_part").to_pylist(),
+        ):
+            n, s = rows.get(d, (0, set()))
+            s.add(u)
+            rows[d] = (n + npart, s)
+        doms = sorted(rows)
+        return pa.table(
+            {
+                "domain": pa.array(doms, pa.string()),
+                "n_pages": pa.array([rows[d][0] for d in doms], pa.int64()),
+                "n_urls": pa.array([len(rows[d][1]) for d in doms], pa.int64()),
+            }
+        )
+
+    partials = pages.select_columns([url_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return cluster_apply(partials, ["domain"], block_merge)

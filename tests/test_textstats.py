@@ -61,3 +61,41 @@ def test_fingerprints_deterministic_and_match_function():
     out = {r["doc_id"]: r["fingerprint"] for r in fingerprints(_docs(texts)).take_all()}
     assert out[0] == fingerprint(texts[0])
     assert out[1] == fingerprint("short")  # <5 words → whole-text md5
+
+
+def test_ngram_counts_exact():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.textstats import ngram_counts
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b c a b", "b c  a"]),  # double space skipped
+        }
+    )
+    got = {r["ngram"]: r["count"]
+           for r in ngram_counts(rd.from_arrow(docs).repartition(2)).take_all()}
+    assert got == {"a b": 2, "b c": 2, "c a": 2}
+
+
+def test_domain_stats_counts_pages_and_distinct_urls():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.textstats import domain_stats
+
+    pages = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://a.example/x", "https://a.example/x",
+                    "https://a.example/y", "https://b.example/z",
+                ]
+            )
+        }
+    )
+    got = {r["domain"]: (r["n_pages"], r["n_urls"])
+           for r in domain_stats(rd.from_arrow(pages).repartition(3)).take_all()}
+    assert got == {"a.example": (3, 2), "b.example": (1, 1)}
