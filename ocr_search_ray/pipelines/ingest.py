@@ -105,15 +105,26 @@ def _process_fragment(pid: int, webpages, frag_hash: str, out_dir: str,
     manifest row. Dataset CONSTRUCTION stays on the main thread — Ray's
     read-path filesystem resolution has an import race under concurrent
     first-use from multiple threads; execution itself is thread-safe."""
+    import shutil
+
     t0 = time.monotonic()
     stages = ingest(webpages, tokenize_concurrency=tokenize_concurrency)
 
     pages_dir = os.path.join(out_dir, "pages", f"part={pid:05d}")
     postings_dir = os.path.join(out_dir, "postings", f"part={pid:05d}")
-    # deterministic partition dirs: a rerun overwrites, never duplicates
+    # Idempotent rerun: Ray's write_parquet APPENDS uniquely-named files, so
+    # a crash between write and manifest-append would duplicate rows on
+    # reprocessing. Write into a deterministic .tmp dir, then swap it into
+    # the final part= dir after clearing any stale partial state (single
+    # writer per partition — the manifest gate dedups pending fragments).
+    pages_tmp, postings_tmp = pages_dir + ".tmp", postings_dir + ".tmp"
+    for d in (pages_tmp, postings_tmp, pages_dir, postings_dir):
+        shutil.rmtree(d, ignore_errors=True)
     pages = stages["pages"].materialize()
-    pages.write_parquet(pages_dir, compression="zstd")
-    stages["postings"].write_parquet(postings_dir, compression="zstd")
+    pages.write_parquet(pages_tmp, compression="zstd")
+    stages["postings"].write_parquet(postings_tmp, compression="zstd")
+    os.rename(pages_tmp, pages_dir)
+    os.rename(postings_tmp, postings_dir)
 
     n_rows = pages.count()
     n_errors = pages.map_batches(

@@ -113,6 +113,45 @@ def test_resumable_ingest_skips_done_partitions(tmp_path):
     assert summary2["skipped_done"] == 4 and summary2["processed"] == 0
 
 
+def test_resumable_ingest_idempotent_after_partial_write(tmp_path):
+    """Crash AFTER write_parquet but BEFORE the manifest append (the dominant
+    failure window) must not duplicate rows on rerun: the rerun clears the
+    partition's partial state before rewriting. Asserts ROW COUNTS, not url
+    sets — appends would pass a set compare."""
+    import pyarrow as pa
+
+    input_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    os.makedirs(input_dir)
+    webpages = read_webpages(SF_DIR).materialize()
+    for i, sub in enumerate(webpages.split(2)):
+        pq.write_table(pa.Table.from_pandas(sub.to_pandas(), preserve_index=False),
+                       input_dir / f"frag-{i}.parquet")
+
+    # clean reference run
+    ref_dir = tmp_path / "ref"
+    ingest_resumable(str(input_dir), str(ref_dir), tokenize_concurrency=2)
+    ref_pages = rd.read_parquet(str(ref_dir / "pages")).count()
+    ref_postings = rd.read_parquet(str(ref_dir / "postings")).count()
+
+    # simulate crash-after-write-before-manifest: partition dirs hold rows
+    # (full AND partial/tmp) but no manifest row exists
+    import shutil
+
+    shutil.copytree(ref_dir / "pages", out_dir / "pages")
+    shutil.copytree(ref_dir / "postings", out_dir / "postings")
+    # plus a leftover tmp dir from a mid-write crash
+    shutil.copytree(ref_dir / "pages" / "part=00000",
+                    out_dir / "pages" / "part=00000.tmp")
+
+    summary = ingest_resumable(str(input_dir), str(out_dir), tokenize_concurrency=2)
+    assert summary["processed"] == 2  # nothing in manifest => reprocess all
+
+    assert rd.read_parquet(str(out_dir / "pages")).count() == ref_pages
+    assert rd.read_parquet(str(out_dir / "postings")).count() == ref_postings
+    assert not (out_dir / "pages" / "part=00000.tmp").exists()
+
+
 def test_resumable_ingest_concurrent_fragments(tmp_path):
     """max_in_flight > 1 (elastic tokenizer): all fragments complete, one
     manifest row each, outputs identical to sequential processing."""
