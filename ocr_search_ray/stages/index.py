@@ -165,39 +165,43 @@ def posting_lists(postings):
 def tfidf_weights(postings, pages):
     """→ (doc_id, term, tfidf): tf·ln(N/df) per posting (N = page rows).
 
-    The df table (one row per distinct term — vocabulary-sized, orders of
-    magnitude smaller than the posting stream) is broadcast via ``ray.put``
-    and joined inside ``map_batches``; the corpus-sized side never shuffles.
-    Float ops are two-operand (double(tf) × ln(double(N)/double(df))) so any
-    IEEE re-implementation reproduces them bitwise.
+    Web vocabulary is hapax-dominated — at 10^12 docs the df table is
+    billions of rows, so it is NOT broadcast. Postings and per-term df meet
+    through ONE int-key exchange (``cluster_join`` on the term hash — the
+    same partitioning idea as the posting-table ``term_bucket`` layout) and
+    join block-locally in Arrow. The weight kernel is vectorized
+    (pyarrow.compute), no per-row Python. Float ops are two-operand
+    (double(tf) × ln(double(N)/double(df))) so any IEEE re-implementation
+    reproduces them bitwise.
     """
-    import math
+    from .relational import cluster_join
 
-    import ray
-
-    n_docs = pages.count()
-    df_map = {
-        r["term"]: r["df"] for r in term_stats(postings).take_all()
-    }
-    df_ref = ray.put(df_map)
+    n_docs = float(pages.count())
+    df_table = term_stats(postings).map_batches(
+        lambda t: t.select(["term", "df"]), batch_format="pyarrow"
+    )
+    joined = cluster_join(
+        postings, df_table, ["term"],
+        left_types={"doc_id": pa.string(), "term": pa.string(),
+                    "tf": pa.int64()},
+        right_types={"df": pa.int64()},
+    )
 
     def weigh(batch: pa.Table) -> pa.Table:
-        df = ray.get(df_ref)
-        terms = batch.column("term").to_pylist()
-        tfs = batch.column("tf").to_pylist()
-        vals = [
-            float(tf) * math.log(float(n_docs) / float(df[t]))
-            for t, tf in zip(terms, tfs)
-        ]
+        import pyarrow.compute as pc
+
+        idf = pc.ln(pc.divide(pa.scalar(n_docs, pa.float64()),
+                              pc.cast(batch.column("df"), pa.float64())))
+        vals = pc.multiply(pc.cast(batch.column("tf"), pa.float64()), idf)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "term": batch.column("term"),
-                "tfidf": pa.array(vals, pa.float64()),
+                "tfidf": vals,
             }
         )
 
-    return postings.map_batches(weigh, batch_format="pyarrow")
+    return joined.map_batches(weigh, batch_format="pyarrow")
 
 
 def heavy_terms(postings, *, min_cf: int, slots: int = 4096):
@@ -213,8 +217,45 @@ def heavy_terms(postings, *, min_cf: int, slots: int = 4096):
     per (batch, candidate), never the posting stream.
 
     → (term, cf) exact, for every term with cf ≥ min_cf.
+
+    Guarantees, enforced: the superset property needs ``slots · min_cf > N``
+    (N = total tf). N is measured first with a cheap no-shuffle partial-sum
+    pass; if the bound fails the operator falls back to the exact
+    ``term_stats`` aggregation (correct at any scale, just without the
+    sketch's shuffle savings). The per-batch summaries are merged with ONE
+    ``cluster_apply(["term"])`` exchange — summed and pruned to
+    ``est ≥ min_cf − N/slots`` (every true-heavy term survives: MG
+    undercounts a term by at most batch_weight/slots per batch, N/slots
+    total) — so the driver collects only the tiny pruned candidate list,
+    never the O(n_batches × slots) raw summaries.
     """
     import ray
+
+    from .relational import cluster_apply
+
+    def batch_weight(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"w": pa.array([pc.sum(batch.column("tf")).as_py() or 0],
+                           pa.int64())}
+        )
+
+    total_n = sum(
+        r["w"] for r in postings.map_batches(
+            batch_weight, batch_format="pyarrow").take_all()
+    )
+    if slots * min_cf <= total_n:
+        # sketch superset guarantee broken — exact (shuffled) fallback
+        def exact_filter(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = batch.filter(
+                pc.greater_equal(batch.column("cf"), min_cf))
+            return keep.select(["term", "cf"])
+
+        return term_stats(postings).map_batches(
+            exact_filter, batch_format="pyarrow")
 
     def mg_sketch(batch: pa.Table) -> pa.Table:
         counters: dict[str, int] = {}
@@ -239,11 +280,26 @@ def heavy_terms(postings, *, min_cf: int, slots: int = 4096):
             }
         )
 
-    # driver-side merge of the small per-batch summaries (≤ slots rows each)
-    merged: dict[str, int] = {}
-    for r in postings.map_batches(mg_sketch, batch_format="pyarrow").take_all():
-        merged[r["term"]] = merged.get(r["term"], 0) + r["est"]
-    candidates = sorted(merged)
+    # distributed merge of the per-batch summaries: one int-key exchange,
+    # sum ests, prune to the guaranteed-superset threshold — the driver
+    # collects only the pruned candidate terms (≈ answer-sized)
+    def block_merge_sketches(block: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        agg = block.group_by("term").aggregate([("est", "sum")])
+        est = agg.column("est_sum").cast(pa.int64())
+        # keep est ≥ min_cf − N/slots, in exact integer arithmetic:
+        keep = pc.greater_equal(
+            pc.multiply(est, slots), slots * min_cf - total_n
+        )
+        return pa.table({"term": agg.column("term")}).filter(keep)
+
+    summaries = postings.map_batches(mg_sketch, batch_format="pyarrow")
+    candidates = sorted(
+        r["term"]
+        for r in cluster_apply(summaries, ["term"],
+                               block_merge_sketches).take_all()
+    )
     cand_ref = ray.put(pa.array(candidates, pa.string()))
 
     def exact_partial(batch: pa.Table) -> pa.Table:
@@ -258,8 +314,6 @@ def heavy_terms(postings, *, min_cf: int, slots: int = 4096):
             {"term": agg.column("term"),
              "cf_part": agg.column("tf_sum").cast(pa.int64())}
         )
-
-    from .relational import cluster_apply
 
     def block_final(block: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -121,7 +121,11 @@ def test_broadcast_range_join():
                              "value", label_names=["bucket"])
 
 
-def test_heavy_terms_sketch_verify_is_exact_under_eviction():
+import pytest
+
+
+@pytest.mark.parametrize("slots", [8, 64])
+def test_heavy_terms_sketch_verify_is_exact_under_eviction(slots):
     """Tiny slot budget forces MG evictions; the verify pass must still
     produce exactly the terms with cf >= min_cf."""
     from collections import Counter
@@ -149,6 +153,84 @@ def test_heavy_terms_sketch_verify_is_exact_under_eviction():
         )
     ).repartition(9)
     min_cf = 300
-    got = {r["term"]: r["cf"] for r in heavy_terms(ds, min_cf=min_cf, slots=8).take_all()}
+    # slots=8 breaks the superset bound (slots*min_cf <= N) -> exact
+    # fallback; slots=64 holds it -> MG sketch + distributed merge path
+    got = {r["term"]: r["cf"] for r in heavy_terms(ds, min_cf=min_cf, slots=slots).take_all()}
     expected = {t: c for t, c in true.items() if c >= min_cf}
     assert got == expected
+
+
+def test_cluster_join_inner_matches_python_join():
+    from ocr_search_ray.stages.relational import cluster_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([f"k{i % 20}" for i in range(200)]),
+                "x": pa.array(list(range(200)), pa.int64()),
+            }
+        )
+    ).repartition(5)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([f"k{i}" for i in range(0, 30, 2)]),  # k0,k2,...k28
+                "y": pa.array([i * 10 for i in range(0, 30, 2)], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = sorted(
+        (r["k"], r["x"], r["y"])
+        for r in cluster_join(
+            left, right, ["k"],
+            left_types={"k": pa.string(), "x": pa.int64()},
+            right_types={"y": pa.int64()},
+        ).take_all()
+    )
+    expected = sorted(
+        (f"k{i % 20}", i, (i % 20) * 10)
+        for i in range(200)
+        if i % 20 < 30 and (i % 20) % 2 == 0
+    )
+    assert got == expected
+
+
+def test_cluster_join_left_outer_nulls_unmatched():
+    from ocr_search_ray.stages.relational import cluster_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(["a", "b", "c"]), "x": pa.array([1, 2, 3], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(["b"]), "y": pa.array([99], pa.int64())})
+    )
+    got = sorted(
+        (r["k"], r["x"], r["y"])
+        for r in cluster_join(
+            left, right, ["k"],
+            left_types={"k": pa.string(), "x": pa.int64()},
+            right_types={"y": pa.int64()},
+            how="left",
+        ).take_all()
+    )
+    assert got == [("a", 1, None), ("b", 2, 99), ("c", 3, None)]
+
+
+def test_cluster_join_duplicate_right_keys_multiply():
+    from ocr_search_ray.stages.relational import cluster_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(["a", "b"]), "x": pa.array([1, 2], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(["a", "a"]), "y": pa.array([10, 20], pa.int64())})
+    )
+    got = sorted(
+        (r["k"], r["x"], r["y"])
+        for r in cluster_join(
+            left, right, ["k"],
+            left_types={"k": pa.string(), "x": pa.int64()},
+            right_types={"y": pa.int64()},
+        ).take_all()
+    )
+    assert got == [("a", 1, 10), ("a", 1, 20)]
