@@ -131,15 +131,21 @@ mh AS (
 )"""
 
 _CORR_SQL = f"""{_POSTINGS_PREFIX},
+kept AS (
+  SELECT term FROM postings GROUP BY term HAVING COUNT(*) >= 2
+),
+gp AS (
+  SELECT p.doc_id, p.term, p.tf FROM postings p JOIN kept USING (term)
+),
 corr AS (
   SELECT a.term AS term1, b.term AS term2,
          CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
-  FROM postings a JOIN postings b
+  FROM gp a JOIN gp b
     ON a.doc_id = b.doc_id AND a.term < b.term
   GROUP BY a.term, b.term
 ),
 norms AS (
-  SELECT term, CAST(SUM(tf * tf) AS BIGINT) AS nsq FROM postings GROUP BY term
+  SELECT term, CAST(SUM(tf * tf) AS BIGINT) AS nsq FROM gp GROUP BY term
 ),
 tcr0 AS (
   SELECT c.term1, c.term2,

@@ -138,9 +138,17 @@ def q_agg_lineitem(sf_dir: str):
     )
 
     def prep(batch: pa.Table) -> pa.Table:
-        qty = pc.cast(batch.column("l_quantity"), pa.int64())
+        # DuckDB round() is half-away-from-zero; arrow defaults to
+        # half-to-even — match the oracle explicitly. l_quantity is integral
+        # in TPC-H; round-then-cast also mirrors DuckDB CAST(DOUBLE AS
+        # BIGINT) (which rounds) instead of raising on any non-integral.
+        away = pc.RoundOptions(round_mode="half_towards_infinity")
+        qty = pc.cast(pc.round(batch.column("l_quantity"), options=away),
+                      pa.int64())
         cents = pc.cast(
-            pc.round(pc.multiply(batch.column("l_extendedprice"), 100)), pa.int64()
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100),
+                     options=away),
+            pa.int64(),
         )
         ones = pa.array([1] * batch.num_rows, pa.int64())
         return pa.table(

@@ -19,8 +19,6 @@ into the finalize map — no second shuffle (SURVEY.md §7.4).
 
 from __future__ import annotations
 
-import math
-
 import pyarrow as pa
 
 from ..schemas import TERM_CORRELATIONS, assert_schema
@@ -71,8 +69,11 @@ def _block_pair_sums(block: pa.Table) -> pa.Table:
     )
 
 
-def _norms_sq(postings) -> dict[str, int]:
-    """term → Σ tf² (driver-side dict; small after any df restriction)."""
+def _norms_sq(postings):
+    """→ (term, nsq = Σ tf²) DATASET — two-phase: batch-local partial sums,
+    then ONE int-key exchange (``cluster_apply``; never a string-key groupby
+    — CLAUDE.md pathology). Stays distributed: at web scale the per-term
+    norm table is vocabulary-sized and must not land on the driver."""
     import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -82,13 +83,20 @@ def _norms_sq(postings) -> dict[str, int]:
             ["term", "sq_part"]
         )
 
-    agg = (
-        postings.map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
-        .sum("sq_part")
-        .take_all()
+    def block_sum(block: pa.Table) -> pa.Table:
+        agg = block.group_by("term").aggregate([("sq_part", "sum")])
+        return pa.table(
+            {
+                "term": agg.column("term"),
+                "nsq": agg.column("sq_part_sum").cast(pa.int64()),
+            }
+        )
+
+    return cluster_apply(
+        postings.map_batches(partial, batch_format="pyarrow"),
+        ["term"],
+        block_sum,
     )
-    return {r["term"]: r["sum(sq_part)"] for r in agg}
 
 
 def filter_terms(postings, terms: set[str]):
@@ -103,48 +111,95 @@ def filter_terms(postings, terms: set[str]):
     return postings.map_batches(f, batch_format="pyarrow")
 
 
-def term_correlations(postings, *, terms: set[str] | None = None):
+def term_correlations(postings, *, terms: set[str] | None = None,
+                      min_df: int | None = 2):
     """→ TERM_CORRELATIONS dataset, both pair orders, zero-dot pairs omitted.
 
-    ``terms``: optional restriction set (df-guard); at web scale the
-    unrestricted pair space is quadratic in vocabulary — callers must guard
-    (the reference's posture: stage disabled by default).
+    Guards (at web scale the unrestricted pair space is quadratic in
+    vocabulary — the reference's posture is the stage disabled by default):
+
+    - ``min_df`` (DEFAULT 2): drop terms with document frequency below it
+      before pair emission, applied via a distributed ``cluster_join``
+      against ``term_stats`` — hapax terms can't co-occur twice, so df<2
+      terms only inflate the pair space. Pass ``min_df=None`` for the
+      unguarded full product (small corpora / tests only).
+    - ``terms``: explicit small restriction set (broadcast filter).
+
+    Fully distributed: norms are a dataset (``_norms_sq``) attached to the
+    pair table with two ``cluster_join`` exchanges — no driver-side dict at
+    any vocabulary size. The tcr kernel is vectorized with the reference's
+    exact IEEE op order (sqrt, two sequential divisions, zero-norm → 1).
     """
-    import ray
+    import pyarrow.compute as pc
+
+    from .index import term_stats
+    from .relational import cluster_join
 
     if terms is not None:
         postings = filter_terms(postings, terms)
+    if min_df is not None and min_df > 1:
+        df_table = term_stats(postings).map_batches(
+            lambda t: t.select(["term", "df"]), batch_format="pyarrow"
+        )
+        guarded = cluster_join(
+            postings, df_table, ["term"],
+            left_types={"doc_id": pa.string(), "term": pa.string(),
+                        "tf": pa.int64()},
+            right_types={"df": pa.int64()},
+        )
+        postings = guarded.map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b.column("df"), min_df)
+            ).select(["doc_id", "term", "tf"]),
+            batch_format="pyarrow",
+        )
 
-    norms_ref = ray.put(_norms_sq(postings))
+    norms = _norms_sq(postings)
     pairs = cluster_apply(postings, ["doc_id"], _block_pair_products)
     dots = cluster_apply(pairs, ["term1", "term2"], _block_pair_sums)
 
+    # attach ‖v1‖², ‖v2‖² with two distributed joins (pair table never
+    # leaves the cluster; norm table never lands on the driver)
+    with_n1 = cluster_join(
+        dots,
+        norms.map_batches(
+            lambda t: t.rename_columns(["term1", "nsq1"]),
+            batch_format="pyarrow",
+        ),
+        ["term1"],
+        left_types={"term1": pa.string(), "term2": pa.string(),
+                    "sum(dot_part)": pa.int64()},
+        right_types={"nsq1": pa.int64()},
+    )
+    with_n2 = cluster_join(
+        with_n1,
+        norms.map_batches(
+            lambda t: t.rename_columns(["term2", "nsq2"]),
+            batch_format="pyarrow",
+        ),
+        ["term2"],
+        left_types={"term1": pa.string(), "term2": pa.string(),
+                    "sum(dot_part)": pa.int64(), "nsq1": pa.int64()},
+        right_types={"nsq2": pa.int64()},
+    )
+
     def finalize(batch: pa.Table) -> pa.Table:
-        norms = ray.get(norms_ref)
-        t1 = batch.column("term1").to_pylist()
-        t2 = batch.column("term2").to_pylist()
-        dot = batch.column("sum(dot_part)").to_pylist()
-        out1: list[str] = []
-        out2: list[str] = []
-        tcrs: list[float] = []
-        for a, b, d in zip(t1, t2, dot):
-            la = math.sqrt(norms.get(a, 0)) or 1.0
-            lb = math.sqrt(norms.get(b, 0)) or 1.0
-            tcr = d / la / lb  # sequential divisions, reference order
-            # both orders, as the reference upserts (term1,term2)+(term2,term1)
-            out1.extend((a, b))
-            out2.extend((b, a))
-            tcrs.extend((tcr, tcr))
-        table = pa.table(
-            {
-                "term1": pa.array(out1, pa.string()),
-                "term2": pa.array(out2, pa.string()),
-                "tcr": pa.array(tcrs, pa.float64()),
-            }
-        )
+        dot = pc.cast(batch.column("sum(dot_part)"), pa.float64())
+        la = pc.sqrt(pc.cast(batch.column("nsq1"), pa.float64()))
+        lb = pc.sqrt(pc.cast(batch.column("nsq2"), pa.float64()))
+        one = pa.scalar(1.0, pa.float64())
+        la = pc.if_else(pc.equal(la, 0.0), one, la)
+        lb = pc.if_else(pc.equal(lb, 0.0), one, lb)
+        # sequential divisions, reference order (DbInterface :461-462)
+        tcr = pc.divide(pc.divide(dot, la), lb)
+        # both orders, as the reference upserts (term1,term2)+(term2,term1)
+        t1, t2 = batch.column("term1"), batch.column("term2")
+        fwd = pa.table({"term1": t1, "term2": t2, "tcr": tcr})
+        rev = pa.table({"term1": t2, "term2": t1, "tcr": tcr})
+        table = pa.concat_tables([fwd, rev]).combine_chunks()
         return assert_schema(table, TERM_CORRELATIONS, "term_correlations")
 
-    return dots.map_batches(finalize, batch_format="pyarrow")
+    return with_n2.map_batches(finalize, batch_format="pyarrow")
 
 
 def closest_terms(correlations, num: int = 5):

@@ -18,15 +18,25 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]]):
     """Two-phase grouped aggregation.
 
     ``specs``: list of (out_name, column, fn) with fn ∈ sum|min|max|count
-    (count ignores the column's values, counts rows). Returns a dataset with
-    ``keys + [out_name...]`` columns, exact dtypes preserved (sums cast back
-    to the partial's type).
+    (count is COUNT(*): rows, including nulls in the column). Returns a
+    dataset with ``keys + [out_name...]`` columns, exact dtypes preserved
+    (sums cast back to the partial's type).
+
+    The merge exchange runs through ``cluster_apply`` (int-key hash of the
+    composite key, block-local Arrow group_by) — never a Ray groupby on the
+    raw (possibly string) key columns.
     """
-    agg_list = []
-    for out, col, fn in specs:
-        agg_list.append((col, _PARTIAL_FUNCS[fn]))
+    import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
+        # options built here: pyarrow FunctionOptions don't pickle inside
+        # closures shipped to workers
+        count_all = pc.CountOptions(mode="all")  # COUNT(*) semantics
+        agg_list = [
+            (col, _PARTIAL_FUNCS[fn], count_all) if fn == "count"
+            else (col, _PARTIAL_FUNCS[fn])
+            for _out, col, fn in specs
+        ]
         cols = set(keys)
         for _, col, _fn in specs:
             cols.add(col)
@@ -34,7 +44,6 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]]):
         agg = sub.group_by(keys).aggregate(agg_list)
         # arrow names results like "col_sum"; rename to partial slots
         names = keys + [f"p{i}" for i in range(len(specs))]
-        # arrow puts keys last in group_by output; reorder by lookup
         out_cols = {}
         for i, (_out, col, fn) in enumerate(specs):
             out_cols[f"p{i}"] = agg.column(f"{col}_{_PARTIAL_FUNCS[fn]}")
@@ -44,31 +53,21 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]]):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    from ray.data.aggregate import Max, Min, Sum
+    merge_list = [
+        (f"p{i}", _MERGE_OF[fn]) for i, (_o, _c, fn) in enumerate(specs)
+    ]
 
-    merge_aggs = []
-    for i, (_out, _col, fn) in enumerate(specs):
-        merge = _MERGE_OF[fn]
-        cls = {"sum": Sum, "min": Min, "max": Max}[merge]
-        merge_aggs.append(cls(f"p{i}"))
-    grouped = partials.groupby(keys).aggregate(*merge_aggs)
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0:
-            # Ray's aggregate can emit a schema-less empty block when every
-            # input block was empty — drop it (schema restored downstream by
-            # non-empty blocks; fully-empty results stay empty)
-            return pa.table({})
-        out = {k: batch.column(k) for k in keys}
+    def block_merge(block: pa.Table) -> pa.Table:
+        agg = block.group_by(keys).aggregate(merge_list)
+        out = {k: agg.column(k) for k in keys}
         for i, (out_name, _col, fn) in enumerate(specs):
-            merge = _MERGE_OF[fn]
-            col = batch.column(f"{merge}(p{i})")
+            col = agg.column(f"p{i}_{_MERGE_OF[fn]}")
             if fn == "count":
                 col = col.cast(pa.int64())
             out[out_name] = col
         return pa.table(out)
 
-    return grouped.map_batches(finalize, batch_format="pyarrow")
+    return cluster_apply(partials, keys, block_merge)
 
 
 def broadcast_lookup_join(ds, lookup: dict, key: str, out_cols: dict[str, "pa.DataType"],

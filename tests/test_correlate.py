@@ -23,7 +23,10 @@ def _postings(rows):
 def test_cosine_with_sequential_divisions():
     # docs: d1{x:2, y:3}, d2{x:1, z:4}
     ds = _postings([("d1", "x", 2), ("d1", "y", 3), ("d2", "x", 1), ("d2", "z", 4)])
-    got = {(r["term1"], r["term2"]): r["tcr"] for r in term_correlations(ds).take_all()}
+    got = {
+        (r["term1"], r["term2"]): r["tcr"]
+        for r in term_correlations(ds, min_df=None).take_all()
+    }
     # x·y share d1: dot=2*3=6; |x|=sqrt(4+1), |y|=sqrt(9)
     expected_xy = 6 / math.sqrt(5) / math.sqrt(9)
     assert math.isclose(got[("x", "y")], expected_xy, rel_tol=0, abs_tol=0)
@@ -34,6 +37,14 @@ def test_cosine_with_sequential_divisions():
     # y·z share nothing → pair omitted (reference would compute 0 and store;
     # engine omits zero-dot pairs — they're never produced by co-occurrence)
     assert ("y", "z") not in got
+
+
+def test_default_min_df_guard_drops_hapax_terms():
+    # y, z appear in one doc each (df=1); x in both. Default min_df=2 keeps
+    # only x → no pairs survive; the unguarded call produces them.
+    ds = _postings([("d1", "x", 2), ("d1", "y", 3), ("d2", "x", 1), ("d2", "z", 4)])
+    assert term_correlations(ds).count() == 0
+    assert term_correlations(ds, min_df=None).count() == 4  # (x,y),(x,z) ×2 orders
 
 
 def test_closest_terms_topk_with_tiebreak():
