@@ -20,12 +20,14 @@ import pyarrow.compute as pc
 
 
 def _filter_not_in(ds, column: str, values_ref):
+    """Anti-filter against a broadcast Arrow value set. The Arrow array is
+    built ONCE on the driver and shipped via ``ray.put`` — workers ray.get
+    it zero-copy per batch; no per-batch set→array conversion."""
     import ray
 
     def f(batch: pa.Table) -> pa.Table:
-        values = ray.get(values_ref)
         mask = pc.invert(
-            pc.is_in(batch.column(column), value_set=pa.array(sorted(values), pa.string()))
+            pc.is_in(batch.column(column), value_set=ray.get(values_ref))
         )
         return batch.filter(mask)
 
@@ -36,24 +38,21 @@ def delete_urls(pages, postings, deleted_urls: set[str]):
     """→ (pages', postings') with every page/posting of the urls removed."""
     import ray
 
-    urls_ref = ray.put(set(deleted_urls))
+    urls_arr = pa.array(sorted(deleted_urls), pa.string())
+    urls_ref = ray.put(urls_arr)
 
-    # doc_ids to cascade: read from the pages table (small projection)
+    # doc_ids to cascade: read from the pages table (small projection,
+    # filtered BEFORE the collect — only doomed rows reach the driver)
+    def doomed_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("url"), value_set=ray.get(urls_ref)))
+
     doomed = (
         pages.select_columns(["url", "doc_id"])
-        .map_batches(
-            lambda b: b.filter(
-                pc.is_in(
-                    b.column("url"),
-                    value_set=pa.array(sorted(deleted_urls), pa.string()),
-                )
-            ),
-            batch_format="pyarrow",
-        )
+        .map_batches(doomed_rows, batch_format="pyarrow")
         .take_all()
     )
-    doomed_ids = {r["doc_id"] for r in doomed}
-    ids_ref = ray.put(doomed_ids)
+    ids_ref = ray.put(pa.array(sorted({r["doc_id"] for r in doomed}),
+                               pa.string()))
 
     return (
         _filter_not_in(pages, "url", urls_ref),

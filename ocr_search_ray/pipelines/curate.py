@@ -11,10 +11,13 @@ raw document table (the engine's headline beyond-reference use case):
 3. near-dup removal — drop the higher id of every verified MinHash-LSH pair
    (``dedup.minhash_lsh_pairs``).
 
-The three drop sets are computed independently over the full corpus and
-intersected (deterministic, order-free semantics — a doc survives iff it
-passes ALL gates). Drop sets are id-sized → broadcast via ``ray.put``; the
-corpus side streams through one final filter.
+The gates are computed independently over the full corpus and intersected
+(deterministic, order-free semantics — a doc survives iff it passes ALL
+gates). Only the DROP sets are collected and broadcast — exact-dup
+non-representatives and LSH losers are both duplicate-sized (a small
+fraction of a real corpus), whereas the keep-set is corpus-sized and must
+never land on the driver. The corpus side streams through one final
+vectorized anti-filter.
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..stages.dedup import exact_dedup, minhash_lsh_pairs
+from ..stages.dedup import exact_dup_losers, minhash_lsh_pairs
 from ..stages.textstats import quality_stats
 
 DEFAULT_RULES = {
@@ -56,25 +59,26 @@ def curate(documents, *, min_tokens: int = DEFAULT_RULES["min_tokens"],
 
     passing = stats.map_batches(quality_ok, batch_format="pyarrow")
 
-    # representatives (exact dedup): the min doc_id per distinct text
-    reps = {
-        r["rep_id"] for r in exact_dedup(documents).take_all()
-    }
-    # near-dup losers: the higher id of each verified pair
-    losers = {
+    # drop sets (both duplicate-sized): exact-dup non-representatives and
+    # the higher id of each verified near-dup pair
+    drops = {
+        r["doc_id"] for r in exact_dup_losers(documents).take_all()
+    } | {
         r["doc_id2"]
         for r in minhash_lsh_pairs(
             documents, min_jaccard_pct=neardup_min_jaccard_pct
         ).take_all()
     }
-    keep_ref = ray.put((reps, losers))
+    drops_ref = ray.put(pa.array(sorted(drops)) if drops else None)
 
     def final_filter(batch: pa.Table) -> pa.Table:
-        rep_set, loser_set = ray.get(keep_ref)
-        ids = batch.column("doc_id").to_pylist()
-        keep_idx = [
-            i for i, d in enumerate(ids) if d in rep_set and d not in loser_set
-        ]
-        return batch.take(pa.array(keep_idx, pa.int64()))
+        drop_arr = ray.get(drops_ref)
+        if drop_arr is None:
+            return batch
+        mask = pc.invert(
+            pc.is_in(batch.column("doc_id"),
+                     value_set=drop_arr.cast(batch.column("doc_id").type))
+        )
+        return batch.filter(mask)
 
     return passing.map_batches(final_filter, batch_format="pyarrow")

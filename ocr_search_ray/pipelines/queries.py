@@ -266,9 +266,19 @@ def q_compact_delete(sf_dir: str):
     from ..pipelines.compact import delete_urls
 
     stages = ingest(read_webpages(sf_dir))
-    web_urls = read_webpages(sf_dir).select_columns(["url"]).take_all()
+
+    # derive the deleted set with a DISTRIBUTED filter — only the doomed
+    # urls (1/50th) are collected, never the whole url column
+    def doomed(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        keep = [i for i, u in enumerate(urls)
+                if int(u.rsplit("-", 1)[-1]) % 50 == 0]
+        return batch.select(["url"]).take(pa.array(keep, pa.int64()))
+
     deleted = {
-        r["url"] for r in web_urls if int(r["url"].rsplit("-", 1)[-1]) % 50 == 0
+        r["url"]
+        for r in read_webpages(sf_dir).select_columns(["url"])
+        .map_batches(doomed, batch_format="pyarrow").take_all()
     }
     pages2, postings2 = delete_urls(stages["pages"], stages["postings"], deleted)
     return postings2.select_columns(["doc_id", "term", "tf"])

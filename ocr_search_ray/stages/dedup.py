@@ -27,7 +27,6 @@ import hashlib
 import pyarrow as pa
 
 from ..functions.minhash import (
-    jaccard,
     lsh_bands,
     minhash_signature,
     shingles,
@@ -70,6 +69,48 @@ def exact_dedup(documents, *, id_col: str = "doc_id", text_col: str = "text"):
         documents.map_batches(hash_batch, batch_format="pyarrow"),
         ["text_sha256"],
         block_summarize,
+    )
+
+
+def exact_dup_losers(documents, *, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """→ (doc_id): every NON-representative exact duplicate (all ids of a
+    distinct-text group except the min). The output is duplicate-sized —
+    a small fraction of a real corpus — which is what makes it the correct
+    side to broadcast in curation (the keep-set is corpus-sized)."""
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.table(
+            {
+                "text_sha256": pa.array(
+                    [hashlib.sha256((t or "").encode()).hexdigest() for t in texts],
+                    pa.string(),
+                ),
+                id_col: batch.column(id_col),
+            }
+        )
+
+    def block_losers(block: pa.Table) -> pa.Table:
+        block = block.sort_by(
+            [("text_sha256", "ascending"), (id_col, "ascending")]
+        )
+        digests = block.column("text_sha256").to_pylist()
+        ids = block.column(id_col).to_pylist()
+        losers = []
+        i, n = 0, len(ids)
+        while i < n:
+            j = i
+            while j < n and digests[j] == digests[i]:
+                j += 1
+            losers.extend(ids[i + 1:j])  # all but the min id
+            i = j
+        return pa.table({id_col: pa.array(losers, block.column(id_col).type)})
+
+    return cluster_apply(
+        documents.map_batches(hash_batch, batch_format="pyarrow"),
+        ["text_sha256"],
+        block_losers,
     )
 
 
@@ -119,10 +160,15 @@ def minhash_lsh_pairs(documents, *, k: int = 3, num_hashes: int = 16,
     """Banded-LSH near-dup pairs, verified exactly.
 
     1. per-doc signature + band keys (batch-local, no shuffle)
-    2. groupby(band_idx, band_sig) → candidate pairs      [the only shuffle]
-    3. dedup pairs, verify true shingle Jaccard ≥ min_jaccard_pct/100 with a
-       broadcast shingle-set lookup (restricted corpora) — at open-web scale
-       the verify step joins back against the docs table by doc_id instead.
+    2. groupby(band_idx, band_sig) → candidate pairs, distinct
+    3. verify true shingle Jaccard ≥ min_jaccard_pct/100 **candidate-
+       restricted**: only the candidate pair list, the candidate doc-id set
+       and per-candidate shingle COUNTS ever reach the driver (all
+       O(candidates) ids/ints — duplicates are a small fraction of a real
+       corpus; never the corpus, never shingle sets). |∩| itself comes from
+       a shared-shingle exchange over the candidate docs only, with pair
+       emission gated on the candidate-pair set so a hot shingle can't blow
+       up the pair space.
 
     → (doc_id1, doc_id2, inter, uni) with 100*inter >= min_jaccard_pct*uni.
     """
@@ -188,41 +234,128 @@ def minhash_lsh_pairs(documents, *, k: int = 3, num_hashes: int = 16,
         lambda block: block.group_by(["doc_id1", "doc_id2"]).aggregate([]),
     )
 
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
+    # --- candidate-restricted verify (no whole-corpus collection) ---
+    # the pair list + derived id set are O(candidates), ids only
+    pair_rows = distinct.take_all()
+    if not pair_rows:
+        id_type = pa.int64()
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id1": pa.array([], id_type),
+                    "doc_id2": pa.array([], id_type),
+                    "inter": pa.array([], pa.int64()),
+                    "uni": pa.array([], pa.int64()),
+                }
+            )
+        )
+    cand_pairs = {(r["doc_id1"], r["doc_id2"]) for r in pair_rows}
+    cand_ids = sorted({d for p in cand_pairs for d in p})
+    pairs_ref = ray.put(cand_pairs)
+    ids_ref = ray.put(cand_ids)
+
+    def cand_shingle_rows(batch: pa.Table) -> pa.Table:
+        """Explode distinct shingles for CANDIDATE docs only."""
+        import pyarrow.compute as pc
+
+        id_arr = pa.array(ray.get(ids_ref), batch.column("doc_id").type)
+        flt = batch.filter(pc.is_in(batch.column("doc_id"), value_set=id_arr))
+        out_id, out_sh = [], []
+        for did, text in zip(flt.column("doc_id").to_pylist(),
+                             flt.column("text").to_pylist()):
+            for s in shingles(text or "", k):
+                out_id.append(did)
+                out_sh.append(s)
         return pa.table(
             {
-                "doc_id": pa.array(ids, batch.column("doc_id").type),
-                "sh": pa.array(
-                    [sorted(shingles(t or "", k)) for t in texts],
-                    pa.list_(pa.string()),
+                "doc_id": pa.array(out_id, batch.column("doc_id").type),
+                "sh": pa.array(out_sh, pa.string()),
+            }
+        )
+
+    def cand_size_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        id_arr = pa.array(ray.get(ids_ref), batch.column("doc_id").type)
+        flt = batch.filter(pc.is_in(batch.column("doc_id"), value_set=id_arr))
+        texts = flt.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": flt.column("doc_id"),
+                "n_sh": pa.array(
+                    [len(shingles(t or "", k)) for t in texts], pa.int64()
                 ),
             }
         )
 
-    # shingle sets computed in parallel; only the compact (id, shingles)
-    # pairs are collected for the broadcast verify side (restricted corpora
-    # — at open-web scale verify joins by doc_id instead, see docstring)
-    shingle_map = {
-        r["doc_id"]: set(r["sh"])
-        for r in documents.select_columns(["doc_id", "text"])
-        .map_batches(shingle_rows, batch_format="pyarrow")
-        .take_all()
+    docs = documents.select_columns(["doc_id", "text"])
+    sizes = {
+        r["doc_id"]: r["n_sh"]
+        for r in docs.map_batches(cand_size_rows,
+                                  batch_format="pyarrow").take_all()
     }
-    sh_ref = ray.put(shingle_map)
+    sizes_ref = ray.put(sizes)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        sh = ray.get(sh_ref)
+    def block_pair_inter(block: pa.Table) -> pa.Table:
+        """Pair hits among candidate docs sharing a shingle, gated on the
+        candidate-pair set (a hot shingle emits only candidate pairs)."""
+        pairs = ray.get(pairs_ref)
+        block = block.sort_by([("sh", "ascending"), ("doc_id", "ascending")])
+        shs = block.column("sh").to_pylist()
+        ids = block.column("doc_id").to_pylist()
+        a_out, b_out = [], []
+        i, n = 0, len(ids)
+        while i < n:
+            j = i
+            while j < n and shs[j] == shs[i]:
+                j += 1
+            for x in range(i, j):
+                for y in range(x + 1, j):
+                    key = (min(ids[x], ids[y]), max(ids[x], ids[y]))
+                    if key in pairs:
+                        a_out.append(key[0])
+                        b_out.append(key[1])
+            i = j
+        return pa.table(
+            {
+                "doc_id1": pa.array(a_out, block.column("doc_id").type),
+                "doc_id2": pa.array(b_out, block.column("doc_id").type),
+                "hit": pa.array([1] * len(a_out), pa.int64()),
+            }
+        )
+
+    def block_inter_sums(block: pa.Table) -> pa.Table:
+        agg = block.group_by(["doc_id1", "doc_id2"]).aggregate([("hit", "sum")])
+        return pa.table(
+            {
+                "doc_id1": agg.column("doc_id1"),
+                "doc_id2": agg.column("doc_id2"),
+                "inter": agg.column("hit_sum").cast(pa.int64()),
+            }
+        )
+
+    inter_counts = cluster_apply(
+        cluster_apply(
+            docs.map_batches(cand_shingle_rows, batch_format="pyarrow"),
+            ["sh"],
+            block_pair_inter,
+        ),
+        ["doc_id1", "doc_id2"],
+        block_inter_sums,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sz = ray.get(sizes_ref)
         d1 = batch.column("doc_id1").to_pylist()
         d2 = batch.column("doc_id2").to_pylist()
+        inter = batch.column("inter").to_pylist()
         keep1, keep2, inters, unis = [], [], [], []
-        for a, b in zip(d1, d2):
-            inter, uni = jaccard(sh.get(a, set()), sh.get(b, set()))
-            if uni and 100 * inter >= min_jaccard_pct * uni:
+        for a, b, i in zip(d1, d2, inter):
+            uni = sz[a] + sz[b] - i
+            if uni and 100 * i >= min_jaccard_pct * uni:
                 keep1.append(a)
                 keep2.append(b)
-                inters.append(inter)
+                inters.append(i)
                 unis.append(uni)
         return pa.table(
             {
@@ -233,17 +366,26 @@ def minhash_lsh_pairs(documents, *, k: int = 3, num_hashes: int = 16,
             }
         )
 
-    return distinct.map_batches(verify, batch_format="pyarrow")
+    return inter_counts.map_batches(finalize, batch_format="pyarrow")
 
 
-def ngram_jaccard_pairs(documents, *, k: int = 3, min_jaccard_pct: int = 20):
+def ngram_jaccard_pairs(documents, *, k: int = 3, min_jaccard_pct: int = 20,
+                        max_shingle_df: int | None = 10_000):
     """Exact Jaccard pairs via the shared-shingle inverted index:
     explode distinct shingles → groupby(shingle) → pair hits → sum = |∩|;
-    per-doc shingle counts broadcast for the union term.
+    per-doc shingle counts attached with distributed ``cluster_join``
+    passes — nothing corpus-sized ever reaches the driver.
+
+    ``max_shingle_df``: a shingle shared by d docs emits d·(d−1)/2 pairs —
+    a single stop-phrase 3-gram shared by 10^6 docs would emit 5·10^11
+    pairs. Groups larger than the cap are DROPPED (the standard df-threshold
+    trade: pairs whose only shared shingles are ubiquitous boilerplate lose
+    those hits, slightly undercounting |∩| for them). Set ``None`` for the
+    exact unbounded product (small corpora / oracle tests); the default
+    never binds below 10k-document shingle collisions.
 
     → (doc_id1, doc_id2, inter, uni) with 100*inter >= min_jaccard_pct*uni.
     """
-    import ray
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -274,10 +416,11 @@ def ngram_jaccard_pairs(documents, *, k: int = 3, min_jaccard_pct: int = 20):
             j = i
             while j < n and shs[j] == shs[i]:
                 j += 1
-            for x in range(i, j):
-                for y in range(x + 1, j):
-                    a_out.append(ids[x])
-                    b_out.append(ids[y])
+            if max_shingle_df is None or j - i <= max_shingle_df:
+                for x in range(i, j):
+                    for y in range(x + 1, j):
+                        a_out.append(ids[x])
+                        b_out.append(ids[y])
             i = j
         return pa.table(
             {
@@ -315,39 +458,64 @@ def ngram_jaccard_pairs(documents, *, k: int = 3, min_jaccard_pct: int = 20):
             }
         )
 
-    # per-doc shingle counts computed in parallel; only (id, count) ints are
-    # collected for the broadcast union term
-    sizes = {
-        r["doc_id"]: r["n_sh"]
-        for r in documents.select_columns(["doc_id", "text"])
-        .map_batches(size_rows, batch_format="pyarrow")
-        .take_all()
-    }
-    sizes_ref = ray.put(sizes)
+    # per-doc shingle counts attached DISTRIBUTED (two int-key join
+    # exchanges over the pair table) — at 10^12 docs the size table is
+    # corpus-sized and must never be a driver dict
+    from .relational import cluster_join
+
+    id_type = dict(
+        zip(documents.schema().names, documents.schema().types)
+    )["doc_id"]
+    sizes_ds = documents.select_columns(["doc_id", "text"]).map_batches(
+        size_rows, batch_format="pyarrow"
+    )
+    with_n1 = cluster_join(
+        inter_counts,
+        sizes_ds.map_batches(
+            lambda t: t.rename_columns(["doc_id1", "n1"]),
+            batch_format="pyarrow",
+        ),
+        ["doc_id1"],
+        left_types={"doc_id1": id_type, "doc_id2": id_type,
+                    "sum(hit)": pa.int64()},
+        right_types={"n1": pa.int64()},
+    )
+    with_n2 = cluster_join(
+        with_n1,
+        sizes_ds.map_batches(
+            lambda t: t.rename_columns(["doc_id2", "n2"]),
+            batch_format="pyarrow",
+        ),
+        ["doc_id2"],
+        left_types={"doc_id1": id_type, "doc_id2": id_type,
+                    "sum(hit)": pa.int64(), "n1": pa.int64()},
+        right_types={"n2": pa.int64()},
+    )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        sz = ray.get(sizes_ref)
-        d1 = batch.column("doc_id1").to_pylist()
-        d2 = batch.column("doc_id2").to_pylist()
-        inter = batch.column("sum(hit)").to_pylist()
-        keep1, keep2, inters, unis = [], [], [], []
-        for a, b, i in zip(d1, d2, inter):
-            uni = sz[a] + sz[b] - i
-            if uni and 100 * i >= min_jaccard_pct * uni:
-                keep1.append(a)
-                keep2.append(b)
-                inters.append(i)
-                unis.append(uni)
-        return pa.table(
+        import pyarrow.compute as pc
+
+        inter = batch.column("sum(hit)")
+        uni = pc.subtract(
+            pc.add(batch.column("n1"), batch.column("n2")), inter
+        )
+        keep = pc.and_(
+            pc.greater(uni, 0),
+            pc.greater_equal(
+                pc.multiply(inter, 100), pc.multiply(uni, min_jaccard_pct)
+            ),
+        )
+        out = pa.table(
             {
-                "doc_id1": pa.array(keep1, batch.column("doc_id1").type),
-                "doc_id2": pa.array(keep2, batch.column("doc_id2").type),
-                "inter": pa.array(inters, pa.int64()),
-                "uni": pa.array(unis, pa.int64()),
+                "doc_id1": batch.column("doc_id1"),
+                "doc_id2": batch.column("doc_id2"),
+                "inter": pc.cast(inter, pa.int64()),
+                "uni": pc.cast(uni, pa.int64()),
             }
         )
+        return out.filter(keep)
 
-    return inter_counts.map_batches(finalize, batch_format="pyarrow")
+    return with_n2.map_batches(finalize, batch_format="pyarrow")
 
 
 class _SimhashBatcher:

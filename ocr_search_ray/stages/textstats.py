@@ -217,10 +217,17 @@ def ngram_counts(documents, *, n: int = 2, min_count: int = 1,
     return cluster_apply(partials, ["ngram"], block_sum)
 
 
-def domain_stats(pages, *, url_col: str = "url"):
+def domain_stats(pages, *, url_col: str = "url", n_salts: int = 64):
     """→ (domain, n_pages, n_urls): per-domain volume — the skew monitor for
-    hot domains (SURVEY.md §4). Domain = host part of the url. Two-phase:
-    batch-local partials, int-key exchange merge."""
+    hot domains (SURVEY.md §4).
+
+    Salted two-level distinct: a hot domain's url set must never sit in one
+    block, so the first exchange keys on (domain, salt = crc32(url) mod
+    ``n_salts``) — each block deduplicates only its salt's slice (≤ |urls| /
+    n_salts of the hottest domain) — and the second exchange sums the
+    per-salt counts per domain. A url always maps to one salt, so the salt
+    slices partition the url set and the distinct counts add exactly."""
+    import zlib
     from urllib.parse import urlsplit
 
     from .relational import cluster_apply
@@ -237,30 +244,51 @@ def domain_stats(pages, *, url_col: str = "url"):
             {
                 "domain": pa.array([k[0] for k in keys], pa.string()),
                 "url": pa.array([k[1] for k in keys], pa.string()),
+                "salt": pa.array(
+                    [zlib.crc32(k[1].encode()) % n_salts for k in keys],
+                    pa.int32(),
+                ),
                 "n_part": pa.array([counts[k] for k in keys], pa.int64()),
             }
         )
 
-    def block_merge(block: pa.Table) -> pa.Table:
-        rows: dict[str, tuple[int, set]] = {}
-        for d, u, npart in zip(
+    def block_salt_merge(block: pa.Table) -> pa.Table:
+        """Per (domain, salt): distinct urls of this salt slice + page sum."""
+        rows: dict[tuple[str, int], tuple[int, set]] = {}
+        for d, s, u, npart in zip(
             block.column("domain").to_pylist(),
+            block.column("salt").to_pylist(),
             block.column("url").to_pylist(),
             block.column("n_part").to_pylist(),
         ):
-            n, s = rows.get(d, (0, set()))
-            s.add(u)
-            rows[d] = (n + npart, s)
-        doms = sorted(rows)
+            n, urls = rows.get((d, s), (0, set()))
+            urls.add(u)
+            rows[(d, s)] = (n + npart, urls)
+        keys = sorted(rows)
         return pa.table(
             {
-                "domain": pa.array(doms, pa.string()),
-                "n_pages": pa.array([rows[d][0] for d in doms], pa.int64()),
-                "n_urls": pa.array([len(rows[d][1]) for d in doms], pa.int64()),
+                "domain": pa.array([k[0] for k in keys], pa.string()),
+                "pages_part": pa.array([rows[k][0] for k in keys], pa.int64()),
+                "urls_part": pa.array(
+                    [len(rows[k][1]) for k in keys], pa.int64()
+                ),
+            }
+        )
+
+    def block_domain_sum(block: pa.Table) -> pa.Table:
+        agg = block.group_by("domain").aggregate(
+            [("pages_part", "sum"), ("urls_part", "sum")]
+        )
+        return pa.table(
+            {
+                "domain": agg.column("domain"),
+                "n_pages": agg.column("pages_part_sum").cast(pa.int64()),
+                "n_urls": agg.column("urls_part_sum").cast(pa.int64()),
             }
         )
 
     partials = pages.select_columns([url_col]).map_batches(
         partial, batch_format="pyarrow"
     )
-    return cluster_apply(partials, ["domain"], block_merge)
+    salted = cluster_apply(partials, ["domain", "salt"], block_salt_merge)
+    return cluster_apply(salted, ["domain"], block_domain_sum)

@@ -136,3 +136,53 @@ def test_posting_lists_grouped_form():
     assert rows["x"]["df"] == 3
     assert json.loads(rows["y"]["doc_ids_json"]) == ["d1"]
     assert rows["y"]["df"] == 1
+
+
+def test_neardup_and_curate_collect_only_candidate_sized_state(monkeypatch):
+    """Scale-safety proof (VERDICT r1 #1): on an amplified corpus (3000 docs,
+    10 planted dup pairs) the near-dup verify and curation paths collect only
+    CANDIDATE-sized state to the driver — every internal take_all() stays
+    ~|candidates|, never ~|corpus|. A whole-corpus shingle map / keep-set
+    broadcast would trip the cap immediately."""
+    import ray.data as rd2
+
+    collected = []
+    orig = rd2.Dataset.take_all
+
+    def spy(self, *a, **kw):
+        rows = orig(self, *a, **kw)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(rd2.Dataset, "take_all", spy)
+
+    n = 3000
+    # fully word-disjoint docs (no shared 3-gram shingles — shared
+    # boilerplate would make every doc a genuine LSH candidate)
+    texts = [
+        " ".join(f"w{i}x{j}" for j in range(8)) for i in range(n)
+    ]
+    # plant 10 exact duplicates (ids n..n+9 duplicate ids 0..9)
+    texts += texts[:10]
+    ds = rd2.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(8)
+
+    from ocr_search_ray.pipelines.curate import curate
+    from ocr_search_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(ds, min_jaccard_pct=50)
+    assert pairs.count() >= 10  # the planted dups are found
+    n_survivors = curate(
+        ds, min_tokens=5, min_chars=20, max_stopword_pct=100
+    ).count()
+    assert n_survivors == len(texts) - 10  # the 10 dup losers dropped
+
+    # every driver-side collect on these paths is candidate-sized
+    assert collected, "paths should have collected candidate state"
+    assert max(collected) <= 200, f"corpus-sized collect detected: {collected}"
