@@ -38,18 +38,51 @@ EXTRACT_BATCH_SIZE = 128
 TOKENIZE_BATCH_SIZE = 512
 
 
-def ingest(webpages, *, tokenize_concurrency: int | None = None):
+def ingest(webpages, *, tokenize_concurrency: int | None = None,
+           extract_concurrency: int | None = None,
+           extract_backend_factory=None,
+           extract_timeout_s: float | None = None):
     """Lazy pipeline: returns dict of stage datasets.
 
     The ``html`` payload column is consumed inside ``extract_pages`` and never
     crosses a shuffle boundary (SURVEY.md §4 memory pressure).
+
+    Extraction runs as an elastic task pool with per-worker backend state by
+    default; ``extract_concurrency=N`` pins a fixed actor pool (heavyweight
+    OCR backends), ``extract_backend_factory`` swaps the backend (see
+    stages/extract.py), ``extract_timeout_s`` overrides the per-row watchdog
+    (default 600 s).
     """
-    pages = webpages.map_batches(
-        extract_pages,
+    from ..stages.extract import DEFAULT_EXTRACT_TIMEOUT_S, PageExtractor
+
+    extract_kwargs = dict(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=EXTRACT_BATCH_SIZE,
     )
+    if (extract_concurrency is None and extract_backend_factory is None
+            and extract_timeout_s is None):
+        pages = webpages.map_batches(extract_pages, **extract_kwargs)
+    elif extract_concurrency is None:
+        pages = webpages.map_batches(
+            PageExtractor(
+                extract_backend_factory,
+                timeout_s=(DEFAULT_EXTRACT_TIMEOUT_S
+                           if extract_timeout_s is None else extract_timeout_s),
+            ),
+            **extract_kwargs,
+        )
+    else:
+        pages = webpages.map_batches(
+            PageExtractor,
+            fn_constructor_args=(extract_backend_factory,),
+            fn_constructor_kwargs={
+                "timeout_s": (DEFAULT_EXTRACT_TIMEOUT_S
+                              if extract_timeout_s is None else extract_timeout_s),
+            },
+            concurrency=extract_concurrency,
+            **extract_kwargs,
+        )
     postings = tokenize_pages(
         pages, concurrency=tokenize_concurrency, batch_size=TOKENIZE_BATCH_SIZE
     )
@@ -100,7 +133,8 @@ def _stabilize_fs_probe() -> None:
 
 def _process_fragment(pid: int, webpages, frag_hash: str, out_dir: str,
                       manifest_dir: str,
-                      tokenize_concurrency: int | None) -> None:
+                      tokenize_concurrency: int | None,
+                      ingest_kwargs: dict | None = None) -> None:
     """Run one fragment's (already-constructed) pipeline and append its
     manifest row. Dataset CONSTRUCTION stays on the main thread — Ray's
     read-path filesystem resolution has an import race under concurrent
@@ -108,7 +142,8 @@ def _process_fragment(pid: int, webpages, frag_hash: str, out_dir: str,
     import shutil
 
     t0 = time.monotonic()
-    stages = ingest(webpages, tokenize_concurrency=tokenize_concurrency)
+    stages = ingest(webpages, tokenize_concurrency=tokenize_concurrency,
+                    **(ingest_kwargs or {}))
 
     pages_dir = os.path.join(out_dir, "pages", f"part={pid:05d}")
     postings_dir = os.path.join(out_dir, "postings", f"part={pid:05d}")
@@ -127,10 +162,13 @@ def _process_fragment(pid: int, webpages, frag_hash: str, out_dir: str,
     os.rename(postings_tmp, postings_dir)
 
     n_rows = pages.count()
-    n_errors = pages.map_batches(
-        lambda b: b.filter(pc.equal(b.column("status"), "error")),
-        batch_format="pyarrow",
-    ).count()
+
+    def count_status(kind):
+        return pages.map_batches(
+            lambda b: b.filter(pc.equal(b.column("status"), kind)),
+            batch_format="pyarrow",
+        ).count()
+
     manifest_mod.append_row(
         manifest_dir,
         partition_id=pid,
@@ -138,7 +176,8 @@ def _process_fragment(pid: int, webpages, frag_hash: str, out_dir: str,
         input_hash=frag_hash,
         row_count=n_rows,
         byte_count=_dir_bytes(pages_dir) + _dir_bytes(postings_dir),
-        n_errors=n_errors,
+        n_errors=count_status("error"),
+        n_timeouts=count_status("timeout"),
         status="done",
         wall_time_s=time.monotonic() - t0,
     )
@@ -151,6 +190,8 @@ def ingest_resumable(
     tokenize_concurrency: int | None = None,
     fail_after_partitions: int | None = None,
     max_in_flight: int | None = None,
+    extract_backend_factory=None,
+    extract_timeout_s: float | None = None,
 ) -> dict:
     """Checkpointed ingest over a directory of webpages Parquet fragments.
 
@@ -185,11 +226,18 @@ def ingest_resumable(
 
     import ray.data as rd
 
+    ingest_kwargs = {}
+    if extract_backend_factory is not None:
+        ingest_kwargs["extract_backend_factory"] = extract_backend_factory
+    if extract_timeout_s is not None:
+        ingest_kwargs["extract_timeout_s"] = extract_timeout_s
+
     n_processed = 0
     if fail_after_partitions is not None:
         for pid, frag, frag_hash in pending:
             _process_fragment(pid, rd.read_parquet(frag), frag_hash, out_dir,
-                              manifest_dir, tokenize_concurrency)
+                              manifest_dir, tokenize_concurrency,
+                              ingest_kwargs)
             n_processed += 1
             if n_processed >= fail_after_partitions:
                 raise RuntimeError(
@@ -200,7 +248,7 @@ def ingest_resumable(
             futures = [
                 ex.submit(_process_fragment, pid, rd.read_parquet(frag),
                           frag_hash, out_dir, manifest_dir,
-                          tokenize_concurrency)
+                          tokenize_concurrency, ingest_kwargs)
                 for pid, frag, frag_hash in pending
             ]
             for f in futures:

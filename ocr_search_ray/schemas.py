@@ -80,6 +80,7 @@ MANIFEST = pa.schema(
         ("row_count", pa.int64()),
         ("byte_count", pa.int64()),
         ("n_errors", pa.int64()),
+        ("n_timeouts", pa.int64()),  # watchdog-expired rows (skip-don't-fail)
         ("status", pa.string()),
         ("wall_time_s", pa.float64()),
     ]

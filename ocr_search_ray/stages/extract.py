@@ -2,23 +2,33 @@
 
 The Ray-Data re-expression of the reference's per-file extract chain
 (``src/PdfUtil/PdfUtil.class.js:41-100``: page-count probe → per-page text →
-Doc assembly). Here it is a single ``map_batches`` flat-map-shaped transform:
-each input row expands to ``page_count`` output rows; routing between the HTML
-DOM walk and the paged-binary (PDF stand-in) decoder happens per row on the
-payload's magic bytes.
+Doc assembly). Each input row expands to ``page_count`` output rows; routing
+between the HTML DOM walk and the paged-binary (PDF stand-in) decoder
+happens per row on the payload's magic bytes.
+
+Backend adapter (SURVEY.md ST3 / VERDICT r1 #5): :class:`PageExtractor` is
+the actor-pool callable — the extraction backend is pinned ONCE per
+actor/worker in ``__init__`` (a real deployment passes a factory that opens
+pdfium + a Tesseract engine, the contract at ``PdfUtil.class.js:140-164``;
+the hermetic default routes the FPDF stand-in + the HTML DOM walk). Swapping
+backends is one constructor argument — the Ray plumbing, schema and failure
+semantics are identical.
 
 Failure semantics: skip-don't-fail (reference resolves empty on any error —
 SURVEY.md §4). A corrupt payload yields ONE quarantine row with
-``status='error'``, ``text=''`` and the pipeline continues; errors are counted
-into the checkpoint manifest downstream.
+``status='error'``; a row whose extraction exceeds ``timeout_s`` (reference:
+600 s, ``AppConfig.const.js:11-19``) yields ``status='timeout'`` via the
+SIGALRM watchdog (``functions/watchdog.py``). Either way ``text=''``,
+``page_count=0`` and the pipeline continues; both are counted into the
+checkpoint manifest downstream.
 
 Scale notes:
-- stateless pure function → Ray task pool (no actors needed); a real
-  pdfium/Tesseract backend would become a callable class with the engine
-  pinned in ``__init__`` (same output contract, see functions/fakepdf.py).
 - the heavy ``html`` binary column is consumed here and NOT emitted — the
   downstream shuffle moves text/postings, never raw payload bytes.
 - batch_size should be small (64-256) because payload rows are large.
+- default (task-pool) use keeps per-worker cached backend state; pass
+  ``concurrency=N`` at the ``map_batches`` call for a fixed actor pool when
+  the backend is heavyweight (native OCR engine).
 """
 
 from __future__ import annotations
@@ -28,58 +38,104 @@ import pyarrow as pa
 from ..functions import fakepdf
 from ..functions.hashing import doc_id, file_id
 from ..functions.html_extract import extract_main_text
+from ..functions.watchdog import WatchdogTimeout, run_with_timeout
 from ..schemas import PAGES, assert_schema
 
+DEFAULT_EXTRACT_TIMEOUT_S = 600.0  # reference: AppConfig.const.js:11-19
 
-def _extract_one(payload: bytes | None, text: str | None) -> tuple[list[str], str]:
-    """Return (page_texts, status). Routing by magic bytes."""
-    if payload is None:
-        # pre-extracted text channel
-        t = text or ""
-        return [t], ("ok" if t else "empty")
-    if payload[:4] == fakepdf.MAGIC:
+
+class DefaultBackend:
+    """Hermetic extraction backend: FPDF paged-binary + HTML DOM walk.
+
+    Contract (what a pdfium/Tesseract backend implements instead):
+    ``extract(payload, text) -> (page_texts: list[str], status: str)``.
+    A real OCR backend holds its native handles as instance state — opened
+    once per actor because :class:`PageExtractor` constructs the backend in
+    ``__init__`` — and rasterizes+OCRs each page in ``extract``.
+    """
+
+    def extract(self, payload: bytes | None, text: str | None) -> tuple[list[str], str]:
+        if payload is None:
+            # pre-extracted text channel
+            t = text or ""
+            return [t], ("ok" if t else "empty")
+        if payload[:4] == fakepdf.MAGIC:
+            try:
+                return fakepdf.unpack(payload), "ok"
+            except Exception:
+                return [""], "error"
+        extracted, status = extract_main_text(payload)
+        return [extracted], status
+
+
+class PageExtractor:
+    """map_batches callable: WEBPAGES → PAGES (1 → page_count rows).
+
+    ``backend_factory``: zero-arg callable returning the extraction backend
+    (pinned here, once per actor/worker). ``timeout_s``: per-ROW watchdog
+    budget; ``None`` disables.
+    """
+
+    def __init__(self, backend_factory=None, *,
+                 timeout_s: float | None = DEFAULT_EXTRACT_TIMEOUT_S) -> None:
+        self.backend = (backend_factory or DefaultBackend)()
+        self.timeout_s = timeout_s
+
+    def _extract_one(self, payload, text) -> tuple[list[str], str]:
         try:
-            return fakepdf.unpack(payload), "ok"
+            return run_with_timeout(
+                self.backend.extract, self.timeout_s, payload, text
+            )
+        except WatchdogTimeout:
+            return [""], "timeout"
         except Exception:
             return [""], "error"
-    extracted, status = extract_main_text(payload)
-    return [extracted], status
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        tss = batch.column("warc_ts").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+
+        out: dict[str, list] = {name: [] for name in PAGES.names}
+        for url, ts, payload, text, lang in zip(urls, tss, payloads, texts, langs):
+            page_texts, status = self._extract_one(payload, text)
+            n = len(page_texts)
+            fid = file_id(url)
+            page_count = 0 if status in ("error", "timeout") else n
+            for idx, page_text in enumerate(page_texts, start=1):
+                row_status = status if (status != "ok" or page_text) else "empty"
+                did = doc_id(url, idx, max(page_count, 1))
+                out["file_id"].append(fid)
+                out["doc_id"].append(did)
+                out["url"].append(url)
+                out["warc_ts"].append(ts)
+                out["page_idx"].append(idx)
+                out["page_count"].append(page_count)
+                # img_path = "<docId>.png" (ProcessDirector.class.js:140) —
+                # derive from the already-computed id, don't hash twice
+                out["img_path"].append(f"{did}.png")
+                out["text"].append(page_text)
+                out["lang"].append(lang)
+                out["status"].append(row_status)
+
+        table = pa.table(
+            {
+                name: pa.array(out[name], type=PAGES.field(name).type)
+                for name in PAGES.names
+            }
+        )
+        return assert_schema(table, PAGES, "extract_pages")
+
+
+_WORKER_EXTRACTOR: PageExtractor | None = None
 
 
 def extract_pages(batch: pa.Table) -> pa.Table:
-    """map_batches fn: WEBPAGES → PAGES (1 → page_count rows)."""
-    urls = batch.column("url").to_pylist()
-    tss = batch.column("warc_ts").to_pylist()
-    payloads = batch.column("html").to_pylist()
-    texts = batch.column("text").to_pylist()
-    langs = batch.column("lang").to_pylist()
-
-    out: dict[str, list] = {name: [] for name in PAGES.names}
-    for url, ts, payload, text, lang in zip(urls, tss, payloads, texts, langs):
-        page_texts, status = _extract_one(payload, text)
-        n = len(page_texts)
-        fid = file_id(url)
-        page_count = 0 if status == "error" else n
-        for idx, page_text in enumerate(page_texts, start=1):
-            row_status = status if (status != "ok" or page_text) else "empty"
-            did = doc_id(url, idx, max(page_count, 1))
-            out["file_id"].append(fid)
-            out["doc_id"].append(did)
-            out["url"].append(url)
-            out["warc_ts"].append(ts)
-            out["page_idx"].append(idx)
-            out["page_count"].append(page_count)
-            # img_path = "<docId>.png" (ProcessDirector.class.js:140) — derive
-            # from the already-computed id, don't hash twice
-            out["img_path"].append(f"{did}.png")
-            out["text"].append(page_text)
-            out["lang"].append(lang)
-            out["status"].append(row_status)
-
-    table = pa.table(
-        {
-            name: pa.array(out[name], type=PAGES.field(name).type)
-            for name in PAGES.names
-        }
-    )
-    return assert_schema(table, PAGES, "extract_pages")
+    """Task-pool variant with once-per-worker default-backend state (same
+    pattern as ``stages.tokenize._tokenize_task``)."""
+    global _WORKER_EXTRACTOR
+    if _WORKER_EXTRACTOR is None:
+        _WORKER_EXTRACTOR = PageExtractor()
+    return _WORKER_EXTRACTOR(batch)

@@ -21,15 +21,24 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..functions.tokenizer import Tokenizer
+from ..functions.watchdog import WatchdogTimeout, run_with_timeout
 from ..schemas import POSTINGS, assert_schema
+
+DEFAULT_TOKENIZE_TIMEOUT_S = 60.0  # reference: AppConfig.const.js:11-19
 
 
 class TokenizePages:
-    """Actor-pool callable: PAGES batches → POSTINGS batches."""
+    """Actor-pool callable: PAGES batches → POSTINGS batches.
 
-    def __init__(self) -> None:
+    ``timeout_s``: per-ROW watchdog (reference: 60 s tokenize budget,
+    resolve-empty-and-continue) — a page whose tokenization expires
+    contributes no postings, exactly like the reference's timeout path.
+    """
+
+    def __init__(self, *, timeout_s: float | None = DEFAULT_TOKENIZE_TIMEOUT_S) -> None:
         # once-per-actor state (the reference pays this per page)
         self.tokenizer = Tokenizer()
+        self.timeout_s = timeout_s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -41,7 +50,13 @@ class TokenizePages:
         for did, text in zip(doc_ids, texts):
             if not text:
                 continue  # empty/error pages contribute no postings ({} in ref)
-            for term, tf in self.tokenizer.term_freqs(text).items():
+            try:
+                freqs = run_with_timeout(
+                    self.tokenizer.term_freqs, self.timeout_s, text
+                )
+            except WatchdogTimeout:
+                continue  # resolve empty, keep going (skip-don't-fail)
+            for term, tf in freqs.items():
                 out_doc.append(did)
                 out_term.append(term)
                 out_tf.append(tf)

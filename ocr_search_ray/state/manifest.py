@@ -43,6 +43,7 @@ def append_row(
     row_count: int,
     byte_count: int,
     n_errors: int,
+    n_timeouts: int = 0,
     status: str = "done",
     wall_time_s: float = 0.0,
 ) -> None:
@@ -55,6 +56,7 @@ def append_row(
             "row_count": pa.array([row_count], pa.int64()),
             "byte_count": pa.array([byte_count], pa.int64()),
             "n_errors": pa.array([n_errors], pa.int64()),
+            "n_timeouts": pa.array([n_timeouts], pa.int64()),
             "status": pa.array([status], pa.string()),
             "wall_time_s": pa.array([wall_time_s], pa.float64()),
         }

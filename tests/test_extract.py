@@ -93,3 +93,76 @@ def test_extract_fanout_and_quarantine():
     assert by_url["u/text"][0]["status"] == "ok"
     assert by_url["u/text"][0]["text"] == "hello there"
     assert by_url["u/empty"][0]["status"] == "empty"
+
+
+# ---------------------------------------------------------------- watchdog
+
+
+def test_watchdog_unit_semantics():
+    import threading
+    import time
+
+    import pytest
+
+    from ocr_search_ray.functions.watchdog import (
+        WatchdogTimeout,
+        run_with_timeout,
+    )
+
+    assert run_with_timeout(lambda x: x + 1, 5.0, 41) == 42
+    assert run_with_timeout(lambda: "ok", None) == "ok"
+
+    def slow():
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < 5:  # pure-python loop, interruptible
+            pass
+        return "never"
+
+    with pytest.raises(WatchdogTimeout):
+        run_with_timeout(slow, 0.1)
+
+    # off the main thread: documented unguarded fallback (no crash)
+    result = {}
+    th = threading.Thread(
+        target=lambda: result.setdefault("v", run_with_timeout(lambda: 7, 0.1))
+    )
+    th.start()
+    th.join()
+    assert result["v"] == 7
+
+
+def test_page_extractor_timeout_quarantines_row_and_continues():
+    """One pathological row must not stall the batch: it yields a single
+    status='timeout' quarantine row (reference resolve-empty semantics,
+    TaskQueueManager.class.js:49-53); the other rows extract normally."""
+    import time
+
+    from ocr_search_ray.stages.extract import DefaultBackend, PageExtractor
+
+    class SlowOnMarker(DefaultBackend):
+        def extract(self, payload, text):
+            if payload is not None and payload.startswith(b"SLOW"):
+                t0 = time.monotonic()
+                while time.monotonic() - t0 < 5:
+                    pass
+            return super().extract(payload, text)
+
+    batch = _webpages_table(
+        [
+            {"url": "https://a.example/ok", "text": "fine words here"},
+            {"url": "https://a.example/slow", "html": b"SLOW payload"},
+            {"url": "https://a.example/also-ok", "text": "more fine words"},
+        ]
+    )
+    out = PageExtractor(SlowOnMarker, timeout_s=0.2)(batch)
+    by_url = {u: s for u, s in zip(out.column("url").to_pylist(),
+                                   out.column("status").to_pylist())}
+    assert by_url["https://a.example/slow"] == "timeout"
+    assert by_url["https://a.example/ok"] == "ok"
+    assert by_url["https://a.example/also-ok"] == "ok"
+    slow_row = out.filter(
+        pa.compute.equal(out.column("url"), "https://a.example/slow")
+    )
+    assert slow_row.num_rows == 1
+    assert slow_row.column("text").to_pylist() == [""]
+    assert slow_row.column("page_count").to_pylist() == [0]

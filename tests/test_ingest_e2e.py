@@ -177,3 +177,51 @@ def test_resumable_ingest_concurrent_fragments(tmp_path):
     rows = m.read(str(out_dir / "_manifest"))
     assert rows.num_rows == 3
     assert set(rows.column("status").to_pylist()) == {"done"}
+
+
+def test_ingest_watchdog_timeout_recorded_in_manifest(tmp_path):
+    """A pathological page inside a Ray worker expires the per-row watchdog;
+    the fragment completes, the quarantine row is written, and the manifest
+    counts it in n_timeouts (reference parity: resolve-empty-and-continue,
+    never a stalled block)."""
+    import time
+
+    import pyarrow as pa
+
+    from ocr_search_ray.stages.extract import DefaultBackend
+
+    class SlowOnMarker(DefaultBackend):
+        def extract(self, payload, text):
+            if payload is not None and payload.startswith(b"SLOW"):
+                t0 = time.monotonic()
+                while time.monotonic() - t0 < 10:
+                    pass
+            return super().extract(payload, text)
+
+    input_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    os.makedirs(input_dir)
+    web = read_webpages(SF_DIR).limit(40).to_pandas()
+    web.loc[0, "html"] = b"SLOW payload"
+    pq.write_table(
+        pa.Table.from_pandas(web, preserve_index=False).cast(
+            pa.schema([(f.name, f.type) for f in
+                       pa.Table.from_pandas(web, preserve_index=False).schema])
+        ),
+        input_dir / "frag-0.parquet",
+    )
+
+    summary = ingest_resumable(
+        str(input_dir), str(out_dir), tokenize_concurrency=2,
+        extract_backend_factory=SlowOnMarker, extract_timeout_s=0.3,
+    )
+    assert summary["processed"] == 1
+
+    from ocr_search_ray.state import manifest as m
+
+    rows = m.read(str(out_dir / "_manifest"))
+    assert rows.column("n_timeouts").to_pylist() == [1]
+    pages = rd.read_parquet(str(out_dir / "pages"))
+    statuses = [r["status"] for r in pages.take_all()]
+    assert statuses.count("timeout") == 1
+    assert len(statuses) >= 40  # everything else extracted
