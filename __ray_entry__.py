@@ -175,8 +175,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_terms": q.q_heavy_terms,
         "term_stats": q.q_term_stats,
         "search_topk": q.q_search,
+        "search_index_disk": q.q_search_index,
         "term_correlations": q.q_term_correlations,
         "closest_terms": q.q_closest_terms,
+        "normalize_convert": q.q_normalize_convert,
         # incremental layer
         "manifest_diff": q.q_manifest_diff,
         "dedup_keep_latest": q.q_dedup_keep_latest,
@@ -248,6 +250,28 @@ def oracle_sql() -> dict[str, str]:
                      AS tfidf
             FROM postings p JOIN df USING (term), n
         """,
+        "normalize_convert": f"""
+            WITH {_WEB_CTE.strip()},
+            op AS (
+              SELECT w.url, CAST(p.page_idx AS INT) AS page_idx,
+                     CAST(greatest(1, CAST(ceil(length(w.text) / 256.0) AS INT))
+                          AS INT) AS page_count,
+                     substr(w.text, (p.page_idx - 1) * 256 + 1, 256) AS text
+              FROM web w,
+              LATERAL (
+                SELECT unnest(generate_series(1,
+                  greatest(1, CAST(ceil(length(w.text) / 256.0) AS INT))))
+                  AS page_idx
+              ) p
+            )
+            SELECT url, page_idx, page_count,
+                   sha256(url || '-' || lpad(CAST(page_idx AS VARCHAR),
+                     CAST(length(CAST(page_count AS VARCHAR)) AS INT), '0'))
+                     AS doc_id,
+                   text,
+                   CASE WHEN text = '' THEN 'empty' ELSE 'ok' END AS status
+            FROM op
+        """,
         "ngram_counts": """
             WITH w AS (
               SELECT doc_id,
@@ -285,6 +309,19 @@ def oracle_sql() -> dict[str, str]:
             FROM postings GROUP BY term
         """,
         "search_topk": f"""
+            {_POSTINGS_PREFIX},
+            hits AS (
+              SELECT doc_id, CAST(MAX(tf) AS BIGINT) AS score
+              FROM postings
+              WHERE term IN ('spark', 'merge', 'datum')
+              GROUP BY doc_id
+            )
+            SELECT p.url, p.page_idx, p.img_path, h.doc_id, h.score
+            FROM hits h JOIN pages_full p USING (doc_id)
+            ORDER BY h.score DESC, h.doc_id
+            LIMIT 20
+        """,
+        "search_index_disk": f"""
             {_POSTINGS_PREFIX},
             hits AS (
               SELECT doc_id, CAST(MAX(tf) AS BIGINT) AS score

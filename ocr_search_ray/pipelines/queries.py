@@ -69,6 +69,33 @@ def q_search(sf_dir: str):
     )
 
 
+def q_search_index(sf_dir: str):
+    """The PRODUCTION on-disk query path (pipelines/query.search_index):
+    build the hash-bucketed posting index + pages table under /tmp, then
+    run the bucket-pruned, predicate-pushdown lookup against the files.
+    Same oracle as search_topk — proves the disk layout (partition dirs,
+    per-bucket sort, zstd row groups) returns results identical to the
+    in-memory path."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..stages.index import build_index
+    from .query import search_index
+
+    stages = ingest(read_webpages(sf_dir))
+    tmp = tempfile.mkdtemp(prefix="osr-queryidx-", dir="/tmp")
+    try:
+        index_dir = os.path.join(tmp, "index")
+        pages_path = os.path.join(tmp, "pages")
+        build_index(stages["postings"], index_dir)
+        stages["pages"].write_parquet(pages_path, compression="zstd")
+        return search_index(index_dir, pages_path, "Spark MERGE data!",
+                            max_return=20)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_term_correlations(sf_dir: str):
     return term_correlations(_postings(sf_dir))
 
@@ -282,6 +309,57 @@ def q_compact_delete(sf_dir: str):
     }
     pages2, postings2 = delete_urls(stages["pages"], stages["postings"], deleted)
     return postings2.select_columns(["doc_id", "term", "tf"])
+
+
+def _office_webpages(sf_dir: str):
+    """Office-kind webpages synthesized from documents: every doc becomes a
+    fake pptx (even id) / docx (odd id) container at its canonical url."""
+    from ..functions import fakeoffice
+    from ..sources.webpages import doc_url, doc_warc_ts
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def to_office(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([doc_url(d) for d in ids], pa.string()),
+                "warc_ts": pa.array([doc_warc_ts(d) for d in ids],
+                                    pa.timestamp("us")),
+                "html": pa.array(
+                    [
+                        fakeoffice.pack(t or "",
+                                        "pptx" if d % 2 == 0 else "docx")
+                        for d, t in zip(ids, texts)
+                    ],
+                    pa.binary(),
+                ),
+                "text": pa.array([None] * len(ids), pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    return docs.map_batches(to_office, batch_format="pyarrow")
+
+
+def q_normalize_convert(sf_dir: str):
+    """O1/O2 parity chain: office container → FormatNormalizer (convert to
+    the paged-binary format, actor-pool, watchdog) → page extraction. The
+    oracle recomputes the whole chain (conversion preserves text, 256-char
+    chunking, id padding rule) in SQL — conversion must round-trip
+    byte-identically for the value hashes to match."""
+    from ..stages.extract import extract_pages
+    from ..stages.normalize import normalize_formats
+
+    normalized = normalize_formats(_office_webpages(sf_dir), concurrency=2)
+    pages = normalized.select_columns(
+        ["url", "warc_ts", "html", "text", "lang"]
+    ).map_batches(extract_pages, batch_format="pyarrow", batch_size=128)
+    return pages.select_columns(
+        ["url", "page_idx", "page_count", "doc_id", "text", "status"]
+    )
 
 
 def q_quality_stats(sf_dir: str):
