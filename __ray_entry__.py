@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_lineitem": q.q_agg_lineitem,
         "topk_customers": q.q_topk_customers,
         "filter_events": q.q_filter_events,
+        "join_orders_customers": q.q_join_orders_customers,
+        "sample_documents": q.q_sample_documents,
         # training-data ops
         "exact_dedup": q.q_exact_dedup,
         "curate": q.q_curate,
@@ -398,6 +400,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY n_orders DESC, custkey
             LIMIT 10
+        """,
+        "join_orders_customers": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "sample_documents": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
         """,
         "filter_events": """
             SELECT event_type,

@@ -244,6 +244,39 @@ def q_filter_events(sf_dir: str):
     )
 
 
+def q_join_orders_customers(sf_dir: str):
+    """Distributed SHUFFLE join demo (relational.cluster_join): both sides
+    exchange on the int-key hash and join block-locally in Arrow — the plan
+    for two corpus-scaled sides (contrast topk_customers' broadcast join,
+    the plan for a small side)."""
+    from ..stages.relational import cluster_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    customers = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return cluster_join(
+        orders,
+        customers.map_batches(
+            lambda t: t.rename_columns(["o_custkey", "c_name"]),
+            batch_format="pyarrow",
+        ),
+        ["o_custkey"],
+        left_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+                    "o_totalprice": pa.float64()},
+        right_types={"c_name": pa.string()},
+    )
+
+
+def q_sample_documents(sf_dir: str):
+    """Deterministic content-hash sampling (~12.5%): stable across runs /
+    scales / partitionings — the reproducible train-eval-split primitive
+    (the reference's randomChoice.func.js is the nondeterministic cousin)."""
+    from ..stages.relational import hash_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return hash_sample(docs, "doc_id", threshold=32)
+
+
 # ---------------------------------------------------------- training-data ops
 
 

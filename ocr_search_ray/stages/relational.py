@@ -152,7 +152,18 @@ def cluster_apply(ds, key_cols: list[str], block_fn, *, hash_fn=None):
     """cluster_by + apply ``block_fn(table)`` to each clustered block (whole
     block per call, KEY_HASH already dropped). ``block_fn`` must group by
     ``key_cols`` itself (Arrow ``group_by``/``sort_by`` — C++ speed) and may
-    return any schema."""
+    return any schema.
+
+    INVARIANT (global exactness): each range partition of the int-key sort
+    must arrive at ``block_fn`` as ONE block — ``map_batches`` with
+    ``batch_size=None`` is per-block, and Ray 2.49's sort reduce emits one
+    block per partition regardless of size. If a future Ray changed that
+    (splitting oversized reduce partitions), equal keys could span batches
+    and block-local grouping would silently emit split groups.
+    ``tests/test_cluster_by.py::test_cluster_apply_exact_when_partition_exceeds_target_block_size``
+    pins this behavior loudly: it forces a hot key far beyond
+    ``target_max_block_size`` and asserts exact sums, so a Ray upgrade that
+    breaks the invariant fails the suite instead of corrupting aggregates."""
 
     def apply(batch: pa.Table) -> pa.Table:
         return block_fn(batch.drop_columns([KEY_HASH]))
@@ -160,6 +171,33 @@ def cluster_apply(ds, key_cols: list[str], block_fn, *, hash_fn=None):
     return cluster_by(ds, key_cols, hash_fn=hash_fn).map_batches(
         apply, batch_format="pyarrow", batch_size=None
     )
+
+
+def hash_sample(ds, key_col: str, *, threshold: int, modulus: int = 256):
+    """Deterministic content-hash sampling: keep rows whose
+    ``md5(str(key))`` first byte < ``threshold`` (expected fraction
+    threshold/modulus with modulus=256).
+
+    Unlike ``Dataset.random_sample`` this is stable across runs, scales and
+    partitionings — the property a train/eval split or a debugging subset
+    needs at 10^12 rows (re-running the pipeline keeps the same rows). The
+    filter is stateless and embarrassingly parallel; SQL-expressible as
+    ``substr(md5(CAST(key AS VARCHAR)), 1, 2) < hex(threshold)``.
+    """
+    import hashlib
+
+    if modulus != 256:
+        raise ValueError("modulus must be 256 (first hash byte)")
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        keep = [
+            i for i, k in enumerate(keys)
+            if hashlib.md5(str(k).encode()).digest()[0] < threshold
+        ]
+        return batch.take(pa.array(keep, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 _SIDE = "__side"

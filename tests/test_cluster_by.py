@@ -234,3 +234,51 @@ def test_cluster_join_duplicate_right_keys_multiply():
         ).take_all()
     )
     assert got == [("a", 1, 10), ("a", 1, 20)]
+
+
+def test_cluster_apply_exact_when_partition_exceeds_target_block_size():
+    """Loud pin of the cluster_apply invariant (see relational.py): a hot
+    key whose rows far exceed target_max_block_size must still arrive in ONE
+    block, or block-local grouping would emit split groups. If a Ray upgrade
+    starts splitting sort-reduce partitions, this fails instead of silently
+    corrupting aggregates."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 256 * 1024  # 256 KiB
+    try:
+        n_hot = 60_000  # ~50 B/row payload -> several MiB for one key
+        keys = ["hot-key"] * n_hot + [f"cold-{i % 40}" for i in range(20_000)]
+        vals = list(range(len(keys)))
+        pad = ["x" * 40] * len(keys)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(keys),
+                    "v": pa.array(vals, pa.int64()),
+                    "pad": pa.array(pad),
+                }
+            )
+        ).repartition(16)
+
+        def block_sum(block: pa.Table) -> pa.Table:
+            agg = block.group_by("k").aggregate([("v", "sum"), ("v", "count")])
+            return pa.table(
+                {
+                    "k": agg.column("k"),
+                    "s": agg.column("v_sum"),
+                    "c": agg.column("v_count").cast(pa.int64()),
+                }
+            )
+
+        out = cluster_apply(ds, ["k"], block_sum).take_all()
+        by_key = {}
+        for r in out:
+            # a key appearing TWICE in the output = split group = broken
+            assert r["k"] not in by_key, f"split group for {r['k']}"
+            by_key[r["k"]] = (r["s"], r["c"])
+        assert by_key["hot-key"] == (sum(range(n_hot)), n_hot)
+        assert sum(c for _s, c in by_key.values()) == len(keys)
+    finally:
+        ctx.target_max_block_size = old
