@@ -129,6 +129,13 @@ def term_correlations(postings, *, terms: set[str] | None = None,
     pair table with two ``cluster_join`` exchanges — no driver-side dict at
     any vocabulary size. The tcr kernel is vectorized with the reference's
     exact IEEE op order (sqrt, two sequential divisions, zero-norm → 1).
+
+    The postings input and the guarded postings are each consumed by
+    MULTIPLE downstream branches (stats + join left; norms + pair
+    emission). Ray datasets re-execute their lineage per consumer, so both
+    are ``materialize()``d — pinned to the object store (which spills),
+    one upstream execution instead of four. A production run feeds this
+    stage from the persisted postings parquet, where the pin is free.
     """
     import pyarrow.compute as pc
 
@@ -138,28 +145,81 @@ def term_correlations(postings, *, terms: set[str] | None = None,
     if terms is not None:
         postings = filter_terms(postings, terms)
     if min_df is not None and min_df > 1:
-        df_table = term_stats(postings).map_batches(
-            lambda t: t.select(["term", "df"]), batch_format="pyarrow"
-        )
-        guarded = cluster_join(
-            postings, df_table, ["term"],
-            left_types={"doc_id": pa.string(), "term": pa.string(),
-                        "tf": pa.int64()},
-            right_types={"df": pa.int64()},
-        )
-        postings = guarded.map_batches(
-            lambda b: b.filter(
-                pc.greater_equal(b.column("df"), min_df)
-            ).select(["doc_id", "term", "tf"]),
-            batch_format="pyarrow",
-        )
+        postings = postings.materialize()  # consumed by stats + guard
+        stats = term_stats(postings).materialize()
+        if stats.count() <= 200_000:
+            # small measured vocabulary → broadcast the kept-term set
+            # (one cheap filter map, no extra exchange)
+            kept = {
+                r["term"] for r in stats.take_all() if r["df"] >= min_df
+            }
+            postings = filter_terms(postings, kept)
+        else:
+            df_table = stats.map_batches(
+                lambda t: t.select(["term", "df"]), batch_format="pyarrow"
+            )
+            guarded = cluster_join(
+                postings, df_table, ["term"],
+                left_types={"doc_id": pa.string(), "term": pa.string(),
+                            "tf": pa.int64()},
+                right_types={"df": pa.int64()},
+            )
+            postings = guarded.map_batches(
+                lambda b: b.filter(
+                    pc.greater_equal(b.column("df"), min_df)
+                ).select(["doc_id", "term", "tf"]),
+                batch_format="pyarrow",
+            )
+    postings = postings.materialize()  # consumed by norms + pair emission
 
-    norms = _norms_sq(postings)
+    norms = _norms_sq(postings).materialize()
     pairs = cluster_apply(postings, ["doc_id"], _block_pair_products)
     dots = cluster_apply(pairs, ["term1", "term2"], _block_pair_sums)
 
-    # attach ‖v1‖², ‖v2‖² with two distributed joins (pair table never
-    # leaves the cluster; norm table never lands on the driver)
+    def _tcr_from_nsq(batch: pa.Table, nsq1, nsq2) -> pa.Table:
+        dot = pc.cast(batch.column("sum(dot_part)"), pa.float64())
+        la = pc.sqrt(pc.cast(nsq1, pa.float64()))
+        lb = pc.sqrt(pc.cast(nsq2, pa.float64()))
+        one = pa.scalar(1.0, pa.float64())
+        la = pc.if_else(pc.equal(la, 0.0), one, la)
+        lb = pc.if_else(pc.equal(lb, 0.0), one, lb)
+        # sequential divisions, reference order (DbInterface :461-462)
+        tcr = pc.divide(pc.divide(dot, la), lb)
+        # both orders, as the reference upserts (term1,term2)+(term2,term1)
+        t1, t2 = batch.column("term1"), batch.column("term2")
+        fwd = pa.table({"term1": t1, "term2": t2, "tcr": tcr})
+        rev = pa.table({"term1": t2, "term2": t1, "tcr": tcr})
+        table = pa.concat_tables([fwd, rev]).combine_chunks()
+        return assert_schema(table, TERM_CORRELATIONS, "term_correlations")
+
+    # attach ‖v1‖², ‖v2‖²: norms is materialized, so its size is known for
+    # free — broadcast the (small) guarded vocabulary as a dict, or run two
+    # distributed cluster_join exchanges when it is genuinely large. Same
+    # result either way; the switch only trades exchange latency for
+    # broadcast memory.
+    if norms.count() <= 200_000:
+        import ray
+
+        norms_ref = ray.put(
+            {r["term"]: r["nsq"] for r in norms.take_all()}
+        )
+
+        def finalize_broadcast(batch: pa.Table) -> pa.Table:
+            nsq = ray.get(norms_ref)
+
+            def lut_for(col) -> pa.Array:
+                enc = pc.dictionary_encode(col.combine_chunks())
+                lut = pa.array(
+                    [nsq.get(t, 0) for t in enc.dictionary.to_pylist()],
+                    pa.int64(),
+                )
+                return lut.take(enc.indices)
+
+            return _tcr_from_nsq(batch, lut_for(batch.column("term1")),
+                                 lut_for(batch.column("term2")))
+
+        return dots.map_batches(finalize_broadcast, batch_format="pyarrow")
+
     with_n1 = cluster_join(
         dots,
         norms.map_batches(
@@ -183,23 +243,11 @@ def term_correlations(postings, *, terms: set[str] | None = None,
         right_types={"nsq2": pa.int64()},
     )
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        dot = pc.cast(batch.column("sum(dot_part)"), pa.float64())
-        la = pc.sqrt(pc.cast(batch.column("nsq1"), pa.float64()))
-        lb = pc.sqrt(pc.cast(batch.column("nsq2"), pa.float64()))
-        one = pa.scalar(1.0, pa.float64())
-        la = pc.if_else(pc.equal(la, 0.0), one, la)
-        lb = pc.if_else(pc.equal(lb, 0.0), one, lb)
-        # sequential divisions, reference order (DbInterface :461-462)
-        tcr = pc.divide(pc.divide(dot, la), lb)
-        # both orders, as the reference upserts (term1,term2)+(term2,term1)
-        t1, t2 = batch.column("term1"), batch.column("term2")
-        fwd = pa.table({"term1": t1, "term2": t2, "tcr": tcr})
-        rev = pa.table({"term1": t2, "term2": t1, "tcr": tcr})
-        table = pa.concat_tables([fwd, rev]).combine_chunks()
-        return assert_schema(table, TERM_CORRELATIONS, "term_correlations")
+    def finalize_joined(batch: pa.Table) -> pa.Table:
+        return _tcr_from_nsq(batch, batch.column("nsq1"),
+                             batch.column("nsq2"))
 
-    return with_n2.map_batches(finalize, batch_format="pyarrow")
+    return with_n2.map_batches(finalize_joined, batch_format="pyarrow")
 
 
 def closest_terms(correlations, num: int = 5):
