@@ -38,10 +38,16 @@ import pyarrow as pa
 from ..functions import fakepdf
 from ..functions.hashing import doc_id, file_id
 from ..functions.html_extract import extract_main_text
-from ..functions.watchdog import WatchdogTimeout, run_with_timeout
+from ..functions.watchdog import BatchWatchdog, WatchdogTimeout
 from ..schemas import PAGES, assert_schema
 
 DEFAULT_EXTRACT_TIMEOUT_S = 600.0  # reference: AppConfig.const.js:11-19
+
+# With the DEFAULT (linear-time, pure-python) backend, arm the per-row timer
+# only for payloads at least this large — small rows can't reach a 600 s
+# budget and per-row arming measurably taxes the hot path. A CUSTOM backend
+# arms every row: native code gives no linearity guarantee on any input.
+WATCHDOG_ARM_MIN_BYTES = 1 << 16
 
 
 class DefaultBackend:
@@ -80,12 +86,14 @@ class PageExtractor:
                  timeout_s: float | None = DEFAULT_EXTRACT_TIMEOUT_S) -> None:
         self.backend = (backend_factory or DefaultBackend)()
         self.timeout_s = timeout_s
+        # custom backends arm every row; the linear default gates by size
+        self.arm_min_hint = (0 if backend_factory is not None
+                             else WATCHDOG_ARM_MIN_BYTES)
 
-    def _extract_one(self, payload, text) -> tuple[list[str], str]:
+    def _extract_one(self, wd: BatchWatchdog, payload, text) -> tuple[list[str], str]:
+        hint = len(payload) if payload is not None else len(text or "")
         try:
-            return run_with_timeout(
-                self.backend.extract, self.timeout_s, payload, text
-            )
+            return wd.run(self.backend.extract, payload, text, cost_hint=hint)
         except WatchdogTimeout:
             return [""], "timeout"
         except Exception:
@@ -99,8 +107,13 @@ class PageExtractor:
         langs = batch.column("lang").to_pylist()
 
         out: dict[str, list] = {name: [] for name in PAGES.names}
+        wd_scope = BatchWatchdog(self.timeout_s, arm_min_hint=self.arm_min_hint)
+        with wd_scope as wd:
+            return self._emit(wd, out, urls, tss, payloads, texts, langs)
+
+    def _emit(self, wd, out, urls, tss, payloads, texts, langs) -> pa.Table:
         for url, ts, payload, text, lang in zip(urls, tss, payloads, texts, langs):
-            page_texts, status = self._extract_one(payload, text)
+            page_texts, status = self._extract_one(wd, payload, text)
             n = len(page_texts)
             fid = file_id(url)
             page_count = 0 if status in ("error", "timeout") else n

@@ -27,12 +27,16 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..functions import fakeoffice, fakepdf
-from ..functions.watchdog import WatchdogTimeout, run_with_timeout
+from ..functions.watchdog import BatchWatchdog, WatchdogTimeout
 from ..schemas import WEBPAGES
 
 DEFAULT_CONVERT_TIMEOUT_S = 600.0  # reference: AppConfig.const.js:11-19
 
 PDF_PAGE_CHARS = 256
+
+# Default (linear) converter: arm the per-row timer only for large payloads
+# (see functions/watchdog.py cost model); custom backends arm every row.
+WATCHDOG_ARM_MIN_BYTES = 1 << 16
 
 
 class FakeOfficeConverter:
@@ -60,12 +64,15 @@ class FormatNormalizer:
                  timeout_s: float | None = DEFAULT_CONVERT_TIMEOUT_S) -> None:
         self.backend = (backend_factory or FakeOfficeConverter)()
         self.timeout_s = timeout_s
+        self.arm_min_hint = (0 if backend_factory is not None
+                             else WATCHDOG_ARM_MIN_BYTES)
 
-    def _convert_one(self, payload: bytes, kind: str) -> tuple[bytes | None, str]:
+    def _convert_one(self, wd: BatchWatchdog, payload: bytes,
+                     kind: str) -> tuple[bytes | None, str]:
         try:
             return (
-                run_with_timeout(self.backend.convert, self.timeout_s,
-                                 payload, kind),
+                wd.run(self.backend.convert, payload, kind,
+                       cost_hint=len(payload)),
                 "converted",
             )
         except WatchdogTimeout:
@@ -78,17 +85,19 @@ class FormatNormalizer:
         out_payloads: list[bytes | None] = []
         kinds: list[str] = []
         statuses: list[str] = []
-        for payload in payloads:
-            kind = fakeoffice.kind_of(payload)
-            if kind is None:
-                out_payloads.append(payload)
-                kinds.append("other")
-                statuses.append("passthrough")
-            else:
-                converted, status = self._convert_one(payload, kind)
-                out_payloads.append(converted)
-                kinds.append(kind)
-                statuses.append(status)
+        with BatchWatchdog(self.timeout_s,
+                           arm_min_hint=self.arm_min_hint) as wd:
+            for payload in payloads:
+                kind = fakeoffice.kind_of(payload)
+                if kind is None:
+                    out_payloads.append(payload)
+                    kinds.append("other")
+                    statuses.append("passthrough")
+                else:
+                    converted, status = self._convert_one(wd, payload, kind)
+                    out_payloads.append(converted)
+                    kinds.append(kind)
+                    statuses.append(status)
 
         cols = {name: batch.column(name) for name in WEBPAGES.names}
         cols["html"] = pa.array(out_payloads, pa.binary())
