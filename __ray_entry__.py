@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_latest": q.q_dedup_keep_latest,
         "compact_delete": q.q_compact_delete,
         "sessionize": q.q_sessionize,
+        "tumbling_windows": q.q_tumbling_windows,
         "asof_join": q.q_asof_join,
         "range_join": q.q_range_join,
         # relational generality
@@ -191,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_customers": q.q_topk_customers,
         "filter_events": q.q_filter_events,
         "join_orders_customers": q.q_join_orders_customers,
+        "top_revenue_orders": q.q_top_revenue_orders,
         "sample_documents": q.q_sample_documents,
         # training-data ops
         "exact_dedup": q.q_exact_dedup,
@@ -399,6 +401,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
             ORDER BY n_orders DESC, custkey
+            LIMIT 10
+        """,
+        "top_revenue_orders": """
+            SELECT l.l_orderkey, o.o_orderdate,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_units
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+            ORDER BY revenue_units DESC, l_orderkey
             LIMIT 10
         """,
         "join_orders_customers": """
@@ -618,6 +635,15 @@ def oracle_sql() -> dict[str, str]:
                    v.ts AS ts_r, v.view_id
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "tumbling_windows": """
+            SELECT event_type,
+                   make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+                     AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_value_cents
+            FROM events GROUP BY 1, 2
         """,
         "sessionize": """
             WITH o AS (

@@ -277,6 +277,91 @@ def q_sample_documents(sf_dir: str):
     return hash_sample(docs, "doc_id", threshold=32)
 
 
+def q_top_revenue_orders(sf_dir: str):
+    """TPC-H Q3-shaped 3-table pipeline: segment-filtered customers ⋈
+    date-filtered orders ⋈ ship-date-filtered lineitem → per-order revenue
+    → top 10. Both joins are distributed ``cluster_join`` exchanges (no
+    side is assumed driver-small); revenue is aggregated in exact integer
+    cent·pct units so the oracle compare is exact."""
+    import datetime as dt
+
+    from ..stages.relational import cluster_join, grouped_agg
+
+    cutoff = dt.datetime(1998, 1, 1)
+
+    def building(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(
+            pc.equal(batch.column("c_mktsegment"), "BUILDING"))
+        return keep.select(["c_custkey"])
+
+    customers = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(building, batch_format="pyarrow").map_batches(
+        lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.append_column(
+            "is_bldg", pa.repeat(pa.scalar(1, pa.int8()), t.num_rows)),
+        batch_format="pyarrow",
+    )
+
+    def early(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.less(batch.column("o_orderdate"),
+                                    pa.scalar(cutoff, pa.timestamp("us"))))
+        return keep.select(["o_orderkey", "o_custkey", "o_orderdate"])
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(early, batch_format="pyarrow")
+
+    qualifying = cluster_join(
+        orders, customers, ["o_custkey"],
+        left_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+                    "o_orderdate": pa.timestamp("us")},
+        right_types={"is_bldg": pa.int8()},
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate"]).rename_columns(
+            ["l_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+
+    def late_lines(batch: pa.Table) -> pa.Table:
+        away = pc.RoundOptions(round_mode="half_towards_infinity")
+        keep = batch.filter(pc.greater(batch.column("l_shipdate"),
+                                       pa.scalar(cutoff, pa.timestamp("us"))))
+        cents = pc.cast(
+            pc.round(pc.multiply(keep.column("l_extendedprice"), 100),
+                     options=away), pa.int64())
+        pct = pc.cast(
+            pc.round(pc.multiply(keep.column("l_discount"), 100),
+                     options=away), pa.int64())
+        return pa.table(
+            {
+                "l_orderkey": keep.column("l_orderkey"),
+                "rev_units": pc.multiply(cents, pc.subtract(100, pct)),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(late_lines, batch_format="pyarrow")
+
+    joined = cluster_join(
+        lineitem, qualifying, ["l_orderkey"],
+        left_types={"l_orderkey": pa.int64(), "rev_units": pa.int64()},
+        right_types={"o_orderdate": pa.timestamp("us")},
+    )
+    per_order = grouped_agg(
+        joined, ["l_orderkey", "o_orderdate"],
+        [("revenue_units", "rev_units", "sum")],
+    )
+    top = (
+        per_order.sort(["revenue_units", "l_orderkey"],
+                       descending=[True, False]).limit(10)
+    )
+    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+
+
 # ---------------------------------------------------------- training-data ops
 
 
@@ -528,6 +613,18 @@ def q_sessionize(sf_dir: str):
 
     return sessionize(_read(sf_dir, "events",
                             columns=["user_id", "ts", "event_id"]))
+
+
+def q_tumbling_windows(sf_dir: str):
+    """Fixed 1-hour event-time windows per event_type (streaming-window
+    analogue of the micro-batch loop; stateless assignment + two-phase agg)."""
+    import datetime as dt
+
+    from ..stages.sessionize import tumbling_window_agg
+
+    events = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return tumbling_window_agg(events, window=dt.timedelta(hours=1),
+                               key_cols=["event_type"])
 
 
 def q_tfidf_weights(sf_dir: str):

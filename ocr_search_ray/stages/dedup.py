@@ -549,61 +549,77 @@ def simhash_signatures(documents, *, concurrency: int | None = None):
 
 
 def simhash_neardup_pairs(documents, *, radius: int = 3, n_chunks: int = 4,
+                          band_chunks: int = 1,
                           concurrency: int | None = None):
     """SimHash near-dup pairs within a hamming radius.
 
-    Pigeonhole banding: each 64-bit signature splits into ``n_chunks``
-    16-bit chunks; any two signatures within hamming distance
-    ``radius <= n_chunks - 1`` must agree on at least one chunk, so
-    clustering on (chunk_idx, chunk_value) finds ALL such pairs — complete
-    recall, no all-pairs scan. Candidates are verified exactly with a
-    popcount.
+    Combination banding (pigeonhole): each 64-bit signature splits into
+    ``n_chunks`` chunks of 64//n_chunks bits; a band is any combination of
+    ``band_chunks`` chunks, keyed by the concatenated chunk values. With
+    ``radius <= n_chunks - band_chunks``, r bit errors spoil at most r
+    chunks, so some band survives intact on both sides — clustering on
+    (band, band_key) finds ALL pairs within the radius: complete recall,
+    no all-pairs scan. Candidates are verified exactly with a popcount.
+
+    Scale knob: ``band_chunks=1`` gives n_chunks bands over 2^(64/n) keys
+    (4 rows/doc, 65k buckets at the default — fine to ~10^8 docs);
+    ``n_chunks=5, band_chunks=2`` gives C(5,2)=10 bands over ~2^24 keys —
+    the same recall guarantee with ~256× smaller buckets, the right trade
+    at 10^10+ docs where per-bucket pair emission is the quadratic risk.
 
     → (doc_id1, doc_id2, hamming:int64), doc_id1 < doc_id2, hamming <= radius.
     """
-    if radius > n_chunks - 1:
+    from itertools import combinations
+
+    if radius > n_chunks - band_chunks:
         raise ValueError(
-            f"radius {radius} needs n_chunks > radius (got {n_chunks}): "
-            "pigeonhole recall guarantee would not hold"
+            f"radius {radius} needs n_chunks - band_chunks >= radius "
+            f"(got {n_chunks} - {band_chunks}): pigeonhole recall "
+            "guarantee would not hold"
         )
     sigs = simhash_signatures(documents, concurrency=concurrency)
     bits_per = 64 // n_chunks
     mask = (1 << bits_per) - 1
+    combos = list(combinations(range(n_chunks), band_chunks))
 
-    def explode_chunks(batch: pa.Table) -> pa.Table:
+    def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         sims = batch.column("simhash").to_pylist()
-        out_id, out_c, out_v, out_s = [], [], [], []
+        out_id, out_b, out_k, out_s = [], [], [], []
         for did, s in zip(ids, sims):
             u = s & ((1 << 64) - 1)  # back to unsigned
-            for c in range(n_chunks):
+            vals = [(u >> (c * bits_per)) & mask for c in range(n_chunks)]
+            for b, combo in enumerate(combos):
+                key = 0
+                for c in combo:
+                    key = (key << bits_per) | vals[c]
                 out_id.append(did)
-                out_c.append(c)
-                out_v.append((u >> (c * bits_per)) & mask)
+                out_b.append(b)
+                out_k.append(key)
                 out_s.append(s)
         return pa.table(
             {
                 "doc_id": pa.array(out_id, batch.column("doc_id").type),
-                "chunk": pa.array(out_c, pa.int32()),
-                "chunk_val": pa.array(out_v, pa.int64()),
+                "band": pa.array(out_b, pa.int32()),
+                "band_key": pa.array(out_k, pa.int64()),
                 "simhash": pa.array(out_s, pa.int64()),
             }
         )
 
     def block_candidate_pairs(block: pa.Table) -> pa.Table:
         block = block.sort_by(
-            [("chunk", "ascending"), ("chunk_val", "ascending"),
+            [("band", "ascending"), ("band_key", "ascending"),
              ("doc_id", "ascending")]
         )
-        chunks = block.column("chunk").to_pylist()
-        vals = block.column("chunk_val").to_pylist()
+        bands = block.column("band").to_pylist()
+        vals = block.column("band_key").to_pylist()
         ids = block.column("doc_id").to_pylist()
         sims = block.column("simhash").to_pylist()
         a_out, b_out, h_out = [], [], []
         i, n = 0, len(ids)
         while i < n:
             j = i
-            while j < n and chunks[j] == chunks[i] and vals[j] == vals[i]:
+            while j < n and bands[j] == bands[i] and vals[j] == vals[i]:
                 j += 1
             for x in range(i, j):
                 for y in range(x + 1, j):
@@ -624,8 +640,8 @@ def simhash_neardup_pairs(documents, *, radius: int = 3, n_chunks: int = 4,
         )
 
     candidates = cluster_apply(
-        sigs.map_batches(explode_chunks, batch_format="pyarrow"),
-        ["chunk", "chunk_val"],
+        sigs.map_batches(explode_bands, batch_format="pyarrow"),
+        ["band", "band_key"],
         block_candidate_pairs,
     )
     # a pair can agree on several chunks → distinct

@@ -23,6 +23,49 @@ from .relational import cluster_apply
 DEFAULT_GAP = dt.timedelta(minutes=30)
 
 
+def tumbling_window_agg(events, *, window: dt.timedelta,
+                        ts_col: str = "ts", key_cols: list[str] | None = None,
+                        value_col: str = "value"):
+    """Fixed (tumbling) event-time windows: → key_cols + (window_start,
+    n_events, sum_value_cents).
+
+    The window assignment is a stateless per-batch map (epoch-floor — no
+    order sensitivity, unlike gap sessions), so the only exchange is the
+    standard two-phase ``grouped_agg`` over (keys, window_start); windows
+    never span blocks by construction. Values are aggregated in exact
+    integer cents so oracle comparison is exact.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import grouped_agg
+
+    key_cols = key_cols or []
+    window_us = int(window.total_seconds() * 1_000_000)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        away = pc.RoundOptions(round_mode="half_towards_infinity")
+        ts_us = pc.cast(batch.column(ts_col), pa.int64())
+        start = pc.multiply(pc.divide(ts_us, window_us), window_us)
+        cols = {k: batch.column(k) for k in key_cols}
+        cols["window_start"] = pc.cast(start, pa.timestamp("us"))
+        cols["one"] = pa.repeat(pa.scalar(1, pa.int64()), batch.num_rows)
+        cols["cents"] = pc.cast(
+            pc.round(pc.multiply(batch.column(value_col), 100), options=away),
+            pa.int64(),
+        )
+        return pa.table(cols)
+
+    assigned = events.map_batches(assign, batch_format="pyarrow")
+    return grouped_agg(
+        assigned,
+        key_cols + ["window_start"],
+        [
+            ("n_events", "one", "count"),
+            ("sum_value_cents", "cents", "sum"),
+        ],
+    )
+
+
 def sessionize(events, *, gap: dt.timedelta = DEFAULT_GAP,
                user_col: str = "user_id", ts_col: str = "ts",
                order_col: str = "event_id"):

@@ -41,9 +41,20 @@ class TokenizePages:
     contributes no postings, exactly like the reference's timeout path.
     """
 
-    def __init__(self, *, timeout_s: float | None = DEFAULT_TOKENIZE_TIMEOUT_S) -> None:
-        # once-per-actor state (the reference pays this per page)
-        self.tokenizer = Tokenizer()
+    def __init__(self, *, timeout_s: float | None = DEFAULT_TOKENIZE_TIMEOUT_S,
+                 stopwords=None, segment_cjk=None) -> None:
+        # once-per-actor state (the reference pays this per page).
+        # ``stopwords``: the reference's ``stopwords.words()`` (no argument)
+        # unions EVERY downloaded NLTK language list; the engine defaults to
+        # the English list (documented divergence, SURVEY.md O10) — a
+        # deployment with the full NLTK data passes the union here and gets
+        # reference-exact multilingual filtering with no code change.
+        kwargs = {}
+        if stopwords is not None:
+            kwargs["stopwords"] = frozenset(stopwords)
+        if segment_cjk is not None:
+            kwargs["segment_cjk"] = segment_cjk
+        self.tokenizer = Tokenizer(**kwargs)
         self.timeout_s = timeout_s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -93,22 +104,32 @@ def _tokenize_task(batch: pa.Table) -> pa.Table:
 
 
 def tokenize_pages(pages, *, concurrency: int | None = None,
-                   batch_size: int = 512):
+                   batch_size: int = 512, stopwords=None, segment_cjk=None):
     """Attach the tokenize stage to a PAGES dataset.
 
     ``concurrency=None`` (default) → elastic task pool with per-worker cached
     state; an integer → fixed actor pool of that size (use when the tokenizer
-    backend is heavyweight, e.g. real jieba/nltk models)."""
+    backend is heavyweight, e.g. real jieba/nltk models). ``stopwords`` /
+    ``segment_cjk`` override the tokenizer backend per TokenizePages."""
     projected = pages.select_columns(["doc_id", "text"])
-    if concurrency is None:
+    if concurrency is None and stopwords is None and segment_cjk is None:
         return projected.map_batches(
             _tokenize_task,
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=batch_size,
         )
+    if concurrency is None:
+        return projected.map_batches(
+            TokenizePages(stopwords=stopwords, segment_cjk=segment_cjk),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
     return projected.map_batches(
         TokenizePages,
+        fn_constructor_kwargs={"stopwords": stopwords,
+                               "segment_cjk": segment_cjk},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

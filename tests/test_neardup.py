@@ -186,3 +186,55 @@ def test_neardup_and_curate_collect_only_candidate_sized_state(monkeypatch):
     # every driver-side collect on these paths is candidate-sized
     assert collected, "paths should have collected candidate state"
     assert max(collected) <= 200, f"corpus-sized collect detected: {collected}"
+
+
+def test_simhash_combination_banding_recall_equals_single_chunk():
+    """n_chunks=5, band_chunks=2 (the big-corpus shape: C(5,2)=10 bands,
+    ~2^24-key buckets) must find EXACTLY the pairs the default banding
+    finds — both equal the brute-force hamming-radius ground truth."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    base_words = [f"tok{i}" for i in range(60)]
+    texts = []
+    for i in range(40):
+        words = [base_words[rng.randrange(60)] for _ in range(25)]
+        texts.append(" ".join(words))
+        if i % 5 == 0:  # planted near-dup: perturb one word
+            w2 = list(words)
+            w2[3] = base_words[rng.randrange(60)]
+            texts.append(" ".join(w2))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(4)
+
+    from ocr_search_ray.stages.dedup import (
+        simhash_neardup_pairs,
+        simhash_signatures,
+    )
+
+    sims = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+            for r in simhash_signatures(ds).take_all()}
+    brute = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for a, b in itertools.combinations(sorted(sims), 2)
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    got_default = {
+        (r["doc_id1"], r["doc_id2"], r["hamming"])
+        for r in simhash_neardup_pairs(ds, radius=3).take_all()
+    }
+    got_combo = {
+        (r["doc_id1"], r["doc_id2"], r["hamming"])
+        for r in simhash_neardup_pairs(
+            ds, radius=3, n_chunks=5, band_chunks=2
+        ).take_all()
+    }
+    assert got_default == brute
+    assert got_combo == brute

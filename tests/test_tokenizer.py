@@ -135,3 +135,34 @@ def test_cache_cap_clears_and_stays_exact():
     first = tok.term_freqs(text)
     assert len(tok._eng_cache) <= Tiny._CACHE_MAX + 1  # cap respected
     assert tok.term_freqs(text) == first == Tokenizer().term_freqs(text)
+
+
+def test_stage_accepts_custom_stopword_set():
+    """The stopword set is backend state (the reference unions ALL NLTK
+    language lists; default here is English) — swapping it is one stage
+    argument and flows through the actor pool."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.tokenize import tokenize_pages
+
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["d1"], pa.string()),
+                "text": pa.array(["der hund und the dog"], pa.string()),
+            }
+        )
+    )
+    default = {
+        (r["term"]) for r in tokenize_pages(pages).take_all()
+    }
+    german_too = {
+        (r["term"])
+        for r in tokenize_pages(
+            pages, stopwords=frozenset({"der", "und", "the"}), concurrency=1
+        ).take_all()
+    }
+    assert "der" in default and "und" in default  # English-only filtering
+    assert "der" not in german_too and "und" not in german_too
+    assert "dog" in default and "dog" in german_too
