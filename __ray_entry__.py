@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customers": q.q_join_orders_customers,
         "top_revenue_orders": q.q_top_revenue_orders,
         "sample_documents": q.q_sample_documents,
+        "topk_orders_per_customer": q.q_topk_orders_per_customer,
         # training-data ops
         "exact_dedup": q.q_exact_dedup,
         "curate": q.q_curate,
@@ -421,6 +422,15 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_customers": """
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice
+            FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn <= 3
         """,
         "sample_documents": """
             SELECT doc_id, n_chars FROM documents

@@ -267,6 +267,20 @@ def q_join_orders_customers(sf_dir: str):
     )
 
 
+def q_topk_orders_per_customer(sf_dir: str):
+    """Per-group top-k as a window-function analogue: each customer's top-3
+    orders by price (one int-key exchange + block-local head, no global
+    sort — relational.grouped_topk)."""
+    from ..stages.relational import grouped_topk
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return grouped_topk(
+        orders, ["o_custkey"],
+        [("o_totalprice", "descending"), ("o_orderkey", "ascending")], 3,
+    )
+
+
 def q_sample_documents(sf_dir: str):
     """Deterministic content-hash sampling (~12.5%): stable across runs /
     scales / partitionings — the reproducible train-eval-split primitive

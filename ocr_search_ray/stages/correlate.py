@@ -255,20 +255,11 @@ def closest_terms(correlations, num: int = 5):
     implementing the reference's *intended* semantics; its ``.slice`` on a
     mapped object at DbInterface.class.js:419 is a documented bug).
 
-    Per-group top-k over a large string key domain → cluster by ``term1``
-    and take the head of each run after one block-local Arrow sort."""
+    One ``grouped_topk`` pass: cluster by ``term1``, block-local sort,
+    head of each run."""
+    from .relational import grouped_topk
 
-    def block_topk(block: pa.Table) -> pa.Table:
-        block = block.sort_by(
-            [("term1", "ascending"), ("tcr", "descending"), ("term2", "ascending")]
-        )
-        t1 = block.column("term1").to_pylist()
-        keep: list[int] = []
-        run_start = 0
-        for i in range(len(t1) + 1):
-            if i == len(t1) or (i > 0 and t1[i] != t1[i - 1]):
-                keep.extend(range(run_start, min(run_start + num, i)))
-                run_start = i
-        return block.take(pa.array(keep, pa.int64()))
-
-    return cluster_apply(correlations, ["term1"], block_topk)
+    return grouped_topk(
+        correlations, ["term1"],
+        [("tcr", "descending"), ("term2", "ascending")], num,
+    )

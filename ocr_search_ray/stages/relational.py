@@ -173,6 +173,39 @@ def cluster_apply(ds, key_cols: list[str], block_fn, *, hash_fn=None):
     )
 
 
+def grouped_topk(ds, key_cols: list[str], order_by: list[tuple[str, str]],
+                 k: int, *, hash_fn=None):
+    """Per-group top-k without a global sort: cluster on the group key,
+    block-local Arrow sort, take the head of each key run.
+
+    ``order_by``: [(col, "ascending"|"descending"), ...] applied after the
+    key columns. The SQL analogue is ``row_number() OVER (PARTITION BY keys
+    ORDER BY order_by) <= k``. Scale shape: one int-key exchange; each
+    group's rows co-locate (same partitioning contract as every
+    ``cluster_apply`` consumer), and only k rows per group survive the
+    block walk — the window function re-expressed as an exchange + local
+    scan (SURVEY.md K3 generalized)."""
+
+    def block_topk(block: pa.Table) -> pa.Table:
+        block = block.sort_by(
+            [(c, "ascending") for c in key_cols] + list(order_by)
+        )
+        key_lists = [block.column(c).to_pylist() for c in key_cols]
+        n = block.num_rows
+        keep: list[int] = []
+        run_start = 0
+        for i in range(n + 1):
+            boundary = i == n or (
+                i > 0 and any(a[i] != a[i - 1] for a in key_lists)
+            )
+            if boundary:
+                keep.extend(range(run_start, min(run_start + k, i)))
+                run_start = i
+        return block.take(pa.array(keep, pa.int64()))
+
+    return cluster_apply(ds, key_cols, block_topk, hash_fn=hash_fn)
+
+
 def hash_sample(ds, key_col: str, *, threshold: int, modulus: int = 256):
     """Deterministic content-hash sampling: keep rows whose
     ``md5(str(key))`` first byte < ``threshold`` (expected fraction
