@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": q.q_top_revenue_orders,
         "sample_documents": q.q_sample_documents,
         "topk_orders_per_customer": q.q_topk_orders_per_customer,
+        "value_percentiles": q.q_value_percentiles,
         # training-data ops
         "exact_dedup": q.q_exact_dedup,
         "curate": q.q_curate,
@@ -214,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only
         # IVF with full probes == exact cosine top-k → reuse the brute oracle
         "ann_ivf_topk": q.q_ann_ivf_topk,
+        "lsh_neardup": q.q_lsh_neardup,  # rows-only (LSH buckets)
         "embedding_neardup": q.q_embedding_neardup,
         # multimodal plumbing (decode stubbed; layout/status are exact)
         "media_features": q.q_media_features,
@@ -422,6 +424,15 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_customers": """
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_values,
+                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)
+                     AS p50,
+                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.95)
+                     AS p95
+            FROM events GROUP BY event_type
         """,
         "topk_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice

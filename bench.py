@@ -180,27 +180,36 @@ def main() -> int:
         lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
         hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
         repeat = os.environ.get("GRAFT_BENCH_REPEAT", "200")
-        results = {}
-        for cpus in (lo, hi):
-            out = subprocess.run(
-                [sys.executable, __file__, "--single-level"],
-                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus),
-                     "GRAFT_SF_DIR": sf_dir, "GRAFT_BENCH_REPEAT": repeat},
-                capture_output=True, text=True, check=True,
-            )
-            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-        t_lo, t_hi = results[lo]["docs_per_s"], results[hi]["docs_per_s"]
-        efficiency = (t_hi / t_lo) / (hi / lo)
+        # single runs on this VM are ±25% noisy (measured on identical
+        # code back-to-back); average the lo/hi pair over GRAFT_SCALE_REPS
+        # interleaved repetitions (default 2) for the reported efficiency
+        reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+        per_rep = []
+        last = {}
+        for _rep in range(reps):
+            results = {}
+            for cpus in (lo, hi):
+                out = subprocess.run(
+                    [sys.executable, __file__, "--single-level"],
+                    env={**os.environ, "RAY_GRAFT_CPUS": str(cpus),
+                         "GRAFT_SF_DIR": sf_dir, "GRAFT_BENCH_REPEAT": repeat},
+                    capture_output=True, text=True, check=True,
+                )
+                results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+            t_lo, t_hi = results[lo]["docs_per_s"], results[hi]["docs_per_s"]
+            per_rep.append(round((t_hi / t_lo) / (hi / lo), 3))
+            last = results
         print(json.dumps({
             "metric": f"ingest-index scaling {lo}→{hi} cpus (N→4N)",
             "unit": "docs/s",
             "sf": _sf_of(sf_dir),
-            "n_docs": results[hi]["n_docs"],
-            f"throughput_{lo}": t_lo,
-            f"throughput_{hi}": t_hi,
-            f"wall_{lo}_s": results[lo]["value"],
-            f"wall_{hi}_s": results[hi]["value"],
-            "scaling_efficiency": round(efficiency, 3),
+            "n_docs": last[hi]["n_docs"],
+            f"throughput_{lo}": last[lo]["docs_per_s"],
+            f"throughput_{hi}": last[hi]["docs_per_s"],
+            f"wall_{lo}_s": last[lo]["value"],
+            f"wall_{hi}_s": last[hi]["value"],
+            "per_rep_efficiency": per_rep,
+            "scaling_efficiency": round(sum(per_rep) / len(per_rep), 3),
         }))
         return 0
 

@@ -281,6 +281,16 @@ def q_topk_orders_per_customer(sf_dir: str):
     )
 
 
+def q_value_percentiles(sf_dir: str):
+    """Exact per-type value percentiles (median, p95) via the quantized
+    two-phase histogram — percentiles at corpus scale without per-group
+    value collection."""
+    from ..stages.relational import grouped_percentiles
+
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_percentiles(events, ["event_type"], "value", [0.5, 0.95])
+
+
 def q_sample_documents(sf_dir: str):
     """Deterministic content-hash sampling (~12.5%): stable across runs /
     scales / partitionings — the reproducible train-eval-split primitive
@@ -532,6 +542,28 @@ def q_ann_cosine_topk(sf_dir: str):
 def q_ann_lsh_topk(sf_dir: str):
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return lsh_bucket_topk(emb, _query_vectors(sf_dir), k=10)
+
+
+def q_lsh_neardup(sf_dir: str):
+    """Unbounded-scale embedding near-dup (LSH buckets + in-bucket verify;
+    no broadcast side): the corpus is augmented with 20 planted duplicates
+    (ids +100000) which the operator must recover — rows-only driver check;
+    recall/precision are locked by test_similarity."""
+    from ..stages.similarity import lsh_neardup_pairs
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def planted(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.less(batch.column("vec_id"), 20))
+        return pa.table(
+            {
+                "vec_id": pc.add(keep.column("vec_id"), 100000),
+                "embedding": keep.column("embedding"),
+            }
+        )
+
+    aug = emb.union(emb.map_batches(planted, batch_format="pyarrow"))
+    return lsh_neardup_pairs(aug, threshold=0.98)
 
 
 def q_embedding_neardup(sf_dir: str):

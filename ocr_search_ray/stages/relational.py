@@ -206,6 +206,92 @@ def grouped_topk(ds, key_cols: list[str], order_by: list[tuple[str, str]],
     return cluster_apply(ds, key_cols, block_topk, hash_fn=hash_fn)
 
 
+def grouped_percentiles(ds, key_cols: list[str], value_col: str,
+                        qs: list[float], *, scale: int = 100):
+    """Exact per-group discrete percentiles at corpus scale via value
+    quantization.
+
+    Values quantize to integer units (``round(value*scale)``,
+    half-away-from-zero like SQL round); per-batch partial counts per
+    (keys, unit) collapse the corpus BEFORE the one int-key exchange on
+    the group key; each group's histogram — bounded by the VALUE DOMAIN,
+    never the corpus — sorts block-locally, and the discrete percentile
+    reads off cumulative counts at ``rank = max(1, ceil(q*n))``, exactly
+    DuckDB's ``quantile_disc`` on the quantized units.
+
+    → keys + ``n_values`` + one ``p{q*100}`` int64-units column per q.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    qnames = []
+    for q in qs:
+        pct = q * 100
+        if abs(pct - round(pct)) > 1e-9:
+            raise ValueError(f"q={q}: use percentiles expressible as q*100 int")
+        qnames.append(f"p{int(round(pct))}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        away = pc.RoundOptions(round_mode="half_towards_infinity")
+        units = pc.cast(
+            pc.round(pc.multiply(batch.column(value_col), scale),
+                     options=away),
+            pa.int64(),
+        )
+        t = pa.table(
+            {**{k: batch.column(k) for k in key_cols}, "u": units,
+             "one": pa.repeat(pa.scalar(1, pa.int64()), batch.num_rows)}
+        )
+        agg = t.group_by(key_cols + ["u"]).aggregate([("one", "sum")])
+        return agg.rename_columns(key_cols + ["u", "c_part"])
+
+    def block_percentiles(block: pa.Table) -> pa.Table:
+        agg = block.group_by(key_cols + ["u"]).aggregate([("c_part", "sum")])
+        agg = agg.sort_by(
+            [(k, "ascending") for k in key_cols] + [("u", "ascending")]
+        )
+        keys_lists = [agg.column(k).to_pylist() for k in key_cols]
+        units = agg.column("u").to_pylist()
+        counts = agg.column("c_part_sum").to_pylist()
+        out_keys: list[list] = [[] for _ in key_cols]
+        out_n: list[int] = []
+        out_ps: list[list[int]] = [[] for _ in qs]
+        i, n_rows = 0, len(units)
+        while i < n_rows:
+            j = i
+            while j < n_rows and all(
+                kl[j] == kl[i] for kl in keys_lists
+            ):
+                j += 1
+            total = sum(counts[i:j])
+            ranks = [max(1, math.ceil(q * total)) for q in qs]
+            cum = 0
+            found = [None] * len(qs)
+            for r in range(i, j):
+                cum += counts[r]
+                for qi, rank in enumerate(ranks):
+                    if found[qi] is None and cum >= rank:
+                        found[qi] = units[r]
+            for ki, kl in enumerate(keys_lists):
+                out_keys[ki].append(kl[i])
+            out_n.append(total)
+            for qi in range(len(qs)):
+                out_ps[qi].append(found[qi])
+            i = j
+        cols = {
+            k: pa.array(out_keys[ki], agg.column(k).type)
+            for ki, k in enumerate(key_cols)
+        }
+        cols["n_values"] = pa.array(out_n, pa.int64())
+        for qi, name in enumerate(qnames):
+            cols[name] = pa.array(out_ps[qi], pa.int64())
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return cluster_apply(partials, key_cols, block_percentiles)
+
+
 def hash_sample(ds, key_col: str, *, threshold: int, modulus: int = 256):
     """Deterministic content-hash sampling: keep rows whose
     ``md5(str(key))`` first byte < ``threshold`` (expected fraction

@@ -316,3 +316,109 @@ def ivf_topk(embeddings, queries: dict[int, list[float]], *, k: int = 10,
         .groupby("query_id")
         .map_groups(merge_topk, batch_format="pyarrow")
     )
+
+def lsh_neardup_pairs(embeddings, *, threshold: float = 0.9,
+                      n_planes: int = 8, n_tables: int = 8, seed: int = 42,
+                      id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Embedding near-dup pairs at UNBOUNDED scale: random-hyperplane LSH
+    buckets → in-bucket vectorized cosine verify → pair dedup.
+
+    The scale path for ``embedding_neardup_pairs`` (whose broadcast side the
+    caller must bound): nothing is broadcast and no driver state exists —
+    vectors flow through ONE (table, bucket) int-key exchange (``n_tables``
+    rows per vector), each bucket verifies all-pairs cosine with a numpy
+    matmul, and multi-table duplicate hits dedup on a second pair-key
+    exchange.
+
+    Recall is probabilistic — 1-(1-p^n_planes)^n_tables with
+    p = 1 - θ/π — ≈0.99+ for true near-duplicates (cos ≥ ~0.95) at the
+    defaults, and EXACTLY 1.0 for identical vectors (identical sign
+    patterns in every table). Precision is exact (explicit verify).
+    Planes are derived deterministically from ``seed`` in every worker.
+
+    → (vec_id1, vec_id2, score), vec_id1 < vec_id2, cosine ≥ threshold.
+    """
+    from .relational import cluster_apply
+
+    def explode_tables(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col)
+        if m.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.column(id_col).type),
+                    "table": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                    vec_col: batch.column(vec_col).slice(0, 0),
+                }
+            )
+        dim = m.shape[1]
+        planes = np.random.default_rng(seed).standard_normal(
+            (n_tables, dim, n_planes)
+        )
+        mn = _normalize(m)
+        n = len(mn)
+        weights = 1 << np.arange(n_planes - 1, -1, -1)
+        reps = pa.array(np.tile(np.arange(n), n_tables), pa.int64())
+        tables_col = np.repeat(np.arange(n_tables, dtype=np.int32), n)
+        buckets = np.concatenate(
+            [((mn @ planes[t]) > 0).astype(np.int64) @ weights
+             for t in range(n_tables)]
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(reps),
+                "table": pa.array(tables_col, pa.int32()),
+                "bucket": pa.array(buckets, pa.int64()),
+                vec_col: batch.column(vec_col).take(reps),
+            }
+        )
+
+    def block_bucket_pairs(block: pa.Table) -> pa.Table:
+        block = block.sort_by(
+            [("table", "ascending"), ("bucket", "ascending")]
+        )
+        tables = block.column("table").to_pylist()
+        buckets = block.column("bucket").to_pylist()
+        ids = np.array(block.column(id_col).to_pylist(), dtype=np.int64)
+        out1, out2, outs = [], [], []
+        i, n = 0, block.num_rows
+        while i < n:
+            j = i
+            while j < n and tables[j] == tables[i] and buckets[j] == buckets[i]:
+                j += 1
+            if j - i > 1:
+                sub = block.slice(i, j - i)
+                m = _normalize(_batch_matrix(sub, vec_col))
+                sub_ids = ids[i:j]
+                scores = m @ m.T
+                a_idx, b_idx = np.where(np.triu(scores >= threshold, k=1))
+                for a, b in zip(a_idx, b_idx):
+                    ia, ib = int(sub_ids[a]), int(sub_ids[b])
+                    if ia == ib:
+                        continue
+                    out1.append(min(ia, ib))
+                    out2.append(max(ia, ib))
+                    outs.append(float(scores[a, b]))
+            i = j
+        return pa.table(
+            {
+                "vec_id1": pa.array(out1, pa.int64()),
+                "vec_id2": pa.array(out2, pa.int64()),
+                "score": pa.array(outs, pa.float64()),
+            }
+        )
+
+    def block_dedup(block: pa.Table) -> pa.Table:
+        agg = block.group_by(["vec_id1", "vec_id2"]).aggregate(
+            [("score", "min")]
+        )
+        return agg.rename_columns(["vec_id1", "vec_id2", "score"])
+
+    candidates = cluster_apply(
+        embeddings.select_columns([id_col, vec_col]).map_batches(
+            explode_tables, batch_format="pyarrow"
+        ),
+        ["table", "bucket"],
+        block_bucket_pairs,
+    )
+    return cluster_apply(candidates, ["vec_id1", "vec_id2"], block_dedup)

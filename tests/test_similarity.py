@@ -103,3 +103,51 @@ def test_ivf_partial_probe_recall():
     ivf2 = ivf_topk(emb, queries, k=8, n_centroids=8, nprobe=2).take_all()
     assert sorted(map(tuple, (r.items() for r in ivf))) == \
            sorted(map(tuple, (r.items() for r in ivf2)))
+
+
+def test_lsh_neardup_pairs_finds_planted_duplicates():
+    """Exact duplicates are recall-1.0 by construction (identical sign
+    patterns in every table); near-identical pairs recall ~0.99+ at the
+    defaults. Precision is exact: every emitted pair verifies >= threshold
+    against the brute-force ground truth."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.similarity import lsh_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((200, 16))
+    vecs = list(base)
+    ids = list(range(200))
+    # planted: 10 exact dups and 10 near-dups (tiny perturbation)
+    for i in range(10):
+        vecs.append(base[i])
+        ids.append(1000 + i)
+    for i in range(10, 20):
+        vecs.append(base[i] + 0.01 * rng.standard_normal(16))
+        ids.append(1000 + i)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs]),
+            }
+        )
+    ).repartition(6)
+
+    got = {(r["vec_id1"], r["vec_id2"])
+           for r in lsh_neardup_pairs(ds, threshold=0.98).take_all()}
+    # all planted exact dups found
+    for i in range(10):
+        assert (i, 1000 + i) in got
+    # near-dups: high recall (allow <=2 misses of 10)
+    near_found = sum((i, 1000 + i) in got for i in range(10, 20))
+    assert near_found >= 8
+    # precision exact vs brute force
+    norm = base / np.linalg.norm(base, axis=1, keepdims=True)
+    all_m = np.array([v / np.linalg.norm(v) for v in vecs])
+    sims = all_m @ all_m.T
+    idmap = {k: i for i, k in enumerate(ids)}
+    for a, b in got:
+        assert sims[idmap[a], idmap[b]] >= 0.98 - 1e-12
