@@ -15,6 +15,8 @@ read-pages-then-cascade order.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -32,6 +34,126 @@ def _filter_not_in(ds, column: str, values_ref):
         return batch.filter(mask)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def compact_delete_on_disk(out_dir: str, deleted_urls: set[str]) -> dict:
+    """Partition-pruned deletion compaction over an ingest output tree
+    (``pages/part=*/``, ``postings/part=*/`` as written by
+    ``ingest_resumable``).
+
+    Pruning levels:
+    1. **Row-group statistics**: a pages partition whose parquet url
+       min/max ranges cannot contain any deleted url is never read.
+    2. **Lineage alignment**: ``pages/part=N`` and ``postings/part=N``
+       come from the same input fragment, so a postings partition needs a
+       rewrite iff its pages partition actually held a deleted url —
+       postings' hash ids carry no range information, the lineage does.
+
+    Affected partitions are filtered and rewritten atomically (tmp dir +
+    rename, same protocol as ingest) in PARALLEL Ray tasks (one per
+    partition — file maintenance the Dataset API has no primitive for),
+    and each rewrite appends a ``stage='compact'`` manifest row. A failed
+    run reruns idempotently: untouched partitions are still pruned, and a
+    partition rewritten twice converges to the same bytes.
+
+    Returns counters: partitions, pruned_by_stats, rewritten,
+    pages_removed, postings_removed.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    from ..state import manifest as manifest_mod
+
+    deleted = sorted(deleted_urls)
+    deleted_arr = pa.array(deleted, pa.string())
+    manifest_dir = os.path.join(out_dir, "_manifest")
+
+    def may_contain(part_dir: str) -> bool:
+        for f in sorted(_glob.glob(os.path.join(part_dir, "*.parquet"))):
+            md = _pq.ParquetFile(f).metadata
+            url_idx = md.schema.to_arrow_schema().get_field_index("url")
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(url_idx).statistics
+                if stats is None or not stats.has_min_max:
+                    return True  # no stats → cannot prune
+                lo, hi = stats.min, stats.max
+                if any(lo <= u <= hi for u in deleted):
+                    return True
+        return False
+
+    @ray.remote
+    def rewrite_partition(pid: int, pages_dir: str, postings_dir: str,
+                          manifest_dir: str, deleted_ref) -> tuple[int, int]:
+        import shutil
+        import time as _time
+
+        import pyarrow.parquet as pq2
+
+        t0 = _time.monotonic()
+        del_arr = deleted_ref  # ObjectRef args arrive dereferenced
+        pages = pq2.read_table(pages_dir)
+        doomed_mask = pc.is_in(pages.column("url"), value_set=del_arr)
+        n_doomed = pc.sum(doomed_mask).as_py() or 0
+        if n_doomed == 0:
+            return 0, 0  # stats overlap was a false positive; nothing to do
+        doomed_ids = pages.filter(doomed_mask).column("doc_id")
+        kept_pages = pages.filter(pc.invert(doomed_mask))
+        postings = pq2.read_table(postings_dir)
+        keep_mask = pc.invert(
+            pc.is_in(postings.column("doc_id"),
+                     value_set=doomed_ids.combine_chunks())
+        )
+        kept_postings = postings.filter(keep_mask)
+        n_postings_removed = postings.num_rows - kept_postings.num_rows
+
+        for src_dir, table in ((pages_dir, kept_pages),
+                               (postings_dir, kept_postings)):
+            tmp = src_dir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            pq2.write_table(table, os.path.join(tmp, "part-0.parquet"),
+                            compression="zstd")
+            shutil.rmtree(src_dir)
+            os.rename(tmp, src_dir)
+        manifest_mod.append_row(
+            manifest_dir,
+            partition_id=pid,
+            stage="compact",
+            input_hash="delete:%d" % len(del_arr),
+            row_count=kept_pages.num_rows,
+            byte_count=0,
+            n_errors=0,
+            status="done",
+            wall_time_s=_time.monotonic() - t0,
+        )
+        return int(n_doomed), int(n_postings_removed)
+
+    pages_parts = sorted(
+        _glob.glob(os.path.join(out_dir, "pages", "part=*"))
+    )
+    stats = {"partitions": len(pages_parts), "pruned_by_stats": 0,
+             "rewritten": 0, "pages_removed": 0, "postings_removed": 0}
+    deleted_ref = ray.put(deleted_arr)
+    futures = []
+    for pages_dir in pages_parts:
+        part = os.path.basename(pages_dir)
+        if not may_contain(pages_dir):
+            stats["pruned_by_stats"] += 1
+            continue
+        pid = int(part.split("=")[1])
+        postings_dir = os.path.join(out_dir, "postings", part)
+        futures.append(rewrite_partition.remote(
+            pid, pages_dir, postings_dir, manifest_dir, deleted_ref))
+    for n_pages, n_postings in ray.get(futures):
+        if n_pages:
+            stats["rewritten"] += 1
+            stats["pages_removed"] += n_pages
+            stats["postings_removed"] += n_postings
+    # manifest rows were appended by the tasks; nothing driver-side to sync
+    assert os.path.isdir(manifest_dir) or stats["rewritten"] == 0
+    return stats
 
 
 def delete_urls(pages, postings, deleted_urls: set[str]):

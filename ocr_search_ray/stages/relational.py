@@ -338,8 +338,12 @@ def cluster_join(left, right, keys: list[str], *,
 
     ``left_types``: ALL left columns (keys included) → arrow type, in output
     order. ``right_types``: the right side's non-key value columns (its key
-    columns must be named like ``keys``). Duplicate right keys produce m:n
-    join semantics, like SQL. ``how``: "inner" | "left".
+    columns must be named like ``keys``; pass ``{}`` for semi/anti, whose
+    output is the left columns only). Duplicate right keys produce m:n join
+    semantics, like SQL. ``how``: "inner" | "left" | "semi" | "anti" —
+    semi/anti are the scale answer for existence filters whose filter side
+    is itself corpus-sized (e.g. drop every doc in a corpus-scale deny
+    list without broadcasting it).
 
     Scale: cost is one all-to-all of left+right; there is no driver-side
     state and no whole-table broadcast — this is the replacement for
@@ -374,7 +378,8 @@ def cluster_join(left, right, keys: list[str], *,
     tagged = left.map_batches(align_left, batch_format="pyarrow").union(
         right.map_batches(align_right, batch_format="pyarrow")
     )
-    join_type = {"inner": "inner", "left": "left outer"}[how]
+    join_type = {"inner": "inner", "left": "left outer",
+                 "semi": "left semi", "anti": "left anti"}[how]
 
     def block_join(block: pa.Table) -> pa.Table:
         side = block.column(_SIDE)

@@ -282,3 +282,33 @@ def test_cluster_apply_exact_when_partition_exceeds_target_block_size():
         assert sum(c for _s, c in by_key.values()) == len(keys)
     finally:
         ctx.target_max_block_size = old
+
+
+def test_cluster_join_semi_and_anti():
+    from ocr_search_ray.stages.relational import cluster_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(["a", "b", "c", "a"]),
+                  "x": pa.array([1, 2, 3, 4], pa.int64())})
+    ).repartition(2)
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(["a", "a", "z"])})  # dup right keys
+    )
+    semi = sorted(
+        (r["k"], r["x"])
+        for r in cluster_join(
+            left, right, ["k"],
+            left_types={"k": pa.string(), "x": pa.int64()},
+            right_types={}, how="semi",
+        ).take_all()
+    )
+    anti = sorted(
+        (r["k"], r["x"])
+        for r in cluster_join(
+            left, right, ["k"],
+            left_types={"k": pa.string(), "x": pa.int64()},
+            right_types={}, how="anti",
+        ).take_all()
+    )
+    assert semi == [("a", 1), ("a", 4)]  # no duplication from dup right keys
+    assert anti == [("b", 2), ("c", 3)]

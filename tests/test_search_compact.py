@@ -55,3 +55,73 @@ def test_delete_cascade_removes_pages_and_postings():
     pages2, postings2 = delete_urls(pages, postings, {"u2"})
     assert {r["doc_id"] for r in pages2.take_all()} == {"d1"}
     assert {r["doc_id"] for r in postings2.take_all()} == {"d1"}
+
+
+def test_on_disk_compaction_rewrites_only_affected_partitions(tmp_path):
+    """Partition-pruned deletion: untouched partitions keep their exact
+    files (not reread into new bytes); affected ones are filtered and
+    atomically rewritten with a stage='compact' manifest row; the surviving
+    data equals a full filter."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_search_ray.pipelines.compact import compact_delete_on_disk
+    from ocr_search_ray.pipelines.ingest import ingest_resumable
+    from ocr_search_ray.sources.webpages import read_webpages
+    from ocr_search_ray.state import manifest as m
+
+    input_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    os.makedirs(input_dir)
+    webpages = read_webpages("/root/testdata/sf0.001").materialize()
+    # sort by url so fragments have DISJOINT url ranges -> stats can prune
+    ordered = webpages.sort("url")
+    for i, sub in enumerate(ordered.split(4)):
+        pq.write_table(
+            pa.Table.from_pandas(sub.to_pandas(), preserve_index=False),
+            input_dir / f"frag-{i}.parquet",
+        )
+    ingest_resumable(str(input_dir), str(out_dir), tokenize_concurrency=2)
+
+    # delete urls that live ONLY in partition 0 (smallest urls)
+    part0 = pq.read_table(str(out_dir / "pages" / "part=00000"))
+    victims = set(sorted(set(part0.column("url").to_pylist()))[:5])
+    before = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(str(out_dir / "*" / "part=*" / "*.parquet"))
+    }
+    n_pages_before = rd.read_parquet(str(out_dir / "pages")).count()
+
+    stats = compact_delete_on_disk(str(out_dir), victims)
+    assert stats["rewritten"] == 1
+    assert stats["pruned_by_stats"] >= 2  # disjoint ranges prune the rest
+    assert stats["pages_removed"] == len(victims)
+
+    # untouched partitions: identical files
+    for f, mtime in before.items():
+        if "part=00000" not in f:
+            assert os.path.exists(f) and os.stat(f).st_mtime_ns == mtime
+
+    pages_after = rd.read_parquet(str(out_dir / "pages"))
+    urls_after = {r["url"] for r in pages_after.take_all()}
+    assert urls_after.isdisjoint(victims)
+    assert pages_after.count() == n_pages_before - len(victims)
+    # postings cascade: no surviving posting references a doomed doc_id
+    doomed_ids = set(
+        part0.filter(
+            pa.compute.is_in(part0.column("url"),
+                             value_set=pa.array(sorted(victims)))
+        ).column("doc_id").to_pylist()
+    )
+    post_ids = {
+        r["doc_id"]
+        for r in rd.read_parquet(str(out_dir / "postings")).take_all()
+    }
+    assert post_ids.isdisjoint(doomed_ids)
+    rows = m.read(str(out_dir / "_manifest"))
+    stages_in_manifest = set(rows.column("stage").to_pylist())
+    assert "compact" in stages_in_manifest
