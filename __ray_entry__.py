@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_pages": q.q_ingest_pages,
         "postings_tf": q.q_postings_tf,
         "posting_lists": q.q_posting_lists,
+        "merge_index": q.q_merge_index,
         "tfidf_weights": q.q_tfidf_weights,
         "heavy_terms": q.q_heavy_terms,
         "term_stats": q.q_term_stats,
@@ -233,6 +234,10 @@ def oracle_sql() -> dict[str, str]:
             FROM pages_full
         """,
         "postings_tf": f"""
+            {_POSTINGS_PREFIX}
+            SELECT doc_id, term, tf FROM postings
+        """,
+        "merge_index": f"""
             {_POSTINGS_PREFIX}
             SELECT doc_id, term, tf FROM postings
         """,

@@ -96,6 +96,45 @@ def q_search_index(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_merge_index(sf_dir: str):
+    """Incremental index maintenance under the oracle: build the bucketed
+    index on ~90% of docs, merge the rest with the bucket-local
+    merge_into_index, read the merged layout back — rows must equal the
+    full postings relation exactly (same oracle as postings_tf)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..stages.index import merge_into_index
+
+    postings = _postings(sf_dir).materialize()
+
+    def split(keep_mod):
+        def f(batch: pa.Table) -> pa.Table:
+            # deterministic doc split on the hex id's last char
+            ids = batch.column("doc_id").to_pylist()
+            keep = [i for i, d in enumerate(ids)
+                    if (int(d[-1], 16) % 10 == 0) == keep_mod]
+            return batch.take(pa.array(keep, pa.int64()))
+        return f
+
+    base = postings.map_batches(split(False), batch_format="pyarrow")
+    increment = postings.map_batches(split(True), batch_format="pyarrow")
+    tmp = tempfile.mkdtemp(prefix="osr-mergeidx-", dir="/tmp")
+    try:
+        from ..stages.index import build_index
+
+        idx = os.path.join(tmp, "index")
+        build_index(base, idx)
+        merge_into_index(increment, idx)
+        import ray.data as rd
+
+        out = rd.read_parquet(idx, columns=["doc_id", "term", "tf"])
+        return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_term_correlations(sf_dir: str):
     return term_correlations(_postings(sf_dir))
 

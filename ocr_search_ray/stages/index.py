@@ -122,6 +122,78 @@ def build_index(postings, out_dir: str | None = None, n_buckets: int = N_BUCKETS
     return per_bucket
 
 
+def merge_into_index(new_postings, index_dir: str,
+                     n_buckets: int = N_BUCKETS_DEFAULT) -> dict:
+    """Incremental index maintenance: merge new postings into an existing
+    ``build_index`` layout without a full rebuild.
+
+    Reference parity: the reference keeps ``term_freqs`` current between
+    sync cycles with per-(docId, term) upserts
+    (``DbInterface.class.js:366-381``); with an immutable sorted-parquet
+    layout the analogue is a BUCKET-LOCAL merge. New postings bucket with
+    the same pure crc32 function as the build; only buckets that receive
+    rows are touched — each affected bucket reads its existing files,
+    concatenates the new rows, re-sorts ``(term, doc_id)`` and rewrites
+    atomically (tmp dir + rename) in a parallel Ray task. Untouched
+    buckets are never read: cost ∝ affected-bucket bytes, not the corpus.
+
+    Contract: incoming rows are NEW (doc_id, term) pairs — updating or
+    deleting an existing document is delete-then-merge
+    (``pipelines.compact``), mirroring the reference's modified-file path
+    (delete + re-add). Returns counters.
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+
+    staging = tempfile.mkdtemp(prefix="osr-merge-", dir="/tmp")
+    try:
+        add_term_bucket(new_postings, n_buckets).write_parquet(
+            staging, partition_cols=["term_bucket"], compression="zstd"
+        )
+
+        @ray.remote
+        def merge_bucket(bucket_dir: str, new_dir: str) -> int:
+            import os
+            import shutil
+
+            import pyarrow.parquet as pq2
+
+            new_rows = pq2.read_table(
+                new_dir, columns=["doc_id", "term", "tf"])
+            parts = [new_rows]
+            if os.path.isdir(bucket_dir):
+                parts.append(pq2.read_table(
+                    bucket_dir, columns=["doc_id", "term", "tf"]))
+            merged = pa.concat_tables(parts).sort_by(
+                [("term", "ascending"), ("doc_id", "ascending")]
+            )
+            tmp = bucket_dir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            pq2.write_table(merged, os.path.join(tmp, "part-0.parquet"),
+                            compression="zstd")
+            shutil.rmtree(bucket_dir, ignore_errors=True)
+            os.rename(tmp, bucket_dir)
+            return new_rows.num_rows
+
+        futures = []
+        affected = sorted(_glob.glob(os.path.join(staging, "term_bucket=*")))
+        for new_dir in affected:
+            part = os.path.basename(new_dir)
+            futures.append(
+                merge_bucket.remote(os.path.join(index_dir, part), new_dir))
+        merged_rows = sum(ray.get(futures))
+        return {"buckets_affected": len(affected),
+                "buckets_total": n_buckets,
+                "rows_merged": merged_rows}
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def posting_lists(postings):
     """Grouped posting-list form of the index (SURVEY.md §1.4): one row per
     term with the doc_ids and tfs as JSON arrays ordered by doc_id — the

@@ -90,3 +90,66 @@ def test_index_query_cjk_and_missing_terms(tmp_path):
     # is ASCII so no hits, but the path must not error
     got = search_index(index_dir, pages_dir, "中文查詢", max_return=5)
     assert got.num_rows == 0
+
+
+def test_merge_into_index_matches_full_build(tmp_path):
+    """Incremental maintenance: build on most docs, merge the rest — result
+    rows equal a from-scratch full build; buckets receiving no new terms
+    keep their exact files (never read or rewritten)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_search_ray.stages.index import merge_into_index
+
+    postings = ingest(read_webpages(SF_DIR))["postings"].materialize()
+
+    # increment = postings of 2 specific docs (few terms -> few buckets)
+    some_docs = sorted({r["doc_id"] for r in postings.take_all()})[:2]
+    docs_arr = pa.array(some_docs, pa.string())
+
+    def split(keep_in):
+        def f(b):
+            mask = pc.is_in(b.column("doc_id"), value_set=docs_arr)
+            return b.filter(mask if keep_in else pc.invert(mask))
+        return f
+
+    base = postings.map_batches(split(False), batch_format="pyarrow")
+    increment = postings.map_batches(split(True), batch_format="pyarrow")
+    assert increment.count() > 0
+
+    inc_dir = tmp_path / "inc"
+    full_dir = tmp_path / "full"
+    build_index(base, str(inc_dir))
+    before = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(str(inc_dir / "term_bucket=*" / "*.parquet"))
+    }
+    stats = merge_into_index(increment, str(inc_dir))
+    assert 0 < stats["buckets_affected"] < stats["buckets_total"]
+
+    build_index(postings, str(full_dir))
+
+    def rows(d):
+        return sorted(
+            (r["doc_id"], r["term"], r["tf"])
+            for r in rd.read_parquet(str(d)).take_all()
+        )
+
+    assert rows(inc_dir) == rows(full_dir)
+    # every pre-existing file in a bucket the increment didn't touch is
+    # bit-for-bit untouched (same inode mtime — never read+rewritten)
+    inc_terms = {r["term"] for r in increment.take_all()}
+    from ocr_search_ray.stages.index import term_bucket
+
+    affected_buckets = {f"term_bucket={term_bucket(t)}" for t in inc_terms}
+    assert len(affected_buckets) == stats["buckets_affected"]
+    n_untouched = 0
+    for f, mtime in before.items():
+        bucket = os.path.basename(os.path.dirname(f))
+        if bucket not in affected_buckets:
+            assert os.stat(f).st_mtime_ns == mtime, f"{f} was rewritten"
+            n_untouched += 1
+    assert n_untouched > 0
