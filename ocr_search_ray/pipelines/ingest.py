@@ -192,6 +192,7 @@ def ingest_resumable(
     max_in_flight: int | None = None,
     extract_backend_factory=None,
     extract_timeout_s: float | None = None,
+    continue_on_error: bool = True,
 ) -> dict:
     """Checkpointed ingest over a directory of webpages Parquet fragments.
 
@@ -243,20 +244,57 @@ def ingest_resumable(
                 raise RuntimeError(
                     f"injected failure after {n_processed} partitions"
                 )
-    elif pending:
+    n_failed = 0
+
+    def record_failure(pid: int, frag_hash: str) -> None:
+        # fragment-level skip-don't-fail (reference posture: one poisoned
+        # input never kills the run): record a status='error' manifest row
+        # — NOT 'done', so the next run retries it — and keep going
+        manifest_mod.append_row(
+            manifest_dir,
+            partition_id=pid,
+            stage="ingest",
+            input_hash=frag_hash,
+            row_count=0,
+            byte_count=0,
+            n_errors=0,
+            status="error",
+        )
+
+    if fail_after_partitions is None and pending:
         with ThreadPoolExecutor(max_workers=max_in_flight) as ex:
-            futures = [
-                ex.submit(_process_fragment, pid, rd.read_parquet(frag),
-                          frag_hash, out_dir, manifest_dir,
-                          tokenize_concurrency, ingest_kwargs)
-                for pid, frag, frag_hash in pending
-            ]
-            for f in futures:
-                f.result()  # re-raise the first failure
-                n_processed += 1
+            futures = []
+            for pid, frag, frag_hash in pending:
+                try:
+                    # dataset CONSTRUCTION on the main thread (fs-probe
+                    # race, see _stabilize_fs_probe); corrupt parquet
+                    # metadata raises here
+                    ds = rd.read_parquet(frag)
+                except Exception:
+                    if not continue_on_error:
+                        raise
+                    n_failed += 1
+                    record_failure(pid, frag_hash)
+                    continue
+                futures.append(
+                    (pid, frag_hash,
+                     ex.submit(_process_fragment, pid, ds, frag_hash,
+                               out_dir, manifest_dir, tokenize_concurrency,
+                               ingest_kwargs))
+                )
+            for pid, frag_hash, f in futures:
+                try:
+                    f.result()
+                    n_processed += 1
+                except Exception:
+                    if not continue_on_error:
+                        raise
+                    n_failed += 1
+                    record_failure(pid, frag_hash)
 
     return {
         "fragments": len(fragments),
         "skipped_done": n_done_before,
         "processed": n_processed,
+        "failed": n_failed,
     }

@@ -225,3 +225,49 @@ def test_ingest_watchdog_timeout_recorded_in_manifest(tmp_path):
     statuses = [r["status"] for r in pages.take_all()]
     assert statuses.count("timeout") == 1
     assert len(statuses) >= 40  # everything else extracted
+
+
+def test_poisoned_fragment_skipped_and_retried(tmp_path):
+    """One corrupt input fragment must not kill the job (reference
+    skip-don't-fail at the task level, here at fragment granularity): the
+    run completes the healthy fragments, records a status='error' manifest
+    row for the poisoned one, and a rerun AFTER the fragment is fixed
+    processes it (error rows don't count as done)."""
+    import pyarrow as pa
+
+    from ocr_search_ray.state import manifest as m
+
+    input_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    os.makedirs(input_dir)
+    webpages = read_webpages(SF_DIR).materialize()
+    frags = list(webpages.split(3))
+    for i, sub in enumerate(frags):
+        pq.write_table(pa.Table.from_pandas(sub.to_pandas(), preserve_index=False),
+                       input_dir / f"frag-{i}.parquet")
+    # poison fragment 1
+    good_bytes = (input_dir / "frag-1.parquet").read_bytes()
+    (input_dir / "frag-1.parquet").write_bytes(b"not a parquet file at all")
+
+    summary = ingest_resumable(str(input_dir), str(out_dir),
+                               tokenize_concurrency=2)
+    assert summary["processed"] == 2 and summary["failed"] == 1
+    rows = m.read(str(out_dir / "_manifest"))
+    assert rows.column("status").to_pylist().count("error") == 1
+
+    # fail-fast mode propagates instead
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        ingest_resumable(str(input_dir), str(tmp_path / "out2"),
+                         tokenize_concurrency=2, continue_on_error=False)
+
+    # fix the fragment; rerun picks it up (new hash, error row not 'done')
+    (input_dir / "frag-1.parquet").write_bytes(good_bytes)
+    summary2 = ingest_resumable(str(input_dir), str(out_dir),
+                                tokenize_concurrency=2)
+    assert summary2["processed"] == 1 and summary2["skipped_done"] == 2
+    pages = rd.read_parquet(str(out_dir / "pages"))
+    assert {r["url"] for r in pages.take_all()} == {
+        r["url"] for r in webpages.take_all()
+    }
