@@ -36,3 +36,17 @@ def doc_id(url: str, page_idx: int, page_count: int) -> str:
 
 def img_path(url: str, page_idx: int, page_count: int) -> str:
     return f"{doc_id(url, page_idx, page_count)}.png"
+
+
+def escape_regexp(s: str) -> str:
+    """Regex-metacharacter escaping (SURVEY.md O16; reference
+    ``src/util/escapeRegExp.func.js:1`` — unused in its main flow, kept for
+    API completeness). Escapes exactly the reference's character class
+    ``.*+?^${}()|[]\\`` — unlike ``re.escape``, which also escapes other
+    punctuation and would diverge byte-wise."""
+    out = []
+    for ch in s:
+        if ch in ".*+?^${}()|[]\\":
+            out.append("\\")
+        out.append(ch)
+    return "".join(out)

@@ -54,6 +54,44 @@ def append_search_history(history_dir: str, query: str,
     os.replace(tmp, os.path.join(history_dir, f"evt-{uuid.uuid4().hex}.parquet"))
 
 
+def _read_pages_for_hits(pages_path: str, hit_ids: list[str],
+                         n_buckets: int):
+    """Read page records for a hit-id list with point-lookup pruning.
+
+    When ``pages_path`` carries the ``write_pages_indexed`` layout
+    (``doc_bucket=`` partition dirs), only the buckets the hit ids hash to
+    are opened, with a ``doc_id IN`` predicate pushed into the scan —
+    sha256 ids defeat min/max stats on a flat layout, so the hash-bucket
+    dirs are what makes the pages side a point lookup instead of a corpus
+    scan. A flat layout falls back to the full (column-pruned) read.
+    """
+    import glob as _glob
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.index import doc_bucket
+
+    cols = ["url", "page_idx", "img_path", "doc_id"]
+    bucket_dirs = sorted(
+        _glob.glob(os.path.join(pages_path, "doc_bucket=*")))
+    if not bucket_dirs:
+        return rd.read_parquet(pages_path, columns=cols)
+    wanted = sorted({doc_bucket(d, n_buckets) for d in hit_ids})
+    paths = [
+        f
+        for b in wanted
+        for f in sorted(_glob.glob(
+            os.path.join(pages_path, f"doc_bucket={b}", "*.parquet")))
+    ]
+    if not paths:
+        return rd.read_parquet(pages_path, columns=cols)
+    return rd.read_parquet(
+        paths, columns=cols,
+        filter=pc.field("doc_id").isin(sorted(hit_ids)),
+    )
+
+
 def search_index(index_dir: str, pages_path: str, query: str,
                  max_return: int = DEFAULT_MAX_RETURN,
                  *, n_buckets: int = N_BUCKETS_DEFAULT,
@@ -99,8 +137,9 @@ def search_index(index_dir: str, pages_path: str, query: str,
         return pa.table(
             {c: [] for c in ["url", "page_idx", "img_path", "doc_id", "score"]}
         )
-    pages = rd.read_parquet(pages_path,
-                            columns=["url", "page_idx", "img_path", "doc_id"])
+    pages = _read_pages_for_hits(
+        pages_path, hits_table.column("doc_id").to_pylist(), n_buckets
+    )
     ranked = (
         join_pages(hits_table, pages)
         .sort(["score", "doc_id"], descending=[True, False])

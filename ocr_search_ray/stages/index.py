@@ -122,6 +122,41 @@ def build_index(postings, out_dir: str | None = None, n_buckets: int = N_BUCKETS
     return per_bucket
 
 
+def doc_bucket(doc_id: str, n_buckets: int = N_BUCKETS_DEFAULT) -> int:
+    """Bucket assignment for a doc_id — same pure-crc32 recipe as
+    ``term_bucket``, used by the pages point-lookup layout."""
+    import zlib
+
+    return zlib.crc32(doc_id.encode()) % n_buckets
+
+
+def write_pages_indexed(pages, out_dir: str,
+                        n_buckets: int = N_BUCKETS_DEFAULT):
+    """Write the pages table in a point-lookup layout: partitioned by
+    ``doc_bucket = crc32(doc_id) % n_buckets``.
+
+    Reference parity: the ``docs`` collection is read by ``_id`` when a
+    query's posting hits join back to page records
+    (``DbInterface.class.js:301-327``) — Mongo's key lookup. sha256 ids
+    have no range locality, so parquet min/max stats can never prune a
+    flat layout; the hash-bucket dir IS the index: a query with k hit ids
+    opens ≤ k bucket dirs + a pushed-down ``doc_id IN`` row filter
+    (``pipelines.query.search_index`` detects this layout automatically).
+    """
+    import zlib
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        buckets = pa.array(
+            [zlib.crc32(d.encode()) % n_buckets for d in ids], pa.int32()
+        )
+        return batch.append_column("doc_bucket", buckets)
+
+    pages.map_batches(bucketize, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["doc_bucket"], compression="zstd"
+    )
+
+
 def merge_into_index(new_postings, index_dir: str,
                      n_buckets: int = N_BUCKETS_DEFAULT) -> dict:
     """Incremental index maintenance: merge new postings into an existing

@@ -28,3 +28,16 @@ def test_doc_id_changes_when_file_crosses_power_of_ten():
 def test_img_path_flat_docid_png():
     # post-rearrangement naming (ProcessDirector.class.js:140)
     assert img_path("u", 1, 1) == doc_id("u", 1, 1) + ".png"
+
+
+def test_escape_regexp_matches_reference_charclass():
+    from ocr_search_ray.functions.hashing import escape_regexp
+
+    assert escape_regexp("a.b*c") == r"a\.b\*c"
+    assert escape_regexp("(x)|[y]{2}$^?+\\") == \
+        r"\(x\)\|\[y\]\{2\}\$\^\?\+\\"
+    # chars re.escape would touch but the reference does NOT
+    assert escape_regexp("a-b #~") == "a-b #~"
+    import re
+    for s in ["hello (world)", "a+b*c?", "[set]{1,2}|alt", "back\\slash"]:
+        assert re.fullmatch(escape_regexp(s), s)

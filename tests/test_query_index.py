@@ -153,3 +153,37 @@ def test_merge_into_index_matches_full_build(tmp_path):
             assert os.stat(f).st_mtime_ns == mtime, f"{f} was rewritten"
             n_untouched += 1
     assert n_untouched > 0
+
+
+def test_search_index_with_bucketed_pages_point_lookup(tmp_path):
+    """The pages side of the query path prunes too: with the
+    write_pages_indexed layout only the hit ids' hash buckets are opened
+    (sha256 ids defeat min/max stats on a flat layout), and results are
+    byte-identical to the flat-layout query."""
+    import glob
+
+    from ocr_search_ray.stages.index import write_pages_indexed
+
+    stages = ingest(read_webpages(SF_DIR))
+    pages = stages["pages"].materialize()
+    postings = stages["postings"].materialize()
+
+    idx = tmp_path / "idx"
+    flat = tmp_path / "pages_flat"
+    bucketed = tmp_path / "pages_bucketed"
+    build_index(postings, str(idx))
+    pages.write_parquet(str(flat), compression="zstd")
+    write_pages_indexed(pages, str(bucketed))
+
+    q = "Spark MERGE data!"
+    res_flat = search_index(str(idx), str(flat), q, max_return=10)
+    res_bucketed = search_index(str(idx), str(bucketed), q, max_return=10)
+    assert res_flat.equals(res_bucketed)
+    assert res_flat.num_rows == 10
+
+    # pruning is real: the hit set hashes to far fewer buckets than exist
+    from ocr_search_ray.stages.index import doc_bucket
+
+    n_dirs = len(glob.glob(str(bucketed / "doc_bucket=*")))
+    hit_buckets = {doc_bucket(d) for d in res_flat.column("doc_id").to_pylist()}
+    assert len(hit_buckets) < n_dirs
