@@ -41,7 +41,14 @@ def validate_query(search_term, max_return) -> None:
 
 
 def score_hits(postings, query_terms: list[str]):
-    """Posting semi-join + max-merge: → (doc_id, score) dataset."""
+    """Posting semi-join + max-merge: → (doc_id, score) dataset.
+
+    The max-merge runs through the int-key ``cluster_apply`` exchange, not
+    a Ray groupby on the raw string doc_id — a hot query term's hit set is
+    df(term) rows (millions on a web corpus), exactly where string-key
+    boundary search degrades (CLAUDE.md)."""
+    from .relational import cluster_apply
+
     terms_arr = pa.array(sorted(set(query_terms)), pa.string())
 
     def _filter(batch: pa.Table) -> pa.Table:
@@ -51,22 +58,19 @@ def score_hits(postings, query_terms: list[str]):
             {"doc_id": hits.column("doc_id"), "score": hits.column("tf")}
         )
 
-    def _rename(b: pa.Table) -> pa.Table:
-        # Ray's aggregate can emit a schema-less EMPTY block when every
-        # input block filtered to zero rows — normalize it so downstream
-        # consumers always see the declared schema
-        if b.num_columns != 2:
-            return pa.table(
-                {"doc_id": pa.array([], pa.string()),
-                 "score": pa.array([], pa.int64())}
-            )
-        return b.rename_columns(["doc_id", "score"])
+    def _block_max(block: pa.Table) -> pa.Table:
+        agg = block.group_by("doc_id").aggregate([("score", "max")])
+        return pa.table(
+            {
+                "doc_id": agg.column("doc_id"),
+                "score": agg.column("score_max").cast(pa.int64()),
+            }
+        )
 
-    return (
-        postings.map_batches(_filter, batch_format="pyarrow")
-        .groupby("doc_id")
-        .max("score")
-        .map_batches(_rename, batch_format="pyarrow")
+    return cluster_apply(
+        postings.map_batches(_filter, batch_format="pyarrow"),
+        ["doc_id"],
+        _block_max,
     )
 
 
