@@ -127,6 +127,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("sessionize", q.q_sessionize)
     timed("asof_join", q.q_asof_join)
     timed("tfidf_weights", q.q_tfidf_weights)
+    timed("top_revenue_orders", q.q_top_revenue_orders)
+    timed("value_percentiles", q.q_value_percentiles)
+    timed("tumbling_windows", q.q_tumbling_windows)
     return timings
 
 

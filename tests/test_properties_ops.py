@@ -1,0 +1,138 @@
+"""Randomized properties of the distributed operators vs naive Python.
+
+Few examples (each runs a real Ray exchange) but adversarial shapes:
+duplicate keys, empty groups, ties, negative values.
+"""
+
+import math
+
+import pyarrow as pa
+import ray.data as rd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.floats(-50, 50, allow_nan=False)),
+        min_size=1, max_size=120,
+    ),
+    st.sampled_from([[0.5], [0.25, 0.95], [0.5, 0.9, 1.0]]),
+)
+def test_grouped_percentiles_matches_naive(rows, qs):
+    from ocr_search_ray.stages.relational import grouped_percentiles
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([f"g{a}" for a, _ in rows]),
+                "v": pa.array([b for _, b in rows], pa.float64()),
+            }
+        )
+    ).repartition(3)
+    got = {
+        r["k"]: tuple(r[f"p{int(q*100)}"] for q in qs)
+        for r in grouped_percentiles(ds, ["k"], "v", qs).take_all()
+    }
+
+    def away(x):
+        return int(math.floor(abs(x) * 100 + 0.5)) * (1 if x >= 0 else -1)
+
+    naive = {}
+    for a, b in rows:
+        naive.setdefault(f"g{a}", []).append(away(b))
+    expected = {}
+    for k, vals in naive.items():
+        vals.sort()
+        expected[k] = tuple(
+            vals[max(1, math.ceil(q * len(vals))) - 1] for q in qs
+        )
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 8), st.integers(-5, 5)),
+             min_size=0, max_size=60),
+    st.lists(st.tuples(st.integers(0, 8), st.integers(100, 105)),
+             min_size=0, max_size=20),
+)
+def test_cluster_join_inner_matches_naive(left_rows, right_rows):
+    from ocr_search_ray.stages.relational import cluster_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([a for a, _ in left_rows], pa.int64()),
+                "x": pa.array([b for _, b in left_rows], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([a for a, _ in right_rows], pa.int64()),
+                "y": pa.array([b for _, b in right_rows], pa.int64()),
+            }
+        )
+    )
+    got = sorted(
+        (r["k"], r["x"], r["y"])
+        for r in cluster_join(
+            left, right, ["k"],
+            left_types={"k": pa.int64(), "x": pa.int64()},
+            right_types={"y": pa.int64()},
+        ).take_all()
+    )
+    expected = sorted(
+        (lk, lx, ry)
+        for lk, lx in left_rows
+        for rk, ry in right_rows
+        if lk == rk
+    )
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000),
+                  st.floats(0, 99, allow_nan=False)),
+        min_size=1, max_size=80,
+    )
+)
+def test_tumbling_windows_match_naive(rows):
+    import datetime as dt
+
+    from ocr_search_ray.stages.sessionize import tumbling_window_agg
+
+    epoch = dt.datetime(2025, 1, 1)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array([f"t{a}" for a, _, _ in rows]),
+                "ts": pa.array(
+                    [epoch + dt.timedelta(seconds=b) for _, b, _ in rows],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array([c for _, _, c in rows], pa.float64()),
+            }
+        )
+    ).repartition(2)
+    got = {
+        (r["g"], r["window_start"]): (r["n_events"], r["sum_value_cents"])
+        for r in tumbling_window_agg(
+            ds, window=dt.timedelta(minutes=10), key_cols=["g"]
+        ).take_all()
+    }
+
+    def away(x):
+        return int(math.floor(abs(x) * 100 + 0.5)) * (1 if x >= 0 else -1)
+
+    naive: dict = {}
+    for a, b, c in rows:
+        w = epoch + dt.timedelta(seconds=(b // 600) * 600)
+        n, s = naive.get((f"t{a}", w), (0, 0))
+        naive[(f"t{a}", w)] = (n + 1, s + away(c))
+    assert got == naive
