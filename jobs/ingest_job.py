@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -32,6 +33,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="only ingest; do not (re)build the posting index")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode CPU count (ignored on a cluster)")
+    ap.add_argument("--cycles", type=int, default=1,
+                    help="micro-batch sync cycles (reference: the 15-min "
+                         "poll loop); each cycle ingests NEW fragments and "
+                         "merges their postings into the index incrementally")
+    ap.add_argument("--interval", type=float, default=0.0,
+                    help="seconds to sleep between cycles")
     args = ap.parse_args(argv)
 
     import ray
@@ -42,18 +49,44 @@ def main(argv: list[str] | None = None) -> int:
             kwargs.update(address="local", num_cpus=args.num_cpus)
         ray.init(**kwargs)
 
+    import glob
+
     import ray.data as rd
 
     from ocr_search_ray.pipelines.ingest import ingest_resumable
-    from ocr_search_ray.stages.index import build_index
+    from ocr_search_ray.stages.index import build_index, merge_into_index
 
+    index_dir = f"{args.out}/postings_index"
     t0 = time.monotonic()
-    summary = ingest_resumable(args.input, args.out)
-    if not args.skip_index:
-        postings = rd.read_parquet(f"{args.out}/postings")
-        build_index(postings, out_dir=f"{args.out}/postings_index")
-    summary["wall_s"] = round(time.monotonic() - t0, 2)
-    print(json.dumps(summary))
+    summaries = []
+    for cycle in range(args.cycles):
+        if cycle > 0 and args.interval:
+            time.sleep(args.interval)
+        before = set(glob.glob(f"{args.out}/postings/part=*"))
+        summary = ingest_resumable(args.input, args.out)
+        if not args.skip_index:
+            new_parts = sorted(
+                set(glob.glob(f"{args.out}/postings/part=*")) - before
+            )
+            if not os.path.isdir(index_dir):
+                # first cycle: full build from everything ingested so far
+                build_index(rd.read_parquet(f"{args.out}/postings"),
+                            out_dir=index_dir)
+                summary["index"] = "full_build"
+            elif new_parts:
+                # later cycles: only the NEW fragments' postings merge in,
+                # touching only their term buckets (reference parity: the
+                # sync loop upserts increments, never rebuilds)
+                stats = merge_into_index(rd.read_parquet(new_parts),
+                                         index_dir)
+                summary["index"] = stats
+            else:
+                summary["index"] = "unchanged"
+        summary["cycle"] = cycle
+        summaries.append(summary)
+    out = summaries[-1] if args.cycles == 1 else {"cycles": summaries}
+    out["wall_s"] = round(time.monotonic() - t0, 2)
+    print(json.dumps(out))
     ray.shutdown()
     return 0
 

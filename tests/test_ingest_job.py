@@ -1,0 +1,68 @@
+"""The ray-job entry's micro-batch sync loop: resume + incremental merge."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _run_job(input_dir, out_dir):
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/jobs/ingest_job.py",
+         "--input", str(input_dir), "--out", str(out_dir),
+         "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=240,
+        env={**os.environ, "PYTHONPATH": "/root/repo",
+             "RAY_ADDRESS": "local"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_sync_cycle_ingests_new_fragments_and_merges_index(tmp_path):
+    """Cycle 1 builds the index from the initial fragments; a new fragment
+    appears; cycle 2 (a fresh job submit, the reference's poll loop) skips
+    finished fragments, ingests only the new one, and merges its postings
+    into the EXISTING index bucket-locally — after which the on-disk query
+    path finds the new document."""
+    import ray.data as rd
+
+    from ocr_search_ray.sources.webpages import read_webpages
+
+    input_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    os.makedirs(input_dir)
+    web = read_webpages("/root/testdata/sf0.001").materialize()
+    frags = list(web.split(3))
+    for i, sub in enumerate(frags[:2]):
+        pq.write_table(pa.Table.from_pandas(sub.to_pandas(), preserve_index=False),
+                       input_dir / f"frag-{i}.parquet")
+
+    s1 = _run_job(input_dir, out_dir)
+    assert s1["processed"] == 2 and s1["index"] == "full_build"
+
+    # the poll interval elapses; a new fragment lands
+    pq.write_table(pa.Table.from_pandas(frags[2].to_pandas(), preserve_index=False),
+                   input_dir / "frag-2.parquet")
+    s2 = _run_job(input_dir, out_dir)
+    assert s2["skipped_done"] == 2 and s2["processed"] == 1
+    assert isinstance(s2["index"], dict) and s2["index"]["buckets_affected"] > 0
+
+    # merged index == full postings relation
+    idx_rows = rd.read_parquet(str(out_dir / "postings_index")).count()
+    post_rows = rd.read_parquet(str(out_dir / "postings")).count()
+    assert idx_rows == post_rows
+
+    # and the query path serves content from the NEW fragment
+    from ocr_search_ray.functions.tokenizer import Tokenizer
+    from ocr_search_ray.pipelines.query import search_index
+
+    new_pages = pq.read_table(str(out_dir / "pages" / "part=00002"))
+    text = next(t for t in new_pages.column("text").to_pylist() if t)
+    term = next(iter(Tokenizer().term_freqs(text)))
+    res = search_index(str(out_dir / "postings_index"),
+                       str(out_dir / "pages"), term, max_return=5)
+    assert res.num_rows > 0
