@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.q_media_features,
         "media_resize": q.q_media_resize,
         "media_frames": q.q_media_frames,
+        "media_real": q.q_media_real,  # rows-only (real BMP/WAV kernels)
     }
 
 

@@ -692,6 +692,63 @@ def q_media_frames(sf_dir: str):
     return frames.map_batches(project, batch_format="pyarrow")
 
 
+def q_media_real(sf_dir: str):
+    """REAL media decode end-to-end (rows-only; kernels locked by pytest):
+    deterministic BMP images / WAV tones synthesized per doc, decoded and
+    feature-extracted with the pure-numpy codecs — no stub on this path."""
+    import numpy as np
+
+    from ..functions.media_codecs import encode_bmp24, encode_wav_pcm16
+    from ..stages.multimodal import extract_media_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads, kinds = [], []
+        for d in ids:
+            if d % 2 == 0:
+                img = np.full((8, 8, 3), d % 251, dtype=np.uint8)
+                img[:, :, 1] = (d * 7) % 251
+                payloads.append(encode_bmp24(img))
+                kinds.append("image")
+            else:
+                t = np.arange(256, dtype=np.float32)
+                tone = (np.sin(t * (1 + d % 16) / 8.0) * 12000).astype(np.int16)
+                payloads.append(encode_wav_pcm16(tone, 8000))
+                kinds.append("audio")
+        n = len(ids)
+        return pa.table(
+            {
+                "media_id": pa.array([f"m-{d:06d}" for d in ids], pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array([-1] * n, pa.int32()),
+                "height": pa.array([-1] * n, pa.int32()),
+                "duration_ms": pa.array([-1] * n, pa.int32()),
+            }
+        )
+
+    media = docs.map_batches(synth, batch_format="pyarrow", batch_size=64)
+    feats = extract_media_features(media, concurrency=2, batch_size=64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "status": batch.column("status"),
+                "f0": pa.array(
+                    [round(f[0], 6) if f is not None else -1.0
+                     for f in batch.column("feature").to_pylist()],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessions over the events stream (30-min gap)."""
     from ..stages.sessionize import sessionize

@@ -1,12 +1,18 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads are opaque ``binary`` columns with typed metadata,
-processed by actor-pool ``map_batches`` stages. The decode kernels themselves
-are STUBBED (no image/audio libraries exist in this container — clearly
-marked below); everything Ray-side is real and tested: schema, batch sizing,
-actor signature, deterministic fake features, output layout.
+processed by actor-pool ``map_batches`` stages. Decode is routed per row on
+MAGIC BYTES:
 
-Swapping in a real backend = replacing ``_decode_stub`` with e.g. a pinned
+- **real kernels** for uncompressed formats — BMP24 images and WAV-PCM16
+  audio decode, feature-extract and resize entirely in numpy
+  (``functions/media_codecs.py``; complete spec implementations, no external
+  libraries needed);
+- **documented stub** for compressed formats (JPEG/PNG/MP3/H.264 — no
+  codecs in this container): deterministic digest features so layout,
+  dtypes and quarantine plumbing stay real and tested.
+
+Swapping in a full backend = replacing ``_decode_stub`` with e.g. a pinned
 PIL/ffmpeg handle created in ``__init__`` — the stage contract is unchanged.
 """
 
@@ -16,6 +22,8 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from ..functions import media_codecs
 
 MEDIA = pa.schema(
     [
@@ -32,15 +40,25 @@ FEATURE_DIM = 16
 
 
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """STUB decode/feature-extract: a real deployment raises
-    NotImplementedError here or calls a pinned decoder. The deterministic
-    fake derives a FEATURE_DIM float vector from the payload digest so
-    output layout, dtypes and tests are real."""
-    if payload is None:
-        raise ValueError("null payload")
+    """STUB decode/feature-extract for COMPRESSED formats: a real deployment
+    calls a pinned decoder here. The deterministic fake derives a
+    FEATURE_DIM float vector from the payload digest so output layout,
+    dtypes and tests are real."""
     digest = hashlib.sha256(kind.encode() + b"\x00" + payload).digest()
     raw = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16)
     return (raw.astype(np.float32) / 65535.0).astype(np.float32)
+
+
+def _features(payload: bytes, kind: str) -> np.ndarray:
+    """Magic-byte routing: REAL kernels for BMP/WAV, stub otherwise."""
+    if payload is None:
+        raise ValueError("null payload")
+    if payload[:2] == b"BM":
+        return media_codecs.image_features(media_codecs.decode_bmp24(payload))
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return media_codecs.audio_features(
+            *media_codecs.decode_wav_pcm16(payload))
+    return _decode_stub(payload, kind)
 
 
 class MediaFeatureExtractor:
@@ -61,7 +79,7 @@ class MediaFeatureExtractor:
         out_feat: list[list[float] | None] = []
         for kind, payload in zip(kinds, payloads):
             try:
-                vec = _decode_stub(payload, kind)
+                vec = _features(payload, kind)
                 out_status.append("ok")
                 out_feat.append([float(x) for x in vec])
             except Exception:
@@ -101,15 +119,24 @@ class ImageResizer:
         self.max_w = max_w
         self.max_h = max_h  # codec handle would be pinned here
 
-    def _resize_stub(self, payload: bytes, w: int, h: int) -> tuple[bytes, int, int]:
+    def _box_fit(self, w: int, h: int) -> tuple[int, int]:
+        # aspect-preserving box fit
+        if w <= 0 or h <= 0:
+            return self.max_w, self.max_h
+        scale = min(self.max_w / w, self.max_h / h, 1.0)
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def _resize_one(self, payload: bytes, w: int, h: int) -> tuple[bytes, int, int]:
         if payload is None:
             raise ValueError("null payload")
-        # aspect-preserving box fit on the declared metadata dims
-        if w <= 0 or h <= 0:
-            out_w, out_h = self.max_w, self.max_h
-        else:
-            scale = min(self.max_w / w, self.max_h / h, 1.0)
-            out_w, out_h = max(1, int(w * scale)), max(1, int(h * scale))
+        if payload[:2] == b"BM":
+            # REAL pixel transform: decode → nearest-neighbor → re-encode
+            img = media_codecs.decode_bmp24(payload)
+            out_w, out_h = self._box_fit(img.shape[1], img.shape[0])
+            resized = media_codecs.resize_nearest(img, out_w, out_h)
+            return media_codecs.encode_bmp24(resized), out_w, out_h
+        # STUB for compressed formats: box math real, pixels digest-faked
+        out_w, out_h = self._box_fit(w, h)
         fake = hashlib.sha256(
             b"resize\x00" + payload + f"\x00{out_w}x{out_h}".encode()
         ).digest()
@@ -124,7 +151,7 @@ class ImageResizer:
             try:
                 if kind != "image":
                     raise ValueError(f"not an image: {kind}")
-                payload, w, h = self._resize_stub(
+                payload, w, h = self._resize_one(
                     cols["payload"][i], cols["width"][i], cols["height"][i]
                 )
                 status = "ok"
