@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": q.q_quality_stats,
         "token_counts": q.q_token_counts,
         "fingerprints": q.q_fingerprints,
+        "winnowing": q.q_winnowing,
         "vocab_stats": q.q_vocab_stats,
         "lang_id": q.q_lang_id,  # rows-only
         "ngram_counts": q.q_ngram_counts,
@@ -612,6 +613,39 @@ def oracle_sql() -> dict[str, str]:
             fp AS (SELECT doc_id, MIN(md5(sh)) AS fingerprint FROM sh5 GROUP BY doc_id)
             SELECT d.doc_id, COALESCE(fp.fingerprint, md5(d.text)) AS fingerprint
             FROM documents d LEFT JOIN fp USING (doc_id)
+        """,
+        "winnowing": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                       FROM documents),
+            g AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS gpos,
+                     md5(list_extract(words, i) || ' '
+                         || list_extract(words, i + 1) || ' '
+                         || list_extract(words, i + 2)) AS h
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(1, len(words) - 2)) AS i) p
+              WHERE len(words) >= 3
+            ),
+            win AS (
+              SELECT n.doc_id, CAST(s.j AS BIGINT) AS wstart
+              FROM (SELECT doc_id, max(gpos) AS np FROM g GROUP BY doc_id) n,
+              LATERAL (
+                SELECT unnest(generate_series(1, CAST(n.np - 3 AS INT))) AS j) s
+            ),
+            pick AS (
+              SELECT win.doc_id, win.wstart,
+                     (SELECT max(g2.gpos) FROM g g2
+                      WHERE g2.doc_id = win.doc_id
+                        AND g2.gpos BETWEEN win.wstart AND win.wstart + 3
+                        AND g2.h = (SELECT min(g3.h) FROM g g3
+                                    WHERE g3.doc_id = win.doc_id
+                                      AND g3.gpos BETWEEN win.wstart
+                                          AND win.wstart + 3)
+                     ) AS selpos
+              FROM win
+            )
+            SELECT DISTINCT p.doc_id, g.h AS gram_hash, p.selpos AS pos
+            FROM pick p JOIN g ON g.doc_id = p.doc_id AND g.gpos = p.selpos
         """,
         "vocab_stats": f"""
             {_POSTINGS_PREFIX}

@@ -551,6 +551,14 @@ def q_token_counts(sf_dir: str):
     return textstats.token_counts(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_winnowing(sf_dir: str):
+    """Winnowing (MOSS) rolling-hash fingerprints, exact vs a windowed-SQL
+    oracle (min per window, rightmost tie-break, distinct selections)."""
+    return textstats.winnowing_fingerprints(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_fingerprints(sf_dir: str):
     return textstats.fingerprints(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 

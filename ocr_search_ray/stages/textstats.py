@@ -145,6 +145,57 @@ def fingerprints(documents, *, k: int = 5, id_col: str = "doc_id",
     )
 
 
+def winnowing_fingerprints(documents, *, k: int = 3, window: int = 4,
+                           id_col: str = "doc_id", text_col: str = "text"):
+    """→ (doc_id, gram_hash, pos): winnowing fingerprint sets (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — the MOSS rolling-hash scheme the brief's
+    "document fingerprinting" names).
+
+    Per doc: md5 over each word k-gram, slide a ``window``-wide window over
+    the hash sequence, select each window's MINIMUM (rightmost position on
+    ties), deduplicate selections. Guarantee: any shared word run of length
+    ≥ window + k − 1 produces a shared fingerprint; expected density
+    2/(window+1). Positions are 1-based (SQL parity). Batch-local — no
+    shuffle; downstream plagiarism/near-dup joins group on gram_hash.
+    """
+    import hashlib
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_h, out_p = [], [], []
+        for did, t in zip(ids, texts):
+            words = (t or "").split(" ")
+            n = len(words) - k + 1
+            if n < 1:
+                continue
+            hs = [
+                hashlib.md5(" ".join(words[i:i + k]).encode()).hexdigest()
+                for i in range(n)
+            ]
+            picked: set[tuple[str, int]] = set()
+            for j in range(max(0, n - window + 1)):
+                win = hs[j:j + window]
+                m = min(win)
+                pos = max(i for i in range(j, j + len(win)) if hs[i] == m)
+                picked.add((m, pos + 1))  # 1-based
+            for h, p in sorted(picked, key=lambda x: x[1]):
+                out_id.append(did)
+                out_h.append(h)
+                out_p.append(p)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, batch.column(id_col).type),
+                "gram_hash": pa.array(out_h, pa.string()),
+                "pos": pa.array(out_p, pa.int64()),
+            }
+        )
+
+    return documents.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 def vocab_stats(postings):
     """→ single row (n_terms, n_postings, total_tf) — corpus-level vocabulary
     statistics from a POSTINGS dataset (two-phase: batch partials, then sum)."""

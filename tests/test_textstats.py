@@ -99,3 +99,33 @@ def test_domain_stats_counts_pages_and_distinct_urls():
     got = {r["domain"]: (r["n_pages"], r["n_urls"])
            for r in domain_stats(rd.from_arrow(pages).repartition(3)).take_all()}
     assert got == {"a.example": (3, 2), "b.example": (1, 1)}
+
+
+def test_winnowing_shared_run_guarantee():
+    """Schleimer et al. guarantee: two docs sharing a word run of length
+    >= window + k - 1 (= 6 at defaults) share at least one fingerprint;
+    fully word-disjoint docs share none."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.textstats import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 shared words
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    f"one two {shared} three four five",
+                    f"six seven eight {shared} nine",
+                    "p q r s t u v w x y z aa bb cc",
+                ]
+            ),
+        }
+    )
+    out = winnowing_fingerprints(rd.from_arrow(docs)).take_all()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["gram_hash"])
+    assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
