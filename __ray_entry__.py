@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q.q_token_counts,
         "fingerprints": q.q_fingerprints,
         "winnowing": q.q_winnowing,
+        "approx_distinct": q.q_approx_distinct,  # rows-only (HLL sketch)
         "vocab_stats": q.q_vocab_stats,
         "lang_id": q.q_lang_id,  # rows-only
         "ngram_counts": q.q_ngram_counts,

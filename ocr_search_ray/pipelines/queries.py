@@ -551,6 +551,14 @@ def q_token_counts(sf_dir: str):
     return textstats.token_counts(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_approx_distinct(sf_dir: str):
+    """HLL distinct-text estimate (rows-only: the estimate is deterministic
+    but not SQL-derivable; accuracy/determinism locked by pytest)."""
+    return textstats.approx_distinct(
+        _read(sf_dir, "documents", columns=["text"]), "text"
+    )
+
+
 def q_winnowing(sf_dir: str):
     """Winnowing (MOSS) rolling-hash fingerprints, exact vs a windowed-SQL
     oracle (min per window, rightmost tie-break, distinct selections)."""

@@ -145,6 +145,83 @@ def fingerprints(documents, *, k: int = 5, id_col: str = "doc_id",
     )
 
 
+def approx_distinct(ds, col: str, *, precision: int = 12):
+    """→ single row (estimate:int64, n_registers:int64): HyperLogLog
+    distinct count (Flajolet et al. 2007) — THE sketch for cardinality at
+    10^12 rows, where exact distinct needs a full exchange
+    (``term_stats``-style) and a sketch needs 2^precision bytes total.
+
+    Per batch: md5 each value, first ``precision`` hash bits pick a
+    register, the register keeps max leading-zero rank of the rest (pure
+    numpy). Registers merge by ELEMENTWISE MAX — order-free and
+    idempotent — via one tiny exchange (one 2^precision-byte row per
+    batch); the driver sees a single merged register row. Standard bias
+    correction + small-range (linear counting) correction applied.
+    Deterministic (md5) — same data → same estimate, any partitioning.
+    Typical error 1.04/sqrt(2^precision) ≈ 1.6% at the default.
+    """
+    import hashlib
+
+    import numpy as np
+
+    m = 1 << precision
+
+    def batch_registers(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.uint8)
+        vals = batch.column(col).to_pylist()
+        for v in vals:
+            h = int.from_bytes(
+                hashlib.md5(str(v).encode()).digest()[:8], "big")
+            idx = h >> (64 - precision)
+            rest = h & ((1 << (64 - precision)) - 1)
+            # rank = leading zeros of the remaining 64-p bits, +1
+            rank = (64 - precision) - rest.bit_length() + 1
+            if rank > regs[idx]:
+                regs[idx] = rank
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    def block_merge(block: pa.Table) -> pa.Table:
+        import numpy as np
+
+        merged = np.zeros(m, dtype=np.uint8)
+        for b in block.column("regs").to_pylist():
+            merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
+        return pa.table({"regs": pa.array([merged.tobytes()], pa.binary())})
+
+    from .relational import cluster_apply
+
+    parts = ds.select_columns([col]).map_batches(
+        batch_registers, batch_format="pyarrow"
+    )
+    # constant key → all register rows co-locate; block-local max-merge
+    merged_rows = cluster_apply(
+        parts.map_batches(
+            lambda t: t.append_column(
+                "k", pa.repeat(pa.scalar(0, pa.int32()), t.num_rows)),
+            batch_format="pyarrow",
+        ),
+        ["k"],
+        lambda b: block_merge(b),
+    ).take_all()
+
+    import numpy as np
+
+    regs = np.zeros(m, dtype=np.uint8)
+    for r in merged_rows:
+        regs = np.maximum(regs, np.frombuffer(r["regs"], dtype=np.uint8))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting, small range
+    return pa.table(
+        {
+            "estimate": pa.array([int(round(est))], pa.int64()),
+            "n_registers": pa.array([m], pa.int64()),
+        }
+    )
+
+
 def winnowing_fingerprints(documents, *, k: int = 3, window: int = 4,
                            id_col: str = "doc_id", text_col: str = "text"):
     """→ (doc_id, gram_hash, pos): winnowing fingerprint sets (Schleimer,

@@ -11,10 +11,10 @@ def test_oracle_keys_subset_of_queries():
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     assert set(sqls) <= set(qs), set(sqls) - set(qs)
-    # rows-only ops are the documented six
+    # rows-only ops are the documented seven
     assert set(qs) - set(sqls) == {
         "simhash_signatures", "simhash_neardup", "lang_id", "ann_lsh_topk",
-        "lsh_neardup", "media_real",
+        "lsh_neardup", "media_real", "approx_distinct",
     }
 
 

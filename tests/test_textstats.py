@@ -129,3 +129,24 @@ def test_winnowing_shared_run_guarantee():
         by_doc.setdefault(r["doc_id"], set()).add(r["gram_hash"])
     assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_approx_distinct_within_hll_error_bounds():
+    """HLL estimate vs exact distinct on 20k values with heavy duplication:
+    within 3x the theoretical standard error (1.04/sqrt(m)); deterministic
+    across partitionings."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.textstats import approx_distinct
+
+    n_distinct = 7000
+    vals = [f"url-{i % n_distinct}" for i in range(20000)]
+    ds = rd.from_arrow(pa.table({"u": pa.array(vals)})).repartition(8)
+    est = approx_distinct(ds, "u").to_pylist()[0]["estimate"]
+    rel_err = abs(est - n_distinct) / n_distinct
+    assert rel_err < 3 * 1.04 / (1 << 6), f"est {est} err {rel_err:.3f}"
+
+    # partitioning-independent determinism
+    est2 = approx_distinct(ds.repartition(3), "u").to_pylist()[0]["estimate"]
+    assert est2 == est
