@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only
         # IVF with full probes == exact cosine top-k → reuse the brute oracle
         "ann_ivf_topk": q.q_ann_ivf_topk,
+        "ann_ivf_disk": q.q_ann_ivf_disk,
         "lsh_neardup": q.q_lsh_neardup,  # rows-only (LSH buckets)
         "embedding_neardup": q.q_embedding_neardup,
         # multimodal plumbing (decode stubbed; layout/status are exact)
@@ -735,6 +736,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE pf.url NOT IN (SELECT url FROM web WHERE doc_id % 50 = 0)
         """,
         "ann_ivf_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 5
+            ),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                       AS score
+              FROM embeddings e, q
+            ),
+            r AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+              FROM s
+            )
+            SELECT query_id, vec_id, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 10
+        """,
+        "ann_ivf_disk": """
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
               FROM embeddings WHERE vec_id < 5

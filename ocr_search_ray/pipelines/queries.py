@@ -847,6 +847,25 @@ def q_ann_ivf_topk(sf_dir: str):
                     nprobe=16)
 
 
+def q_ann_ivf_disk(sf_dir: str):
+    """The on-disk IVF ANN layout under the oracle: build centroid-
+    partitioned cells in /tmp, run the probe-pruned disk search at full
+    probe — must equal exact brute-force cosine top-k."""
+    import shutil
+    import tempfile
+
+    from ..stages.similarity import build_ivf_index, search_ivf_index
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    tmp = tempfile.mkdtemp(prefix="osr-ivf-", dir="/tmp")
+    try:
+        build_ivf_index(emb, tmp, n_centroids=16)
+        out = search_ivf_index(tmp, _query_vectors(sf_dir), k=10, nprobe=16)
+        return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_heavy_terms(sf_dir: str):
     """Exact heavy hitters (cf ≥ 900) via the Misra-Gries sketch+verify plan."""
     from ..stages.index import heavy_terms

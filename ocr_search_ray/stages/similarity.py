@@ -202,26 +202,15 @@ def embedding_neardup_pairs(embeddings, *, threshold: float, max_id: int,
     return restricted.map_batches(pairs, batch_format="pyarrow")
 
 
-def ivf_topk(embeddings, queries: dict[int, list[float]], *, k: int = 10,
-             n_centroids: int = 16, nprobe: int = 4, train_iters: int = 3,
-             id_col: str = "vec_id", vec_col: str = "embedding"):
-    """IVF-style ANN: coarse k-means centroids partition the corpus; each
-    query probes only its ``nprobe`` nearest cells (the scale path next to
-    ``lsh_bucket_topk``).
-
-    Deterministic end to end: centroids initialize from the ``n_centroids``
-    smallest ids, Lloyd iterations run as distributed partial-sum passes
-    (driver holds only the (n_centroids × dim) table), assignment ties break
-    toward the lower centroid index. With ``nprobe >= n_centroids`` every
-    cell is probed and the result EQUALS ``ann_brute_topk`` exactly (tested);
-    smaller nprobe trades recall for a corpus-fraction scan.
-    """
+def _train_centroids(embeddings, n_centroids: int, train_iters: int,
+                     id_col: str, vec_col: str) -> np.ndarray:
+    """Distributed coarse k-means (Lloyd): deterministic init from the
+    ``n_centroids`` smallest ids; each iteration is one partial-sum pass;
+    the driver holds only the (n_centroids × dim) table."""
+    import pyarrow.compute as pc
     import ray
 
-    # ---- deterministic init: the n_centroids smallest vec_ids
     def keep_seed(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         return batch.filter(pc.less(batch.column(id_col), n_centroids))
 
     seed_rows = sorted(
@@ -232,14 +221,13 @@ def ivf_topk(embeddings, queries: dict[int, list[float]], *, k: int = 10,
         np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
     )
 
-    # ---- Lloyd iterations: one distributed partial-sum pass each
     for _ in range(train_iters):
         c_ref = ray.put(centroids)
 
         def partial_sums(batch: pa.Table) -> pa.Table:
             cen = ray.get(c_ref)
             m = _normalize(_batch_matrix(batch, vec_col))
-            assign = np.argmax(m @ cen.T, axis=1)  # argmax: first (lowest) wins ties
+            assign = np.argmax(m @ cen.T, axis=1)  # first (lowest) wins ties
             sums = np.zeros_like(cen)
             np.add.at(sums, assign, m)
             counts = np.bincount(assign, minlength=len(cen))
@@ -263,6 +251,156 @@ def ivf_topk(embeddings, queries: dict[int, list[float]], *, k: int = 10,
         centroids[nonempty] = _normalize(
             sums[nonempty] / counts[nonempty, None]
         )
+    return centroids
+
+
+def build_ivf_index(embeddings, out_dir: str, *, n_centroids: int = 16,
+                    train_iters: int = 3, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist an IVF ANN index: the embedding analogue of the bucketed
+    posting-table layout.
+
+    Layout: ``centroids.parquet`` (n_centroids rows — the only thing a
+    query driver loads) + vectors written partitioned by assigned cell
+    (``cells/cell=N/``). ``search_ivf_index`` probes only ``nprobe`` cell
+    dirs per query — a point lookup against a 10^10-vector corpus touches
+    a corpus_fraction ≈ nprobe/n_centroids, not the corpus.
+    """
+    import os
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    centroids = _train_centroids(
+        embeddings, n_centroids, train_iters, id_col, vec_col
+    )
+    c_ref = ray.put(centroids)
+
+    def assign_cells(batch: pa.Table) -> pa.Table:
+        cen = ray.get(c_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        assign = np.argmax(m @ cen.T, axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(assign, pa.int32()))
+
+    embeddings.map_batches(assign_cells, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "cells"), partition_cols=["cell"],
+        compression="zstd",
+    )
+    _pq.write_table(
+        pa.table(
+            {
+                "centroid": pa.array(range(len(centroids)), pa.int32()),
+                "vector": pa.array(centroids.tolist(), pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(out_dir, "centroids.parquet"),
+    )
+
+
+def search_ivf_index(index_dir: str, queries: dict[int, list[float]], *,
+                     k: int = 10, nprobe: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding"):
+    """Query the on-disk IVF index: load the tiny centroid table, pick each
+    query's ``nprobe`` nearest cells, read ONLY those cell dirs, brute-force
+    the candidates and merge per-query top-k. Same output schema as
+    ``ann_brute_topk``; with ``nprobe >= n_centroids`` results equal it
+    exactly (the layout loses nothing)."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+    import ray
+    import ray.data as rd
+
+    cen_table = _pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    centroids = np.array(cen_table.column("vector").to_pylist(),
+                         dtype=np.float64)
+    q_ids = sorted(queries)
+    q_mat = _normalize(np.array([queries[q] for q in q_ids], dtype=np.float64))
+    order = np.argsort(-(q_mat @ centroids.T), axis=1, kind="stable")
+    nprobe = min(nprobe, len(centroids))
+    probes = [set(row[:nprobe].tolist()) for row in order]
+    needed = sorted(set().union(*probes)) if probes else []
+    paths = [
+        f
+        for c in needed
+        for f in sorted(_glob.glob(
+            os.path.join(index_dir, "cells", f"cell={c}", "*.parquet")))
+    ]
+    if not paths:
+        return rd.from_arrow(pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int32())}))
+    candidates = rd.read_parquet(paths, columns=[id_col, vec_col, "cell"])
+    ctx = ray.put((q_ids, q_mat, probes))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids, qm, probe_sets = ray.get(ctx)
+        vec_ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
+        cells = np.array(batch.column("cell").to_pylist(), dtype=np.int64)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        scores = m @ qm.T
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(ids):
+            mask = np.isin(cells, list(probe_sets[qi]))
+            if not mask.any():
+                continue
+            sub_ids = vec_ids[mask]
+            col = scores[mask, qi]
+            idx = np.lexsort((sub_ids, -col))[: min(k, len(sub_ids))]
+            out_q.extend([qid] * len(idx))
+            out_v.extend(sub_ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group, sort_keys=[("score", "descending"), ("vec_id", "ascending")]
+        )
+        top = group.take(idx[:k])
+        return pa.table(
+            {
+                "query_id": top.column("query_id"),
+                "vec_id": top.column("vec_id"),
+                "rank": pa.array(range(1, top.num_rows + 1), pa.int32()),
+            }
+        )
+
+    return (
+        candidates.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )
+
+
+def ivf_topk(embeddings, queries: dict[int, list[float]], *, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, train_iters: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF-style ANN: coarse k-means centroids partition the corpus; each
+    query probes only its ``nprobe`` nearest cells (the scale path next to
+    ``lsh_bucket_topk``).
+
+    Deterministic end to end: centroids initialize from the ``n_centroids``
+    smallest ids, Lloyd iterations run as distributed partial-sum passes
+    (driver holds only the (n_centroids × dim) table), assignment ties break
+    toward the lower centroid index. With ``nprobe >= n_centroids`` every
+    cell is probed and the result EQUALS ``ann_brute_topk`` exactly (tested);
+    smaller nprobe trades recall for a corpus-fraction scan.
+    """
+    import ray
+
+    centroids = _train_centroids(
+        embeddings, n_centroids, train_iters, id_col, vec_col
+    )
 
     # ---- probe sets per query
     q_ids = sorted(queries)

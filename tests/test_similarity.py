@@ -151,3 +151,55 @@ def test_lsh_neardup_pairs_finds_planted_duplicates():
     idmap = {k: i for i, k in enumerate(ids)}
     for a, b in got:
         assert sims[idmap[a], idmap[b]] >= 0.98 - 1e-12
+
+
+def test_on_disk_ivf_index_full_probe_equals_brute(tmp_path):
+    """The persisted IVF layout loses nothing: full-probe search over the
+    cell dirs equals in-memory brute force; small nprobe opens only a cell
+    subset."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.similarity import (
+        ann_brute_topk,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((400, 12))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(400), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs]),
+            }
+        )
+    ).repartition(4)
+    queries = {i: list(map(float, vecs[i])) for i in range(3)}
+
+    idx = tmp_path / "ivf"
+    build_ivf_index(ds, str(idx), n_centroids=8)
+    assert len(glob.glob(str(idx / "cells" / "cell=*"))) > 1
+
+    full = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in search_ivf_index(str(idx), queries, k=5, nprobe=8).take_all()
+    )
+    brute = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ann_brute_topk(ds, queries, k=5).take_all()
+    )
+    assert full == brute
+
+    # narrow probe: the query's own vector is still found (it lives in the
+    # query's nearest cell by construction)
+    narrow = {
+        (r["query_id"], r["vec_id"])
+        for r in search_ivf_index(str(idx), queries, k=5, nprobe=1).take_all()
+    }
+    for q in queries:
+        assert (q, q) in narrow
