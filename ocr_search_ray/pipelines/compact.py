@@ -36,7 +36,65 @@ def _filter_not_in(ds, column: str, values_ref):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def compact_delete_on_disk(out_dir: str, deleted_urls: set[str]) -> dict:
+def delete_from_index(index_dir: str, doomed_postings: pa.Table,
+                      n_buckets: int | None = None) -> dict:
+    """Cascade a deletion into the bucketed posting index WITHOUT a
+    rebuild: the doomed postings (known from the partition compaction)
+    name exactly the term buckets that can hold them; each affected bucket
+    is read, anti-filtered on the doomed doc_ids and atomically rewritten
+    in a parallel Ray task. Untouched buckets are never opened."""
+    import glob as _glob
+
+    import ray
+
+    from ..stages.index import N_BUCKETS_DEFAULT, term_bucket
+
+    n_buckets = n_buckets or N_BUCKETS_DEFAULT
+    if doomed_postings.num_rows == 0:
+        return {"buckets_affected": 0, "postings_removed": 0}
+    terms = set(doomed_postings.column("term").to_pylist())
+    doomed_ids = pa.array(
+        sorted(set(doomed_postings.column("doc_id").to_pylist())),
+        pa.string(),
+    )
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    ids_ref = ray.put(doomed_ids)
+
+    @ray.remote
+    def rewrite_bucket(bucket_dir: str, ids) -> int:
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq2
+
+        if not os.path.isdir(bucket_dir):
+            return 0
+        table = pq2.read_table(bucket_dir)
+        keep = pc.invert(pc.is_in(table.column("doc_id"), value_set=ids))
+        kept = table.filter(keep)
+        removed = table.num_rows - kept.num_rows
+        if removed == 0:
+            return 0
+        tmp = bucket_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq2.write_table(kept, os.path.join(tmp, "part-0.parquet"),
+                        compression="zstd")
+        shutil.rmtree(bucket_dir)
+        os.rename(tmp, bucket_dir)
+        return removed
+
+    futures = [
+        rewrite_bucket.remote(
+            os.path.join(index_dir, f"term_bucket={b}"), ids_ref)
+        for b in buckets
+    ]
+    removed = sum(ray.get(futures))
+    return {"buckets_affected": len(buckets), "postings_removed": removed}
+
+
+def compact_delete_on_disk(out_dir: str, deleted_urls: set[str],
+                           index_dir: str | None = None) -> dict:
     """Partition-pruned deletion compaction over an ingest output tree
     (``pages/part=*/``, ``postings/part=*/`` as written by
     ``ingest_resumable``).
@@ -56,8 +114,13 @@ def compact_delete_on_disk(out_dir: str, deleted_urls: set[str]) -> dict:
     run reruns idempotently: untouched partitions are still pruned, and a
     partition rewritten twice converges to the same bytes.
 
+    With ``index_dir``, the deletion also cascades into the bucketed
+    posting index WITHOUT a rebuild: the rewrites return the doomed
+    posting rows (deleted-cohort-sized tombstones) which name exactly the
+    term buckets to anti-filter (``delete_from_index``).
+
     Returns counters: partitions, pruned_by_stats, rewritten,
-    pages_removed, postings_removed.
+    pages_removed, postings_removed (+ index bucket counters).
     """
     import glob as _glob
 
@@ -85,7 +148,7 @@ def compact_delete_on_disk(out_dir: str, deleted_urls: set[str]) -> dict:
 
     @ray.remote
     def rewrite_partition(pid: int, pages_dir: str, postings_dir: str,
-                          manifest_dir: str, deleted_ref) -> tuple[int, int]:
+                          manifest_dir: str, deleted_ref):
         import shutil
         import time as _time
 
@@ -97,15 +160,17 @@ def compact_delete_on_disk(out_dir: str, deleted_urls: set[str]) -> dict:
         doomed_mask = pc.is_in(pages.column("url"), value_set=del_arr)
         n_doomed = pc.sum(doomed_mask).as_py() or 0
         if n_doomed == 0:
-            return 0, 0  # stats overlap was a false positive; nothing to do
+            return 0, 0, None  # stats overlap was a false positive
         doomed_ids = pages.filter(doomed_mask).column("doc_id")
         kept_pages = pages.filter(pc.invert(doomed_mask))
         postings = pq2.read_table(postings_dir)
-        keep_mask = pc.invert(
-            pc.is_in(postings.column("doc_id"),
-                     value_set=doomed_ids.combine_chunks())
+        doomed_postings_mask = pc.is_in(
+            postings.column("doc_id"), value_set=doomed_ids.combine_chunks()
         )
-        kept_postings = postings.filter(keep_mask)
+        # tombstones: the doomed posting rows name exactly the index
+        # buckets the deletion must cascade into (deleted-cohort-sized)
+        doomed_postings = postings.filter(doomed_postings_mask)
+        kept_postings = postings.filter(pc.invert(doomed_postings_mask))
         n_postings_removed = postings.num_rows - kept_postings.num_rows
 
         for src_dir, table in ((pages_dir, kept_pages),
@@ -128,7 +193,7 @@ def compact_delete_on_disk(out_dir: str, deleted_urls: set[str]) -> dict:
             status="done",
             wall_time_s=_time.monotonic() - t0,
         )
-        return int(n_doomed), int(n_postings_removed)
+        return int(n_doomed), int(n_postings_removed), doomed_postings
 
     pages_parts = sorted(
         _glob.glob(os.path.join(out_dir, "pages", "part=*"))
@@ -146,13 +211,16 @@ def compact_delete_on_disk(out_dir: str, deleted_urls: set[str]) -> dict:
         postings_dir = os.path.join(out_dir, "postings", part)
         futures.append(rewrite_partition.remote(
             pid, pages_dir, postings_dir, manifest_dir, deleted_ref))
-    for n_pages, n_postings in ray.get(futures):
+    tombstones = []
+    for n_pages, n_postings, doomed in ray.get(futures):
         if n_pages:
             stats["rewritten"] += 1
             stats["pages_removed"] += n_pages
             stats["postings_removed"] += n_postings
-    # manifest rows were appended by the tasks; nothing driver-side to sync
-    assert os.path.isdir(manifest_dir) or stats["rewritten"] == 0
+            tombstones.append(doomed)
+    if index_dir is not None and tombstones:
+        stats["index"] = delete_from_index(
+            index_dir, pa.concat_tables(tombstones))
     return stats
 
 

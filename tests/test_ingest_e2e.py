@@ -271,3 +271,70 @@ def test_poisoned_fragment_skipped_and_retried(tmp_path):
     assert {r["url"] for r in pages.take_all()} == {
         r["url"] for r in webpages.take_all()
     }
+
+
+def test_modified_document_flow_delete_compact_reingest_merge(tmp_path):
+    """The reference's modified-file path (diff 'modified' → delete + re-add,
+    DropboxSynchronizer) composed from the engine's incremental pieces:
+    on-disk delete compaction removes the old version's pages+postings,
+    re-ingest writes the new fragment, bucket-local merge folds its
+    postings into the index — and the query path then serves the NEW text
+    and not the old."""
+    import pyarrow as pa
+
+    from ocr_search_ray.pipelines.compact import compact_delete_on_disk
+    from ocr_search_ray.pipelines.query import search_index
+    from ocr_search_ray.stages.index import build_index, merge_into_index
+
+    input_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    os.makedirs(input_dir)
+    web = read_webpages(SF_DIR).materialize()
+    frags = list(web.split(2))
+    for i, sub in enumerate(frags):
+        pq.write_table(pa.Table.from_pandas(sub.to_pandas(), preserve_index=False),
+                       input_dir / f"frag-{i}.parquet")
+    ingest_resumable(str(input_dir), str(out_dir), tokenize_concurrency=2)
+    index_dir = str(out_dir / "postings_index")
+    build_index(rd.read_parquet(str(out_dir / "postings")), index_dir)
+
+    # v2 of one document arrives (same url, new text with a fresh term)
+    f0 = pq.read_table(str(input_dir / "frag-0.parquet"))
+    victim_url = f0.column("url")[0].as_py()
+    marker = "zzmodifiedmarker"
+    v2 = pa.table(
+        {
+            "url": pa.array([victim_url], pa.string()),
+            "warc_ts": f0.column("warc_ts").slice(0, 1),
+            "html": pa.array([None], pa.binary()),
+            "text": pa.array([f"fresh {marker} content body"], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+        }
+    )
+
+    # 1. delete the old version everywhere — pages+postings partitions AND
+    #    the index (tombstone-driven bucket anti-filter, no rebuild)
+    stats = compact_delete_on_disk(str(out_dir), {victim_url},
+                                   index_dir=index_dir)
+    assert stats["pages_removed"] >= 1
+    assert stats["index"]["postings_removed"] == stats["postings_removed"]
+    assert 0 < stats["index"]["buckets_affected"] < 64
+
+    # 2. the new fragment lands and re-ingests (new hash -> processed)
+    pq.write_table(v2, input_dir / "frag-v2.parquet")
+    summary = ingest_resumable(str(input_dir), str(out_dir),
+                               tokenize_concurrency=2)
+    assert summary["processed"] == 1 and summary["skipped_done"] == 2
+
+    # 3. merge ONLY the new partition's postings into the index
+    new_post_dir = sorted(
+        (out_dir / "postings").glob("part=*"))[-1]
+    merge_stats = merge_into_index(rd.read_parquet(str(new_post_dir)),
+                                   index_dir)
+    assert 0 < merge_stats["buckets_affected"]
+
+    # 4. the query path serves the new version
+    res = search_index(index_dir, str(out_dir / "pages"), marker,
+                       max_return=5)
+    assert res.num_rows == 1
+    assert res.column("url").to_pylist() == [victim_url]
