@@ -21,8 +21,10 @@ SQL-parity notes:
 - float columns (tcr) are computed with identical IEEE operation order on
   both sides (sqrt of exact ints, two sequential divisions); all other
   numeric outputs are exact integers.
-- non-SQL-expressible ops (simhash signatures/pairs, LSH-bucketed ANN,
-  language ID) have queries() entries only → driver records rows-only checks.
+- non-SQL-expressible ops (LSH-bucketed ANN/near-dup, language ID, HLL
+  estimates, real media kernels) have queries() entries only → driver
+  records rows-only checks. SimHash IS SQL-expressible (the full 64-bit
+  Charikar construction, see _SIMHASH_CTE) and oracle-checked exactly.
 """
 
 from __future__ import annotations
@@ -130,6 +132,43 @@ mh AS (
   GROUP BY doc_id, h.i
 )"""
 
+_SIMHASH_CTE = f"""
+dtoks AS (
+  SELECT doc_id, CASE WHEN t.w = 'data' THEN 'datum' ELSE t.w END AS term
+  FROM documents,
+  LATERAL (SELECT unnest(string_split(documents.text, ' ')) AS w) t
+  WHERE length(t.w) > 1 AND regexp_matches(t.w, '[a-z]')
+    AND t.w NOT IN ({_STOPLIST_SQL})
+),
+dtf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM dtoks GROUP BY 1, 2
+),
+th AS (
+  SELECT term, CAST(('0x' || substr(md5(term), 1, 16)) AS UBIGINT) AS h
+  FROM (SELECT DISTINCT term FROM dtf)
+),
+acc AS (
+  SELECT dtf.doc_id, bb.b,
+         SUM(CASE WHEN ((th.h >> bb.b) & 1) = 1 THEN dtf.tf
+                  ELSE -dtf.tf END) AS a
+  FROM dtf JOIN th USING (term),
+  LATERAL (SELECT unnest(generate_series(0, 63)) AS b) bb
+  GROUP BY 1, 2
+),
+sig0 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN a > 0 THEN
+                CASE WHEN b = 63 THEN -9223372036854775808
+                     ELSE (CAST(1 AS BIGINT) << b) END
+              ELSE 0 END) AS BIGINT) AS simhash
+  FROM acc GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id, COALESCE(sig0.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sig0 USING (doc_id)
+)"""
+
 _CORR_SQL = f"""{_POSTINGS_PREFIX},
 kept AS (
   SELECT term FROM postings GROUP BY term HAVING COUNT(*) >= 2
@@ -203,8 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": q.q_minhash_signatures,
         "minhash_lsh_pairs": q.q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
-        "simhash_signatures": q.q_simhash_signatures,  # rows-only
-        "simhash_neardup": q.q_simhash_neardup,  # rows-only (md5-bit sig)
+        "simhash_signatures": q.q_simhash_signatures,
+        "simhash_neardup": q.q_simhash_neardup,
         "quality_stats": q.q_quality_stats,
         "token_counts": q.q_token_counts,
         "fingerprints": q.q_fingerprints,
@@ -575,6 +614,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes z1 ON z1.doc_id = i.d1
             JOIN sizes z2 ON z2.doc_id = i.d2
             WHERE 100 * i.inter >= 30 * (z1.n + z2.n - i.inter)
+        """,
+        "simhash_signatures": f"""
+            WITH {_SIMHASH_CTE.strip()}
+            SELECT doc_id, simhash FROM sig
+        """,
+        "simhash_neardup": f"""
+            WITH {_SIMHASH_CTE.strip()}
+            SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                     AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "quality_stats": f"""
             WITH toks AS (

@@ -11,9 +11,10 @@ def test_oracle_keys_subset_of_queries():
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     assert set(sqls) <= set(qs), set(sqls) - set(qs)
-    # rows-only ops are the documented seven
+    # rows-only ops are the documented five (simhash got an exact
+    # 64-bit SQL oracle in round 2)
     assert set(qs) - set(sqls) == {
-        "simhash_signatures", "simhash_neardup", "lang_id", "ann_lsh_topk",
+        "lang_id", "ann_lsh_topk",
         "lsh_neardup", "media_real", "approx_distinct",
     }
 
