@@ -250,7 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnowing": q.q_winnowing,
         "approx_distinct": q.q_approx_distinct,  # rows-only (HLL sketch)
         "vocab_stats": q.q_vocab_stats,
-        "lang_id": q.q_lang_id,  # rows-only
+        "lang_id": q.q_lang_id,
         "ngram_counts": q.q_ngram_counts,
         "domain_stats": q.q_domain_stats,
         "ann_cosine_topk": q.q_ann_cosine_topk,
@@ -326,6 +326,37 @@ def oracle_sql() -> dict[str, str]:
                    text,
                    CASE WHEN text = '' THEN 'empty' ELSE 'ok' END AS status
             FROM op
+        """,
+        "lang_id": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split(lower(text), ' ') AS toks,
+                     length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+                       AS cjk
+              FROM documents
+            ),
+            votes AS (
+              SELECT t.doc_id, t.text, t.cjk, v.lang, v.hits
+              FROM t, LATERAL (
+              (SELECT 'de' AS lang, len(list_filter(toks, x -> list_contains(['auf', 'das', 'den', 'der', 'die', 'ein', 'eine', 'für', 'ist', 'mit', 'nicht', 'und', 'von', 'zu'], x))) AS hits)
+              UNION ALL (SELECT 'en' AS lang, len(list_filter(toks, x -> list_contains(['and', 'are', 'as', 'at', 'be', 'for', 'have', 'in', 'is', 'it', 'of', 'on', 'the', 'this', 'to', 'was', 'with'], x))) AS hits)
+              UNION ALL (SELECT 'es' AS lang, len(list_filter(toks, x -> list_contains(['con', 'de', 'del', 'el', 'en', 'es', 'la', 'las', 'los', 'para', 'por', 'que', 'un', 'una', 'y'], x))) AS hits)
+              UNION ALL (SELECT 'fr' AS lang, len(list_filter(toks, x -> list_contains(['avec', 'dans', 'de', 'est', 'et', 'la', 'le', 'les', 'pas', 'pour', 'que', 'qui', 'sur', 'un', 'une'], x))) AS hits)
+              ) v
+            ),
+            best AS (
+              SELECT doc_id, text, cjk, lang, hits,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY hits DESC, lang ASC) AS rn
+              FROM votes
+            )
+            SELECT doc_id,
+                   CASE WHEN text = '' THEN 'unknown'
+                        WHEN cjk * 10 >= length(text) THEN 'zh'
+                        WHEN hits = 0 THEN 'unknown'
+                        ELSE lang END AS pred_lang
+            FROM best WHERE rn = 1
         """,
         "ngram_counts": """
             WITH w AS (

@@ -11,11 +11,10 @@ def test_oracle_keys_subset_of_queries():
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     assert set(sqls) <= set(qs), set(sqls) - set(qs)
-    # rows-only ops are the documented five (simhash got an exact
-    # 64-bit SQL oracle in round 2)
+    # rows-only ops are the documented four (simhash and lang_id got
+    # exact SQL oracles in round 2)
     assert set(qs) - set(sqls) == {
-        "lang_id", "ann_lsh_topk",
-        "lsh_neardup", "media_real", "approx_distinct",
+        "ann_lsh_topk", "lsh_neardup", "media_real", "approx_distinct",
     }
 
 
