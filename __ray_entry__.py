@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q.q_lang_id,
         "ngram_counts": q.q_ngram_counts,
         "domain_stats": q.q_domain_stats,
+        "pack_sequences": q.q_pack_sequences,
         "ann_cosine_topk": q.q_ann_cosine_topk,
         "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only
         # IVF with full probes == exact cosine top-k → reuse the brute oracle
@@ -374,6 +375,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, CAST(COUNT(*) AS BIGINT) AS count
             FROM grams GROUP BY ngram HAVING COUNT(*) >= 10
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            ),
+            off AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_off
+              FROM t
+            )
+            SELECT doc_id, n_tokens, start_off,
+                   start_off + n_tokens AS end_off,
+                   start_off // 256 AS pack_id
+            FROM off
         """,
         "domain_stats": f"""
             {_INGEST_PREFIX}

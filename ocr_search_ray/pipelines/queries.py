@@ -892,3 +892,13 @@ def q_domain_stats(sf_dir: str):
     """Per-domain page/url volume over the ingested pages (skew monitor)."""
     pages = ingest(read_webpages(sf_dir))["pages"]
     return textstats.domain_stats(pages)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing (budget=256 tokens) via the
+    distributed prefix-sum plan — global token offsets + window ids per doc."""
+    from ..stages.pack import pack_sequences
+
+    return pack_sequences(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), budget=256
+    )

@@ -136,3 +136,40 @@ def test_tumbling_windows_match_naive(rows):
         n, s = naive.get((f"t{a}", w), (0, 0))
         naive[(f"t{a}", w)] = (n + 1, s + away(c))
     assert got == naive
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000),
+                  st.lists(st.sampled_from(["a", "bb", "ccc", ""]),
+                           max_size=12)),
+        min_size=0, max_size=80, unique_by=lambda r: r[0],
+    ),
+    st.sampled_from([1, 7, 256]),
+)
+def test_pack_sequences_matches_naive(rows, budget):
+    from ocr_search_ray.stages.pack import pack_sequences
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in rows], pa.int64()),
+                "text": pa.array([" ".join(ws) for _, ws in rows]),
+            }
+        )
+    ).repartition(3)
+    out = pack_sequences(ds, budget=budget, n_parts=5)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_off"], r["end_off"], r["pack_id"])
+        for r in (out.take_all() if hasattr(out, "take_all")
+                  else out.to_pylist())
+    }
+
+    acc = 0
+    expected = {}
+    for i, ws in sorted(rows):
+        n = sum(1 for w in ws if w)
+        expected[i] = (n, acc, acc + n, acc // budget)
+        acc += n
+    assert got == expected

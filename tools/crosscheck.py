@@ -4,12 +4,15 @@ Runs every queries() entry at the given sf_dir, runs its oracle_sql in
 DuckDB over the same parquet views, and compares row count, schema (column
 names) and order-insensitive values.
 
-Usage: PYTHONPATH=/root/repo python tools/crosscheck.py [sf_dir] [name...]
+Usage: python tools/crosscheck.py [sf_dir] [name...]
 """
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
