@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": q.q_ngram_counts,
         "domain_stats": q.q_domain_stats,
         "pack_sequences": q.q_pack_sequences,
+        "pii_redact": q.q_pii_redact,
         "ann_cosine_topk": q.q_ann_cosine_topk,
         "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only
         # IVF with full probes == exact cosine top-k → reuse the brute oracle
@@ -375,6 +376,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, CAST(COUNT(*) AS BIGINT) AS count
             FROM grams GROUP BY ngram HAVING COUNT(*) >= 10
+        """,
+        "pii_redact": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' reach u' || CAST(doc_id AS VARCHAR)
+                       || '@mail.org cc u' || CAST(doc_id AS VARCHAR)
+                       || '@dev.example.net from 10.'
+                       || CAST(doc_id & 255 AS VARCHAR)
+                       || '.0.7 call +1-555-'
+                       || lpad(CAST(doc_id & 4095 AS VARCHAR), 4, '0')
+                       || ' end' AS text
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS text
+              FROM aug
+            ),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     CAST(len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                       AS BIGINT) AS n_ips,
+                     regexp_replace(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS text
+              FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(text, '\+\d[\d-]{7,}\d', '<PHONE>', 'g')
+                     AS redacted,
+                   n_emails, n_ips,
+                   CAST(len(regexp_extract_all(text, '\+\d[\d-]{7,}\d'))
+                     AS BIGINT) AS n_phones
+            FROM s2
         """,
         "pack_sequences": """
             WITH t AS (

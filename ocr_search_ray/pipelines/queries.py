@@ -894,6 +894,33 @@ def q_domain_stats(sf_dir: str):
     return textstats.domain_stats(pages)
 
 
+def q_pii_redact(sf_dir: str):
+    """PII scrub (emails / IPv4 / phones → typed tokens + counts).
+
+    The synthetic corpus carries no PII, so the entry plants deterministic
+    PII derived from doc_id (two e-mails, an IP octet, a phone tail) before
+    redacting — the oracle performs the identical concat + RE2 chain."""
+    from ..stages.redact import redact_pii
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id")
+        ds_ = pc.cast(d, pa.string())
+        ip_oct = pc.cast(pc.bit_wise_and(d, 255), pa.string())
+        phone4 = pc.utf8_lpad(
+            pc.cast(pc.bit_wise_and(d, 4095), pa.string()), 4, "0"
+        )
+        text = pc.binary_join_element_wise(
+            batch.column("text"), " reach u", ds_, "@mail.org cc u", ds_,
+            "@dev.example.net from 10.", ip_oct, ".0.7 call +1-555-",
+            phone4, " end", "",
+        )
+        return pa.table({"doc_id": d, "text": text})
+
+    return redact_pii(docs.map_batches(augment, batch_format="pyarrow"))
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing (budget=256 tokens) via the
     distributed prefix-sum plan — global token offsets + window ids per doc."""
