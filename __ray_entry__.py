@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": q.q_domain_stats,
         "pack_sequences": q.q_pack_sequences,
         "pii_redact": q.q_pii_redact,
+        "span_dedup": q.q_span_dedup,
         "ann_cosine_topk": q.q_ann_cosine_topk,
         "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only
         # IVF with full probes == exact cosine top-k → reuse the brute oracle
@@ -376,6 +377,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, CAST(COUNT(*) AS BIGINT) AS count
             FROM grams GROUP BY ngram HAVING COUNT(*) >= 10
+        """,
+        "span_dedup": """
+            WITH aug AS (
+              SELECT doc_id,
+                     'copyright terms of service all rights reserved '
+                     || 'privacy policy contact us home about sitemap '
+                     || 'login search ' || text AS text
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> length(x) > 0) AS words
+              FROM aug
+            ),
+            spans AS (
+              SELECT doc_id, CAST(s.i AS BIGINT) AS span_idx,
+                     array_to_string(
+                       list_slice(words, s.i * 8 + 1, s.i * 8 + 8), ' ')
+                       AS span_text
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(0,
+                  CAST(ceil(len(words) / 8.0) AS INT) - 1)) AS i) s
+              WHERE len(words) > 0
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY span_text
+                       ORDER BY doc_id, span_idx) AS rn
+              FROM spans
+            ),
+            agg AS (
+              SELECT doc_id,
+                     COALESCE(string_agg(
+                       CASE WHEN rn = 1 THEN span_text END, ' '
+                       ORDER BY span_idx), '') AS text_clean,
+                     CAST(COUNT(*) AS BIGINT) AS n_spans,
+                     CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dropped
+              FROM ranked GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.text_clean, '') AS text_clean,
+                   CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "pii_redact": r"""
             WITH aug AS (

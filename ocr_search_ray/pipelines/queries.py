@@ -894,6 +894,29 @@ def q_domain_stats(sf_dir: str):
     return textstats.domain_stats(pages)
 
 
+_BOILER16 = ("copyright terms of service all rights reserved privacy "
+             "policy contact us home about sitemap login search")
+
+
+def q_span_dedup(sf_dir: str):
+    """C4-style global span dedup (8-word spans). Every doc is prefixed
+    with the same 16-word boilerplate header (2 aligned spans) so the
+    operator has real cross-doc duplication to strip — only the globally
+    first doc keeps the header; the oracle replays the identical
+    construction."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(
+            _BOILER16, batch.column("text"), " "
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "text": text})
+
+    return dedup_stage.span_dedup(
+        docs.map_batches(augment, batch_format="pyarrow"), window=8
+    )
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub (emails / IPv4 / phones → typed tokens + counts).
 

@@ -652,3 +652,163 @@ def simhash_neardup_pairs(documents, *, radius: int = 3, n_chunks: int = 4,
         .aggregate([("hamming", "min")])
         .rename_columns(["doc_id1", "doc_id2", "hamming"]),
     )
+
+
+def span_dedup(documents, *, window: int = 8, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """C4-style global exact span dedup → (doc_id, text_clean, n_spans,
+    n_dropped).
+
+    Documents are cut into consecutive ``window``-word spans (the last span
+    may be short — C4's three-sentence unit re-expressed over the word
+    stream); every span that appeared earlier in the corpus — in ANY
+    document, ordered by (doc_id, span_idx) — is removed, and each doc is
+    reassembled from its surviving spans (' '-joined).
+
+    Scale shape (hot-key-safe keep-first):
+
+    1. span fan-out is a per-batch pass (inner joins are C-speed);
+    2. a batch-local combiner decides losers early: within a batch only the
+       first occurrence of each span survives to the global exchange, so a
+       boilerplate span shared by every doc ships ONE row per batch, not
+       one per doc (the Zipf head collapses before the all-to-all, exactly
+       like ``ngram_counts``);
+    3. one int-key exchange on span_text picks the global winner per span
+       (min (doc_id, span_idx)); block-local grouping on the REAL span text
+       keeps hash collisions safe;
+    4. one exchange on doc_id reassembles docs from (span_idx, keep) runs.
+
+    No whole-corpus collect; driver state is O(1).
+    """
+
+    def spans_fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_idx, out_text = [], [], []
+        # batch-local winner per span = min (doc_id, span_idx) — the same
+        # total order the global pick uses, so a local loser can never be
+        # the global winner
+        best: dict[str, int] = {}
+        for d, t in zip(ids, texts):
+            words = [w for w in (t or "").split(" ") if w]
+            for s in range(0, (len(words) + window - 1) // window):
+                st = " ".join(words[s * window:(s + 1) * window])
+                i = len(out_id)
+                out_id.append(d)
+                out_idx.append(s)
+                out_text.append(st)
+                b = best.get(st)
+                if b is None or (d, s) < (out_id[b], out_idx[b]):
+                    best[st] = i
+        winners_idx = set(best.values())
+        out_keep = [i in winners_idx for i in range(len(out_id))]
+        return pa.table(
+            {
+                id_col: pa.array(out_id, batch.column(id_col).type),
+                "span_idx": pa.array(out_idx, pa.int64()),
+                "span_text": pa.array(out_text, pa.string()),
+                "local_keep": pa.array(out_keep, pa.bool_()),
+            }
+        )
+
+    spans = documents.select_columns([id_col, text_col]).map_batches(
+        spans_fn, batch_format="pyarrow"
+    )
+
+    import pyarrow.compute as pc
+
+    winners = spans.filter(expr="local_keep == True")
+    losers = spans.filter(expr="local_keep == False")
+
+    def block_pick_global(block: pa.Table) -> pa.Table:
+        block = block.sort_by(
+            [("span_text", "ascending"), (id_col, "ascending"),
+             ("span_idx", "ascending")]
+        )
+        texts = block.column("span_text").to_pylist()
+        first = [
+            i == 0 or texts[i] != texts[i - 1] for i in range(len(texts))
+        ]
+        return pa.table(
+            {
+                id_col: block.column(id_col),
+                "span_idx": block.column("span_idx"),
+                "span_text": block.column("span_text"),
+                "keep": pa.array(first, pa.bool_()),
+            }
+        )
+
+    decided = cluster_apply(
+        winners.drop_columns(["local_keep"]), ["span_text"],
+        block_pick_global,
+    )
+
+    def mark_dropped(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "span_idx": batch.column("span_idx"),
+                "span_text": batch.column("span_text"),
+                "keep": pa.array([False] * batch.num_rows, pa.bool_()),
+            }
+        )
+
+    all_spans = decided.union(
+        losers.drop_columns(["local_keep"]).map_batches(
+            mark_dropped, batch_format="pyarrow"
+        )
+    )
+
+    def block_rebuild(block: pa.Table) -> pa.Table:
+        block = block.sort_by(
+            [(id_col, "ascending"), ("span_idx", "ascending")]
+        )
+        ids = block.column(id_col).to_pylist()
+        span_texts = block.column("span_text").to_pylist()
+        keeps = block.column("keep").to_pylist()
+        out_id, out_text, out_n, out_drop = [], [], [], []
+        i, n = 0, block.num_rows
+        while i < n:
+            j = i
+            kept: list[str] = []
+            dropped = 0
+            while j < n and ids[j] == ids[i]:
+                if keeps[j]:
+                    kept.append(span_texts[j])
+                else:
+                    dropped += 1
+                j += 1
+            out_id.append(ids[i])
+            out_text.append(" ".join(kept))
+            out_n.append(j - i)
+            out_drop.append(dropped)
+            i = j
+        return pa.table(
+            {
+                id_col: pa.array(out_id, block.column(id_col).type),
+                "text_clean": pa.array(out_text, pa.string()),
+                "n_spans": pa.array(out_n, pa.int64()),
+                "n_dropped": pa.array(out_drop, pa.int64()),
+            }
+        )
+
+    rebuilt = cluster_apply(all_spans, [id_col], block_rebuild)
+
+    # docs with zero words never emit spans — surface them with empty output
+    def empties(batch: pa.Table) -> pa.Table:
+        n_words = pc.count_substring_regex(batch.column(text_col), "[^ ]+")
+        keep = batch.filter(pc.equal(n_words, 0))
+        zero = pa.array([0] * keep.num_rows, pa.int64())
+        return pa.table(
+            {
+                id_col: keep.column(id_col),
+                "text_clean": pa.array([""] * keep.num_rows, pa.string()),
+                "n_spans": zero,
+                "n_dropped": zero,
+            }
+        )
+
+    empty_docs = documents.select_columns([id_col, text_col]).map_batches(
+        empties, batch_format="pyarrow"
+    )
+    return rebuilt.union(empty_docs)

@@ -173,3 +173,44 @@ def test_pack_sequences_matches_naive(rows, budget):
         expected[i] = (n, acc, acc + n, acc // budget)
         acc += n
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), max_size=20),
+        min_size=0, max_size=30,
+    )
+)
+def test_span_dedup_matches_naive(docs):
+    from ocr_search_ray.stages.dedup import span_dedup
+
+    W = 4
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array([" ".join(ws) for ws in docs]),
+            }
+        )
+    ).repartition(3)
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_spans"], r["n_dropped"])
+        for r in span_dedup(ds, window=W).take_all()
+    }
+
+    seen: set = set()
+    expected = {}
+    for i, ws in enumerate(docs):
+        words = [w for w in ws if w]
+        kept, n_spans, dropped = [], 0, 0
+        for s in range(0, (len(words) + W - 1) // W):
+            st_ = " ".join(words[s * W:(s + 1) * W])
+            n_spans += 1
+            if st_ in seen:
+                dropped += 1
+            else:
+                seen.add(st_)
+                kept.append(st_)
+        expected[i] = (" ".join(kept), n_spans, dropped)
+    assert got == expected
