@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.q_pack_sequences,
         "pii_redact": q.q_pii_redact,
         "span_dedup": q.q_span_dedup,
+        "bloom_semi_join": q.q_bloom_semi_join,
         "ann_cosine_topk": q.q_ann_cosine_topk,
         "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only
         # IVF with full probes == exact cosine top-k → reuse the brute oracle
@@ -377,6 +378,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, CAST(COUNT(*) AS BIGINT) AS count
             FROM grams GROUP BY ngram HAVING COUNT(*) >= 10
+        """,
+        "bloom_semi_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000
+            )
         """,
         "span_dedup": """
             WITH aug AS (

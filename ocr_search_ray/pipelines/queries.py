@@ -894,6 +894,29 @@ def q_domain_stats(sf_dir: str):
     return textstats.domain_stats(pages)
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Orders of high-balance customers via the Bloom-prefiltered exact
+    semi-join (deny/allow-list pattern: bitmap prunes per batch, the
+    cluster semi-join decides — result == WHERE EXISTS)."""
+    from ..stages.relational import bloom_semi_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    vip = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(batch.column("c_acctbal"), 9000.0)
+        ).select(["c_custkey"])
+
+    return bloom_semi_join(
+        orders, vip.map_batches(keep, batch_format="pyarrow"),
+        "o_custkey", right_key="c_custkey",
+        left_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+                    "o_totalprice": pa.float64()},
+    )
+
+
 _BOILER16 = ("copyright terms of service all rights reserved privacy "
              "policy contact us home about sitemap login search")
 

@@ -436,3 +436,135 @@ def broadcast_range_join(ds, ranges: list[tuple], value_col: str,
         return pa.table(out)
 
     return ds.map_batches(join, batch_format="pyarrow")
+
+
+def _bloom_hashes(column):
+    """Two vectorized uint64 hash streams for a key column (h2 forced odd
+    so Kirsch-Mitzenmacher double hashing cycles all slots). Integer keys:
+    pure-numpy splitmix64 (no Python per row). Other types: md5 once per
+    DISTINCT value via dictionary encoding, mapped back through a take."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if isinstance(column, pa.ChunkedArray):
+        column = column.combine_chunks()
+
+    def mix(x, c):
+        z = x + np.uint64(c)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    if pa.types.is_integer(column.type):
+        x = column.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = x.astype(np.uint64)
+        h1 = mix(x, 0x9E3779B97F4A7C15)
+        h2 = mix(x, 0xD1B54A32D192ED03) | np.uint64(1)
+        return h1, h2
+    enc = pc.dictionary_encode(column.cast(pa.string()))
+    digs = [
+        hashlib.md5(v.encode()).digest()
+        for v in enc.dictionary.to_pylist()
+    ]
+    d1 = np.array(
+        [int.from_bytes(d[:8], "little") for d in digs], np.uint64
+    )
+    d2 = np.array(
+        [int.from_bytes(d[8:16], "little") | 1 for d in digs], np.uint64
+    )
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return d1[idx], d2[idx]
+
+
+def bloom_semi_join(big, keys_ds, key: str, *, right_key: str | None = None,
+                    left_types: dict[str, "pa.DataType"],
+                    n_bits: int = 1 << 20, n_hashes: int = 4,
+                    hash_fn=None):
+    """EXACT semi-join with a Bloom prefilter — ``big`` rows whose ``key``
+    appears in ``keys_ds[right_key]``.
+
+    The scale pattern for existence filters where BOTH sides are large but
+    the match rate is low (visited-url suppression, deny-list application):
+
+    1. the key side folds into per-batch Bloom bitmaps (``n_bits`` bits,
+       vectorized double hashing — one row of ``n_bits/8`` bytes per batch);
+    2. bitmaps OR-reduce inside the dataset (`repartition(1)` + block OR —
+       the driver receives ONE row, never a per-batch pile);
+    3. the big side drops definite non-members per batch against the
+       broadcast bitmap (``ray.put`` once) — no shuffle for the ~100% of
+       rows a selective filter rejects, false-positive rate
+       ≈ (1 - e^{-kn/m})^k;
+    4. survivors (match-rate-sized, not corpus-sized) go through the exact
+       ``cluster_join`` semi — the Bloom pass only PRUNES, the join decides.
+
+    ``left_types``: all ``big`` columns → arrow type (cluster_join output
+    order). Result == SQL ``WHERE EXISTS`` exactly.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    right_key = right_key or key
+    np_bits = np.uint64(n_bits)
+
+    def build_partial(batch: pa.Table) -> pa.Table:
+        buf = np.zeros(n_bits // 8, np.uint8)
+        if batch.num_rows:
+            h1, h2 = _bloom_hashes(batch.column(right_key))
+            for i in range(n_hashes):
+                idx = (h1 + np.uint64(i) * h2) % np_bits
+                np.bitwise_or.at(
+                    buf,
+                    (idx >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
+                )
+        return pa.table({"bloom": pa.array([buf.tobytes()], pa.binary())})
+
+    def block_or(block: pa.Table) -> pa.Table:
+        buf = np.zeros(n_bits // 8, np.uint8)
+        for v in block.column("bloom").to_pylist():
+            buf |= np.frombuffer(v, np.uint8)
+        return pa.table({"bloom": pa.array([buf.tobytes()], pa.binary())})
+
+    merged = (
+        keys_ds.select_columns([right_key])
+        .map_batches(build_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(block_or, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    bits = (
+        np.frombuffer(merged[0]["bloom"], np.uint8)
+        if merged else np.zeros(n_bits // 8, np.uint8)
+    )
+    bits_ref = ray.put(bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        buf = ray.get(bits_ref)
+        h1, h2 = _bloom_hashes(batch.column(key))
+        member = np.ones(batch.num_rows, bool)
+        for i in range(n_hashes):
+            idx = (h1 + np.uint64(i) * h2) % np_bits
+            bit = (
+                buf[(idx >> np.uint64(3)).astype(np.int64)]
+                >> (idx & np.uint64(7)).astype(np.uint8)
+            ) & np.uint8(1)
+            member &= bit.astype(bool)
+        return batch.filter(pa.array(member))
+
+    prefiltered = big.map_batches(probe, batch_format="pyarrow")
+
+    right = keys_ds.select_columns([right_key])
+    if right_key != key:
+        right = right.map_batches(
+            lambda b: b.rename_columns([key]), batch_format="pyarrow"
+        )
+    return cluster_join(
+        prefiltered, right, [key], left_types=left_types, right_types={},
+        how="semi", hash_fn=hash_fn,
+    )

@@ -214,3 +214,64 @@ def test_span_dedup_matches_naive(docs):
                 kept.append(st_)
         expected[i] = (" ".join(kept), n_spans, dropped)
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 40), min_size=0, max_size=60),
+    st.lists(st.integers(0, 40), min_size=0, max_size=15),
+    st.booleans(),
+)
+def test_bloom_semi_join_matches_naive(big_keys, allow_keys, as_str):
+    from ocr_search_ray.stages.relational import bloom_semi_join
+
+    typ = pa.string() if as_str else pa.int64()
+
+    def conv(x):
+        return f"k{x}" if as_str else x
+
+    big = rd.from_arrow(
+        pa.table(
+            {"k": pa.array([conv(x) for x in big_keys], typ),
+             "v": pa.array(range(len(big_keys)), pa.int64())}
+        )
+    ).repartition(3)
+    allow = rd.from_arrow(
+        pa.table({"k": pa.array([conv(x) for x in allow_keys], typ)})
+    ).repartition(2)
+    out = bloom_semi_join(
+        big, allow, "k", left_types={"k": typ, "v": pa.int64()},
+        n_bits=1 << 12,
+    )
+    got = sorted((r["k"], r["v"]) for r in out.take_all())
+    allowed = set(conv(x) for x in allow_keys)
+    expected = sorted(
+        (conv(x), i) for i, x in enumerate(big_keys) if conv(x) in allowed
+    )
+    assert got == expected
+
+
+def test_bloom_prefilter_prunes():
+    import numpy as np
+
+    from ocr_search_ray.stages.relational import _bloom_hashes
+
+    n_bits, k = 1 << 16, 4
+    members = pa.array(list(range(0, 2000, 2)), pa.int64())
+    buf = np.zeros(n_bits // 8, np.uint8)
+    h1, h2 = _bloom_hashes(members)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+        np.bitwise_or.at(buf, (idx >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    probes = pa.array(list(range(1, 20001, 2)), pa.int64())  # non-members
+    p1, p2 = _bloom_hashes(probes)
+    member = np.ones(len(probes), bool)
+    for i in range(k):
+        idx = (p1 + np.uint64(i) * p2) % np.uint64(n_bits)
+        member &= (
+            (buf[(idx >> np.uint64(3)).astype(np.int64)]
+             >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+        ).astype(bool)
+    # with m/n = 65536/1000 and k=4 the fp rate is << 1%; require < 2%
+    assert member.sum() < 200
