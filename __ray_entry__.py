@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q.q_pii_redact,
         "span_dedup": q.q_span_dedup,
         "bloom_semi_join": q.q_bloom_semi_join,
+        "repetition_stats": q.q_repetition_stats,
         "ann_cosine_topk": q.q_ann_cosine_topk,
         "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only
         # IVF with full probes == exact cosine top-k → reuse the brute oracle
@@ -378,6 +379,64 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, CAST(COUNT(*) AS BIGINT) AS count
             FROM grams GROUP BY ngram HAVING COUNT(*) >= 10
+        """,
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> length(x) > 0) AS words
+              FROM documents
+            ),
+            wc AS (
+              SELECT doc_id, u.x AS word, CAST(COUNT(*) AS BIGINT) AS c
+              FROM w, LATERAL (SELECT unnest(words) AS x) u
+              GROUP BY doc_id, u.x
+            ),
+            wstats AS (
+              SELECT doc_id,
+                     CAST(SUM(c) AS BIGINT) AS n_words,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+                     CAST(MAX(c) AS BIGINT) AS top_word_count,
+                     CAST(COALESCE(SUM(CASE WHEN c > 1
+                       THEN length(word) * c END), 0) AS BIGINT)
+                       AS dup_word_chars
+              FROM wc GROUP BY doc_id
+            ),
+            bg AS (
+              SELECT doc_id,
+                     list_extract(words, i) || ' ' ||
+                       list_extract(words, i + 1) AS bigram
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(1,
+                  greatest(len(words) - 1, 0))) AS i) g
+            ),
+            bc AS (
+              SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS c
+              FROM bg GROUP BY doc_id, bigram
+            ),
+            bstats AS (
+              SELECT doc_id,
+                     CAST(SUM(c) AS BIGINT) AS n_2grams,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct_2grams,
+                     CAST(MAX(c) AS BIGINT) AS top_2gram_count
+              FROM bc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(ws.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(ws.n_distinct_words, 0) AS BIGINT)
+                     AS n_distinct_words,
+                   CAST(COALESCE(ws.top_word_count, 0) AS BIGINT)
+                     AS top_word_count,
+                   CAST(COALESCE(ws.dup_word_chars, 0) AS BIGINT)
+                     AS dup_word_chars,
+                   CAST(COALESCE(bs.n_2grams, 0) AS BIGINT) AS n_2grams,
+                   CAST(COALESCE(bs.n_distinct_2grams, 0) AS BIGINT)
+                     AS n_distinct_2grams,
+                   CAST(COALESCE(bs.top_2gram_count, 0) AS BIGINT)
+                     AS top_2gram_count
+            FROM documents d
+            LEFT JOIN wstats ws USING (doc_id)
+            LEFT JOIN bstats bs USING (doc_id)
         """,
         "bloom_semi_join": """
             SELECT o_orderkey, o_custkey, o_totalprice

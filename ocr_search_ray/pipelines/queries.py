@@ -894,6 +894,14 @@ def q_domain_stats(sf_dir: str):
     return textstats.domain_stats(pages)
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-family repetition counters (exact integers; ratios are
+    consumer-side)."""
+    return textstats.repetition_stats(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_bloom_semi_join(sf_dir: str):
     """Orders of high-balance customers via the Bloom-prefiltered exact
     semi-join (deny/allow-list pattern: bitmap prunes per batch, the

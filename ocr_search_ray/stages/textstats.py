@@ -420,3 +420,56 @@ def domain_stats(pages, *, url_col: str = "url", n_salts: int = 64):
     )
     salted = cluster_apply(partials, ["domain", "salt"], block_salt_merge)
     return cluster_apply(salted, ["domain"], block_domain_sum)
+
+
+def repetition_stats(documents, *, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """→ (doc_id, n_words, n_distinct_words, top_word_count,
+    dup_word_chars, n_2grams, n_distinct_2grams, top_2gram_count).
+
+    The Gopher-family repetition signals (most-common-word fraction,
+    duplicate-word character fraction, top-bigram fraction) as EXACT
+    integer counters — ratios are consumer-side division, so the oracle
+    compares integers, never float ops. Words = non-empty single-space
+    split; bigrams = adjacent word pairs; ``dup_word_chars`` = total
+    characters occupied by words whose count > 1 (len(word) × count).
+
+    Scale: per-batch Counter pass, no shuffle, no state.
+    """
+    from collections import Counter
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        texts = batch.column(text_col).to_pylist()
+        cols: dict[str, list[int]] = {
+            k: [] for k in (
+                "n_words", "n_distinct_words", "top_word_count",
+                "dup_word_chars", "n_2grams", "n_distinct_2grams",
+                "top_2gram_count",
+            )
+        }
+        for t in texts:
+            words = [w for w in (t or "").split(" ") if w]
+            wc = Counter(words)
+            bigrams = [
+                words[i] + " " + words[i + 1]
+                for i in range(len(words) - 1)
+            ]
+            bc = Counter(bigrams)
+            cols["n_words"].append(len(words))
+            cols["n_distinct_words"].append(len(wc))
+            cols["top_word_count"].append(max(wc.values(), default=0))
+            cols["dup_word_chars"].append(
+                sum(len(w) * c for w, c in wc.items() if c > 1)
+            )
+            cols["n_2grams"].append(len(bigrams))
+            cols["n_distinct_2grams"].append(len(bc))
+            cols["top_2gram_count"].append(max(bc.values(), default=0))
+        return pa.table(
+            {id_col: ids,
+             **{k: pa.array(v, pa.int64()) for k, v in cols.items()}}
+        )
+
+    return documents.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pyarrow"
+    )

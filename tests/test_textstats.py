@@ -150,3 +150,42 @@ def test_approx_distinct_within_hll_error_bounds():
     # partitioning-independent determinism
     est2 = approx_distinct(ds.repartition(3), "u").to_pylist()[0]["estimate"]
     assert est2 == est
+
+
+def test_repetition_stats_hand_cases():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.textstats import repetition_stats
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["", "spam spam spam", "a bb a  bb a"]),
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(ds).take_all()}
+    assert got[0] == {
+        "doc_id": 0, "n_words": 0, "n_distinct_words": 0,
+        "top_word_count": 0, "dup_word_chars": 0, "n_2grams": 0,
+        "n_distinct_2grams": 0, "top_2gram_count": 0,
+    }
+    # "spam spam spam": 3 words 1 distinct; dup chars 4*3; bigrams
+    # ["spam spam"]*2
+    assert got[1]["n_words"] == 3
+    assert got[1]["n_distinct_words"] == 1
+    assert got[1]["top_word_count"] == 3
+    assert got[1]["dup_word_chars"] == 12
+    assert got[1]["n_2grams"] == 2
+    assert got[1]["n_distinct_2grams"] == 1
+    assert got[1]["top_2gram_count"] == 2
+    # double space: empty token dropped; words = a bb a bb a
+    assert got[2]["n_words"] == 5
+    assert got[2]["n_distinct_words"] == 2
+    assert got[2]["top_word_count"] == 3
+    assert got[2]["dup_word_chars"] == 3 * 1 + 2 * 2
+    assert got[2]["n_2grams"] == 4
+    assert got[2]["n_distinct_2grams"] == 2
+    assert got[2]["top_2gram_count"] == 2
