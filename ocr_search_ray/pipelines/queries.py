@@ -894,6 +894,49 @@ def q_domain_stats(sf_dir: str):
     return textstats.domain_stats(pages)
 
 
+def q_justext_blocks(sf_dir: str):
+    """jusText-family block classification over synthesized pages.
+
+    Each document becomes a deterministic page (nav link list, short <h1>,
+    40-word <p> chunks, link-dense footer); the classifier labels every
+    block through the exact integer rules; the oracle reconstructs the
+    same blocks and replays both classification passes in SQL (IGNORE
+    NULLS window functions for the context pass)."""
+    import math
+
+    from ..stages.boilerplate import justext_blocks
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synthesize(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        texts = batch.column("text").to_pylist()
+        pages = []
+        for t in texts:
+            words = [w for w in (t or "").split(" ") if w]
+            h1 = " ".join(words[:3])
+            chunks = [
+                " ".join(words[i * 40:(i + 1) * 40])
+                for i in range(math.ceil(len(words) / 40))
+            ]
+            pages.append(
+                '<html><head><title>x</title></head><body>'
+                '<ul><li><a href="/">home</a></li>'
+                '<li><a href="/a">about us</a></li></ul>'
+                f"<h1>{h1}</h1>"
+                + "".join(f"<p>{c}</p>" for c in chunks)
+                + '<p><a href="/c">copyright</a> '
+                '<a href="/s">sitemap links</a></p>'
+                "</body></html>"
+            )
+        return pa.table({"doc_id": ids, "html": pa.array(pages)})
+
+    return justext_blocks(
+        docs.map_batches(synthesize, batch_format="pyarrow"),
+        stopwords=frozenset({"a", "the"}),
+    )
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-family repetition counters (exact integers; ratios are
     consumer-side)."""

@@ -1,0 +1,72 @@
+"""Block-level boilerplate classification stage (jusText family).
+
+Wraps ``functions.justext`` as a per-batch Ray Data stage: every page row
+fans out to its classified DOM blocks. Pure map — no shuffle, no state
+beyond the compiled stopword set (a plain frozenset, shipped once inside
+the task closure). The heavy inputs (html payloads) are consumed here and
+never travel further down the pipeline — only block text and integer
+features leave the stage (same payload-drop discipline as
+``stages.extract``).
+
+Reference scope: the north-star extraction surface (BASELINE.json:
+"text-density boilerplate heuristics a la Readability/jusText");
+``html_extract`` is the strip variant used by ingest, this stage is the
+labeled-blocks variant used by curation/audit.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.justext import (
+    DEFAULT_STOPWORDS,
+    classify_blocks,
+    page_blocks,
+)
+
+
+def justext_blocks(pages, *, id_col: str = "doc_id",
+                   html_col: str = "html", stopwords=DEFAULT_STOPWORDS,
+                   min_words: int = 10, stop_num: int = 1,
+                   stop_den: int = 20):
+    """→ (id_col, block_idx, tag, block_text, total_chars, link_chars,
+    n_words, n_stop, ctx_label, label) — one row per DOM text block."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        htmls = batch.column(html_col).to_pylist()
+        out: dict[str, list] = {
+            id_col: [], "block_idx": [], "tag": [], "block_text": [],
+            "total_chars": [], "link_chars": [], "n_words": [],
+            "n_stop": [], "ctx_label": [], "label": [],
+        }
+        for i, html in zip(ids, htmls):
+            raw = html if isinstance(html, bytes) else (html or "").encode()
+            rows = classify_blocks(
+                page_blocks(raw), stopwords,
+                min_words=min_words, stop_num=stop_num, stop_den=stop_den,
+            )
+            for r in rows:
+                out[id_col].append(i)
+                for k in ("block_idx", "tag", "block_text", "total_chars",
+                          "link_chars", "n_words", "n_stop", "ctx_label",
+                          "label"):
+                    out[k].append(r[k])
+        return pa.table(
+            {
+                id_col: pa.array(out[id_col], batch.column(id_col).type),
+                "block_idx": pa.array(out["block_idx"], pa.int64()),
+                "tag": pa.array(out["tag"], pa.string()),
+                "block_text": pa.array(out["block_text"], pa.string()),
+                "total_chars": pa.array(out["total_chars"], pa.int64()),
+                "link_chars": pa.array(out["link_chars"], pa.int64()),
+                "n_words": pa.array(out["n_words"], pa.int64()),
+                "n_stop": pa.array(out["n_stop"], pa.int64()),
+                "ctx_label": pa.array(out["ctx_label"], pa.string()),
+                "label": pa.array(out["label"], pa.string()),
+            }
+        )
+
+    return pages.select_columns([id_col, html_col]).map_batches(
+        f, batch_format="pyarrow"
+    )
