@@ -199,6 +199,97 @@ tcr0 AS (
 )"""
 
 
+_JUSTEXT_CTE = """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> length(x) > 0) AS words
+              FROM documents
+            ),
+            nch AS (
+              SELECT doc_id, words,
+                     CAST(ceil(len(words) / 40.0) AS BIGINT) AS n_chunks
+              FROM w
+            ),
+            blocks AS (
+              SELECT doc_id, CAST(0 AS BIGINT) AS block_idx, 'li' AS tag,
+                     'home' AS block_text, CAST(4 AS BIGINT) AS link_chars
+              FROM nch
+              UNION ALL
+              SELECT doc_id, 1, 'li', 'about us', 8 FROM nch
+              UNION ALL
+              SELECT doc_id, 2, 'h1',
+                     array_to_string(list_slice(words, 1, 3), ' '), 0
+              FROM nch
+              UNION ALL
+              SELECT doc_id, CAST(2 + i AS BIGINT), 'p',
+                     array_to_string(
+                       list_slice(words, (i - 1) * 40 + 1, i * 40), ' '), 0
+              FROM nch, LATERAL (
+                SELECT unnest(generate_series(1, CAST(n_chunks AS INT)))
+                  AS i) g
+              UNION ALL
+              SELECT doc_id, 3 + n_chunks, 'p',
+                     'copyright sitemap links', 22
+              FROM nch
+            ),
+            feat AS (
+              SELECT doc_id, block_idx, tag, block_text, link_chars,
+                     CAST(length(block_text) AS BIGINT) AS total_chars,
+                     list_filter(string_split(block_text, ' '),
+                                 x -> length(x) > 0) AS bw
+              FROM blocks
+            ),
+            ctx AS (
+              SELECT doc_id, block_idx, tag, block_text, total_chars,
+                     link_chars,
+                     CAST(len(bw) AS BIGINT) AS n_words,
+                     CAST(len(list_filter(bw,
+                       x -> x IN ('a', 'the'))) AS BIGINT) AS n_stop,
+                     CASE
+                       WHEN link_chars * 2 > CAST(length(block_text) AS BIGINT)
+                         THEN 'bad'
+                       WHEN len(bw) < 10 THEN 'short'
+                       WHEN len(list_filter(bw, x -> x IN ('a', 'the'))) * 20
+                            >= len(bw) THEN 'good'
+                       ELSE 'near_good'
+                     END AS ctx_label
+              FROM feat
+            ),
+            nbr AS (
+              SELECT *,
+                     COALESCE(last_value(
+                       CASE WHEN ctx_label IN ('good', 'bad')
+                            THEN ctx_label END IGNORE NULLS) OVER (
+                       PARTITION BY doc_id ORDER BY block_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       'bad') AS prev_d,
+                     COALESCE(first_value(
+                       CASE WHEN ctx_label IN ('good', 'bad')
+                            THEN ctx_label END IGNORE NULLS) OVER (
+                       PARTITION BY doc_id ORDER BY block_idx
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                       'bad') AS next_d
+              FROM ctx
+            ),
+            labeled AS (
+            SELECT doc_id, block_idx, tag, block_text, total_chars,
+                   link_chars, n_words, n_stop, ctx_label,
+                   CASE ctx_label
+                     WHEN 'good' THEN 'good'
+                     WHEN 'bad' THEN 'bad'
+                     WHEN 'near_good' THEN
+                       CASE WHEN prev_d = 'good' OR next_d = 'good'
+                            THEN 'good' ELSE 'bad' END
+                     ELSE
+                       CASE WHEN prev_d = 'good' AND next_d = 'good'
+                            THEN 'good' ELSE 'bad' END
+                   END AS label
+            FROM nbr
+            )
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return q.q_ingest_pages("/root/testdata/sf0.001")
@@ -259,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": q.q_bloom_semi_join,
         "repetition_stats": q.q_repetition_stats,
         "justext_blocks": q.q_justext_blocks,
+        "main_content": q.q_main_content,
         "ann_cosine_topk": q.q_ann_cosine_topk,
         "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only
         # IVF with full probes == exact cosine top-k → reuse the brute oracle
@@ -381,92 +473,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(COUNT(*) AS BIGINT) AS count
             FROM grams GROUP BY ngram HAVING COUNT(*) >= 10
         """,
-        "justext_blocks": """
-            WITH w AS (
-              SELECT doc_id,
-                     list_filter(string_split(text, ' '),
-                                 x -> length(x) > 0) AS words
-              FROM documents
-            ),
-            nch AS (
-              SELECT doc_id, words,
-                     CAST(ceil(len(words) / 40.0) AS BIGINT) AS n_chunks
-              FROM w
-            ),
-            blocks AS (
-              SELECT doc_id, CAST(0 AS BIGINT) AS block_idx, 'li' AS tag,
-                     'home' AS block_text, CAST(4 AS BIGINT) AS link_chars
-              FROM nch
-              UNION ALL
-              SELECT doc_id, 1, 'li', 'about us', 8 FROM nch
-              UNION ALL
-              SELECT doc_id, 2, 'h1',
-                     array_to_string(list_slice(words, 1, 3), ' '), 0
-              FROM nch
-              UNION ALL
-              SELECT doc_id, CAST(2 + i AS BIGINT), 'p',
-                     array_to_string(
-                       list_slice(words, (i - 1) * 40 + 1, i * 40), ' '), 0
-              FROM nch, LATERAL (
-                SELECT unnest(generate_series(1, CAST(n_chunks AS INT)))
-                  AS i) g
-              UNION ALL
-              SELECT doc_id, 3 + n_chunks, 'p',
-                     'copyright sitemap links', 22
-              FROM nch
-            ),
-            feat AS (
-              SELECT doc_id, block_idx, tag, block_text, link_chars,
-                     CAST(length(block_text) AS BIGINT) AS total_chars,
-                     list_filter(string_split(block_text, ' '),
-                                 x -> length(x) > 0) AS bw
-              FROM blocks
-            ),
-            ctx AS (
-              SELECT doc_id, block_idx, tag, block_text, total_chars,
-                     link_chars,
-                     CAST(len(bw) AS BIGINT) AS n_words,
-                     CAST(len(list_filter(bw,
-                       x -> x IN ('a', 'the'))) AS BIGINT) AS n_stop,
-                     CASE
-                       WHEN link_chars * 2 > CAST(length(block_text) AS BIGINT)
-                         THEN 'bad'
-                       WHEN len(bw) < 10 THEN 'short'
-                       WHEN len(list_filter(bw, x -> x IN ('a', 'the'))) * 20
-                            >= len(bw) THEN 'good'
-                       ELSE 'near_good'
-                     END AS ctx_label
-              FROM feat
-            ),
-            nbr AS (
-              SELECT *,
-                     COALESCE(last_value(
-                       CASE WHEN ctx_label IN ('good', 'bad')
-                            THEN ctx_label END IGNORE NULLS) OVER (
-                       PARTITION BY doc_id ORDER BY block_idx
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       'bad') AS prev_d,
-                     COALESCE(first_value(
-                       CASE WHEN ctx_label IN ('good', 'bad')
-                            THEN ctx_label END IGNORE NULLS) OVER (
-                       PARTITION BY doc_id ORDER BY block_idx
-                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
-                       'bad') AS next_d
-              FROM ctx
-            )
+        "justext_blocks": f"""
+            {_JUSTEXT_CTE}
             SELECT doc_id, block_idx, tag, block_text, total_chars,
-                   link_chars, n_words, n_stop, ctx_label,
-                   CASE ctx_label
-                     WHEN 'good' THEN 'good'
-                     WHEN 'bad' THEN 'bad'
-                     WHEN 'near_good' THEN
-                       CASE WHEN prev_d = 'good' OR next_d = 'good'
-                            THEN 'good' ELSE 'bad' END
-                     ELSE
-                       CASE WHEN prev_d = 'good' AND next_d = 'good'
-                            THEN 'good' ELSE 'bad' END
-                   END AS label
-            FROM nbr
+                   link_chars, n_words, n_stop, ctx_label, label
+            FROM labeled
+        """,
+        "main_content": f"""
+            {_JUSTEXT_CTE}
+            SELECT doc_id,
+                   COALESCE(string_agg(
+                     CASE WHEN label = 'good' THEN block_text END,
+                     chr(10) || chr(10) ORDER BY block_idx), '') AS content,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(CASE WHEN label = 'good' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_good
+            FROM labeled GROUP BY doc_id
         """,
         "repetition_stats": """
             WITH w AS (

@@ -894,17 +894,11 @@ def q_domain_stats(sf_dir: str):
     return textstats.domain_stats(pages)
 
 
-def q_justext_blocks(sf_dir: str):
-    """jusText-family block classification over synthesized pages.
-
-    Each document becomes a deterministic page (nav link list, short <h1>,
-    40-word <p> chunks, link-dense footer); the classifier labels every
-    block through the exact integer rules; the oracle reconstructs the
-    same blocks and replays both classification passes in SQL (IGNORE
-    NULLS window functions for the context pass)."""
+def _synth_justext_pages(sf_dir: str):
+    """Deterministic page per document (nav link list, short <h1>, 40-word
+    <p> chunks, link-dense footer) — the jusText oracle reconstructs the
+    identical blocks straight from the documents table."""
     import math
-
-    from ..stages.boilerplate import justext_blocks
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -931,10 +925,28 @@ def q_justext_blocks(sf_dir: str):
             )
         return pa.table({"doc_id": ids, "html": pa.array(pages)})
 
+    return docs.map_batches(synthesize, batch_format="pyarrow")
+
+
+def q_justext_blocks(sf_dir: str):
+    """jusText-family block classification over synthesized pages: the
+    classifier labels every block through the exact integer rules; the
+    oracle replays both passes in SQL (IGNORE NULLS windows for the
+    context pass)."""
+    from ..stages.boilerplate import justext_blocks
+
     return justext_blocks(
-        docs.map_batches(synthesize, batch_format="pyarrow"),
-        stopwords=frozenset({"a", "the"}),
+        _synth_justext_pages(sf_dir), stopwords=frozenset({"a", "the"})
     )
+
+
+def q_main_content(sf_dir: str):
+    """End-to-end main-content extraction: synthesized pages → jusText
+    two-pass labels → '\\n\\n'-joined good blocks per page."""
+    from ..stages.boilerplate import extract_main_content
+
+    pages = _synth_justext_pages(sf_dir)
+    return extract_main_content(pages, stopwords=frozenset({"a", "the"}))
 
 
 def q_repetition_stats(sf_dir: str):

@@ -70,3 +70,41 @@ def justext_blocks(pages, *, id_col: str = "doc_id",
     return pages.select_columns([id_col, html_col]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def extract_main_content(pages, *, id_col: str = "doc_id",
+                         html_col: str = "html",
+                         stopwords=DEFAULT_STOPWORDS,
+                         min_words: int = 10, stop_num: int = 1,
+                         stop_den: int = 20):
+    """→ (id_col, content, n_blocks, n_good): the page's main content =
+    '\\n\\n'-joined ``good`` blocks (both jusText passes applied) — the
+    end-to-end boilerplate-removal surface a curation pipeline consumes.
+    Same per-batch shape as ``justext_blocks``; one output row per page."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        htmls = batch.column(html_col).to_pylist()
+        contents, n_blocks, n_good = [], [], []
+        for html in htmls:
+            raw = html if isinstance(html, bytes) else (html or "").encode()
+            rows = classify_blocks(
+                page_blocks(raw), stopwords,
+                min_words=min_words, stop_num=stop_num, stop_den=stop_den,
+            )
+            good = [r["block_text"] for r in rows if r["label"] == "good"]
+            contents.append("\n\n".join(good))
+            n_blocks.append(len(rows))
+            n_good.append(len(good))
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch.column(id_col).type),
+                "content": pa.array(contents, pa.string()),
+                "n_blocks": pa.array(n_blocks, pa.int64()),
+                "n_good": pa.array(n_good, pa.int64()),
+            }
+        )
+
+    return pages.select_columns([id_col, html_col]).map_batches(
+        f, batch_format="pyarrow"
+    )
