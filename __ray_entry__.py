@@ -290,6 +290,34 @@ _JUSTEXT_CTE = """
 """
 
 
+_LINKS_CTE = """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> length(x) > 0) AS words
+              FROM documents
+            ),
+            nav AS (
+              SELECT doc_id AS src, CAST(g.i - 1 AS BIGINT) AS link_idx,
+                     '/w/' || list_extract(words, g.i) AS href,
+                     list_extract(words, g.i) || ' page' AS anchor_text
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(1, least(len(words), 6)))
+                  AS i) g
+            ),
+            nxt AS (
+              SELECT doc_id AS src,
+                     CAST(least(len(words), 6) AS BIGINT) AS link_idx,
+                     'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.org/next' AS href,
+                     'next doc' AS anchor_text
+              FROM w
+            ),
+            edges AS (
+              SELECT * FROM nav UNION ALL SELECT * FROM nxt
+            )"""
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return q.q_ingest_pages("/root/testdata/sf0.001")
@@ -351,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q.q_repetition_stats,
         "justext_blocks": q.q_justext_blocks,
         "main_content": q.q_main_content,
+        "extract_links": q.q_extract_links,
+        "link_degrees": q.q_link_degrees,
         "ann_cosine_topk": q.q_ann_cosine_topk,
         "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only
         # IVF with full probes == exact cosine top-k → reuse the brute oracle
@@ -489,6 +519,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN label = 'good' THEN 1 ELSE 0 END)
                      AS BIGINT) AS n_good
             FROM labeled GROUP BY doc_id
+        """,
+        "extract_links": f"""
+            {_LINKS_CTE}
+            SELECT src, link_idx, href, anchor_text FROM edges
+        """,
+        "link_degrees": f"""
+            {_LINKS_CTE}
+            SELECT href, CAST(COUNT(*) AS BIGINT) AS n_links,
+                   CAST(COUNT(DISTINCT src) AS BIGINT) AS n_srcs
+            FROM edges GROUP BY href
         """,
         "repetition_stats": """
             WITH w AS (

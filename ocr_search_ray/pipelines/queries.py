@@ -940,6 +940,46 @@ def q_justext_blocks(sf_dir: str):
     )
 
 
+def _synth_link_pages(sf_dir: str):
+    """Deterministic outlink page per document: one nav anchor per first-6
+    word ('/w/<word>', '<word> page') + one cross-site anchor."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synthesize(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        texts = batch.column("text").to_pylist()
+        id_list = ids.to_pylist()
+        pages = []
+        for d, t in zip(id_list, texts):
+            words = [w for w in (t or "").split(" ") if w]
+            nav = "".join(
+                f'<li><a href="/w/{w}">{w} page</a></li>'
+                for w in words[:6]
+            )
+            pages.append(
+                "<html><body><ul>" + nav + "</ul>"
+                f'<p><a href="https://site{d % 7}.example.org/next">'
+                "next doc</a></p></body></html>"
+            )
+        return pa.table({"doc_id": ids, "html": pa.array(pages)})
+
+    return docs.map_batches(synthesize, batch_format="pyarrow")
+
+
+def q_extract_links(sf_dir: str):
+    """Outlink/anchor edge extraction over synthesized pages."""
+    from ..stages.linkgraph import extract_links
+
+    return extract_links(_synth_link_pages(sf_dir))
+
+
+def q_link_degrees(sf_dir: str):
+    """Per-target link-graph degrees (total links + distinct sources)."""
+    from ..stages.linkgraph import extract_links, link_degrees
+
+    return link_degrees(extract_links(_synth_link_pages(sf_dir)))
+
+
 def q_main_content(sf_dir: str):
     """End-to-end main-content extraction: synthesized pages → jusText
     two-pass labels → '\\n\\n'-joined good blocks per page."""
