@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q.q_lang_id,
         "ngram_counts": q.q_ngram_counts,
         "domain_stats": q.q_domain_stats,
+        "clean_text": q.q_clean_text,
         "pack_sequences": q.q_pack_sequences,
         "pii_redact": q.q_pii_redact,
         "span_dedup": q.q_span_dedup,
@@ -681,6 +682,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\+\d[\d-]{7,}\d'))
                      AS BIGINT) AS n_phones
             FROM s2
+        """,
+        "clean_text": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' x' || chr(9) || 'y' || chr(1) || '  cafe'
+                       || chr(769) || ' e' || chr(769) || chr(9) AS text
+              FROM documents
+            ),
+            nfc AS (
+              SELECT doc_id, length(text) AS n_chars_raw,
+                     nfc_normalize(text) AS t
+              FROM aug
+            ),
+            cleaned AS (
+              SELECT doc_id, n_chars_raw,
+                     trim(regexp_replace(
+                       regexp_replace(t,
+                         '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                       '[ \t]+', ' ', 'g'), ' ') AS text_clean
+              FROM nfc
+            )
+            SELECT doc_id, text_clean,
+                   CAST(n_chars_raw AS BIGINT) AS n_chars_raw,
+                   CAST(length(text_clean) AS BIGINT) AS n_chars_clean
+            FROM cleaned
         """,
         "pack_sequences": """
             WITH t AS (

@@ -1070,6 +1070,27 @@ def q_pii_redact(sf_dir: str):
     return redact_pii(docs.map_batches(augment, batch_format="pyarrow"))
 
 
+def q_clean_text(sf_dir: str):
+    """Unicode NFC + control-strip + whitespace-squeeze + trim. The corpus
+    is ASCII, so the entry plants combining characters, tabs, control
+    bytes and pad spaces per doc; the oracle replays the identical concat
+    + nfc_normalize + RE2 chain."""
+    from ..stages.redact import clean_text
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # decomposed accents (so NFC composes them), tab, control byte,
+    # space runs, trailing tab
+    suffix = " x\ty\x01  cafe\u0301 e\u0301\t"
+
+    def augment(batch: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(
+            batch.column("text"), suffix, ""
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "text": text})
+
+    return clean_text(docs.map_batches(augment, batch_format="pyarrow"))
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing (budget=256 tokens) via the
     distributed prefix-sum plan — global token offsets + window ids per doc."""

@@ -51,3 +51,51 @@ def redact_pii(documents, *, id_col: str = "doc_id",
     return documents.select_columns([id_col, text_col]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def clean_text(documents, *, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """→ (id_col, text_clean, n_chars_raw, n_chars_clean).
+
+    Canonical text normalization for a web corpus, applied in order:
+
+    1. Unicode NFC (stdlib ``unicodedata`` — pyarrow 16.1's
+       ``utf8_normalize`` decomposes regardless of the requested form, so
+       it cannot be used; an ``isascii`` fast path skips the call for the
+       dominant ASCII case);
+    2. strip control characters (C0 minus tab, plus DEL) — vectorized RE2;
+    3. squeeze runs of spaces/tabs to one space — vectorized RE2;
+    4. trim leading/trailing spaces.
+
+    Char counts are Unicode codepoints (SQL ``length`` parity).
+    """
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        raw = batch.column(text_col)
+        n_raw = pc.utf8_length(raw).cast(pa.int64())
+        texts = raw.to_pylist()
+        nfc = [
+            t if t is None or t.isascii() else unicodedata.normalize("NFC", t)
+            for t in texts
+        ]
+        arr = pa.array(nfc, pa.string())
+        arr = pc.replace_substring_regex(
+            arr, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
+        )
+        arr = pc.replace_substring_regex(arr, r"[ \t]+", " ")
+        arr = pc.utf8_trim(arr, " ")
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "text_clean": arr,
+                "n_chars_raw": n_raw,
+                "n_chars_clean": pc.utf8_length(arr).cast(pa.int64()),
+            }
+        )
+
+    return documents.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pyarrow"
+    )

@@ -60,3 +60,26 @@ def test_redact_custom_patterns():
     ).take_all()
     assert rows[0]["redacted"] == "ssn <SSN> x"
     assert rows[0]["n_ssn"] == 1
+
+
+def test_clean_text_nfc_controls_whitespace():
+    from ocr_search_ray.stages.redact import clean_text
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    ["  a\x01b\tc  d \t ", "café ok"]
+                ),
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in clean_text(ds).take_all()}
+    assert got[0]["text_clean"] == "ab c d"
+    assert got[0]["n_chars_raw"] == 13
+    assert got[0]["n_chars_clean"] == 6
+    # decomposed e + U+0301 composes to one codepoint
+    assert got[1]["text_clean"] == "café ok"
+    assert got[1]["n_chars_raw"] == 8
+    assert got[1]["n_chars_clean"] == 7
