@@ -318,6 +318,50 @@ _LINKS_CTE = """
             )"""
 
 
+_MESSY_URLS_CTE = """
+            WITH u AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                       THEN 'https://site' || CAST((doc_id // 2) % 7 AS VARCHAR)
+                            || '.example.org/doc-'
+                            || CAST(doc_id // 2 AS VARCHAR)
+                       ELSE 'HTTPS://SITE' || CAST((doc_id // 2) % 7 AS VARCHAR)
+                            || '.EXAMPLE.ORG:443/doc-'
+                            || CAST(doc_id // 2 AS VARCHAR) || '#S'
+                     END AS url
+              FROM documents
+            ),
+            parts AS (
+              SELECT doc_id, url,
+                     lower(split_part(split_part(url, '#', 1), '://', 1))
+                       AS scheme,
+                     split_part(split_part(url, '#', 1), '://', 2) AS rest
+              FROM u
+            ),
+            hp AS (
+              SELECT doc_id, url, scheme,
+                     split_part(rest, '/', 1) AS hostport,
+                     substr(rest, length(split_part(rest, '/', 1)) + 1)
+                       AS path
+              FROM parts
+            ),
+            canon AS (
+              SELECT doc_id, url,
+                     scheme || '://'
+                     || lower(split_part(hostport, ':', 1))
+                     || CASE WHEN split_part(hostport, ':', 2) = ''
+                              OR (scheme = 'http'
+                                  AND split_part(hostport, ':', 2) = '80')
+                              OR (scheme = 'https'
+                                  AND split_part(hostport, ':', 2) = '443')
+                             THEN ''
+                             ELSE ':' || split_part(hostport, ':', 2) END
+                     || CASE WHEN path = '' THEN '/' ELSE path END
+                       AS canonical_url
+              FROM hp
+            )"""
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return q.q_ingest_pages("/root/testdata/sf0.001")
@@ -373,6 +417,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": q.q_ngram_counts,
         "domain_stats": q.q_domain_stats,
         "clean_text": q.q_clean_text,
+        "stratified_sample": q.q_stratified_sample,
+        "canonical_urls": q.q_canonical_urls,
+        "canonical_dedup": q.q_canonical_dedup,
         "pack_sequences": q.q_pack_sequences,
         "pii_redact": q.q_pii_redact,
         "span_dedup": q.q_span_dedup,
@@ -682,6 +729,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\+\d[\d-]{7,}\d'))
                      AS BIGINT) AS n_phones
             FROM s2
+        """,
+        "canonical_urls": f"""
+            {_MESSY_URLS_CTE}
+            SELECT doc_id, url, canonical_url FROM canon
+        """,
+        "canonical_dedup": f"""
+            {_MESSY_URLS_CTE}
+            SELECT canonical_url,
+                   CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_variants
+            FROM canon GROUP BY canonical_url
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(text), doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 5
         """,
         "clean_text": r"""
             WITH aug AS (

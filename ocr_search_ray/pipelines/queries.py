@@ -1070,6 +1070,58 @@ def q_pii_redact(sf_dir: str):
     return redact_pii(docs.map_batches(augment, batch_format="pyarrow"))
 
 
+def _synth_messy_urls(sf_dir: str):
+    """Two spellings per target: even docs clean https, odd docs upper-case
+    host + default port + fragment — pairs (2c, 2c+1) share a canonical."""
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synthesize(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls = []
+        for d in ids:
+            c = d // 2
+            if d % 2 == 0:
+                urls.append(f"https://site{c % 7}.example.org/doc-{c}")
+            else:
+                urls.append(
+                    f"HTTPS://SITE{c % 7}.EXAMPLE.ORG:443/doc-{c}#S"
+                )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "url": pa.array(urls, pa.string())}
+        )
+
+    return docs.map_batches(synthesize, batch_format="pyarrow")
+
+
+def q_canonical_urls(sf_dir: str):
+    """URL canonicalization (scheme/host case, default ports, fragments)."""
+    from ..stages.urlnorm import canonical_urls
+
+    return canonical_urls(_synth_messy_urls(sf_dir))
+
+
+def q_canonical_dedup(sf_dir: str):
+    """Canonical-URL dedup: representative (min doc) + variant count."""
+    from ..stages.urlnorm import canonical_dedup
+
+    return canonical_dedup(_synth_messy_urls(sf_dir))
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic 5-per-lang document sample (content-hash ranked)."""
+    from ..stages.relational import stratified_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out = stratified_sample(docs, ["lang"], 5, id_col="doc_id",
+                            text_col="text")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["lang", "doc_id"])
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_clean_text(sf_dir: str):
     """Unicode NFC + control-strip + whitespace-squeeze + trim. The corpus
     is ASCII, so the entry plants combining characters, tabs, control

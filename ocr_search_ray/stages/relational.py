@@ -568,3 +568,38 @@ def bloom_semi_join(big, keys_ds, key: str, *, right_key: str | None = None,
         prefiltered, right, [key], left_types=left_types, right_types={},
         how="semi", hash_fn=hash_fn,
     )
+
+
+def stratified_sample(ds, key_cols: list[str], k: int, *,
+                      id_col: str, text_col: str | None = None):
+    """Deterministic k-per-group sample → input columns, ≤ k rows per
+    group.
+
+    The per-stratum quota pattern for corpus balancing (k docs per
+    language/domain/bucket): rows are ranked inside each stratum by
+    ``(md5(text or id), id)`` — a content hash, so the pick is stable
+    across runs and partitionings, reproducible in SQL, and unbiased with
+    respect to input order — and the existing ``grouped_topk`` exchange
+    keeps only the quota (one int-key exchange; ≤ k rows per group leave
+    the block walk).
+    """
+    import hashlib
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        src = batch.column(text_col if text_col else id_col)
+        vals = src.to_pylist()
+        h = [
+            hashlib.md5(str(v).encode()).hexdigest() for v in vals
+        ]
+        return batch.append_column("sample_rank", pa.array(h, pa.string()))
+
+    ranked = ds.map_batches(hashed, batch_format="pyarrow")
+    out = grouped_topk(
+        ranked, key_cols,
+        [("sample_rank", "ascending"), (id_col, "ascending")], k,
+    )
+
+    def drop(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["sample_rank"])
+
+    return out.map_batches(drop, batch_format="pyarrow")

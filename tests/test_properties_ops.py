@@ -275,3 +275,43 @@ def test_bloom_prefilter_prunes():
         ).astype(bool)
     # with m/n = 65536/1000 and k=4 the fp rate is << 1%; require < 2%
     assert member.sum() < 200
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.text("ab", max_size=5)),
+             min_size=0, max_size=40),
+)
+def test_stratified_sample_quota_and_determinism(rows):
+    import hashlib
+
+    from ocr_search_ray.stages.relational import stratified_sample
+
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "g": pa.array([f"g{a}" for a, _ in rows]),
+            "text": pa.array([t for _, t in rows]),
+        }
+    )
+    k = 3
+
+    def run(n_parts):
+        ds = rd.from_arrow(table).repartition(n_parts)
+        out = stratified_sample(ds, ["g"], k, id_col="doc_id",
+                                text_col="text")
+        return sorted((r["g"], r["doc_id"]) for r in out.take_all())
+
+    got = run(3)
+    assert got == run(1)  # partitioning-independent
+    naive: dict = {}
+    for i, (a, t) in enumerate(rows):
+        naive.setdefault(f"g{a}", []).append(
+            (hashlib.md5(t.encode()).hexdigest(), i)
+        )
+    expected = sorted(
+        (g, i)
+        for g, lst in naive.items()
+        for _, i in sorted(lst)[:k]
+    )
+    assert got == expected
