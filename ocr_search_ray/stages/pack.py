@@ -150,3 +150,70 @@ def pack_sequences(documents, *, budget: int = 256, id_col: str = "doc_id",
         )
 
     return cluster_apply(counted, ["part"], block_offsets)
+
+
+def write_packed_shards(documents, out_dir: str, *, budget: int = 256,
+                        packs_per_shard: int = 16,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_parts: int = 64):
+    """Materialize the packed training layout: one partition dir per shard
+    (``shard=K/``, K = pack_id // packs_per_shard), rows = (doc_id,
+    n_tokens, start_off, end_off, pack_id, text), zstd parquet.
+
+    The text column is re-attached to the (ids-only) packing table with a
+    distributed ``cluster_join`` on doc_id — neither side lands on the
+    driver. Shard dirs are written atomically (tmp dir + rename), so a
+    failed export leaves no partial shard and a rerun is idempotent —
+    the same resume discipline as ``ingest_resumable``.
+
+    → dict with n_docs, n_shards, out_dir.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .relational import cluster_join
+
+    packed = pack_sequences(
+        documents, budget=budget, id_col=id_col, text_col=text_col,
+        n_parts=n_parts,
+    )
+    if isinstance(packed, pa.Table):  # empty-input fast path
+        packed = rd.from_arrow(packed)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "shard",
+            pc.divide(batch.column("pack_id"), packs_per_shard)
+            .cast(pa.int64()),
+        )
+
+    packed = packed.map_batches(add_shard, batch_format="pyarrow")
+    joined = cluster_join(
+        packed, documents.select_columns([id_col, text_col]), [id_col],
+        left_types={id_col: pa.int64(), "n_tokens": pa.int64(),
+                    "start_off": pa.int64(), "end_off": pa.int64(),
+                    "pack_id": pa.int64(), "shard": pa.int64()},
+        right_types={text_col: pa.string()},
+    )
+
+    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".packed-tmp-", dir=parent)
+    try:
+        joined.write_parquet(
+            tmp, partition_cols=["shard"], compression="zstd"
+        )
+        n_docs = rd.read_parquet(tmp).count()
+        shards = sorted(
+            d for d in os.listdir(tmp) if d.startswith("shard=")
+        )
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.rename(tmp, out_dir)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return {"n_docs": n_docs, "n_shards": len(shards), "out_dir": out_dir}

@@ -315,3 +315,33 @@ def test_stratified_sample_quota_and_determinism(rows):
         for _, i in sorted(lst)[:k]
     )
     assert got == expected
+
+
+def test_write_packed_shards_layout_and_atomicity():
+    import os
+
+    import ray.data as rd
+
+    from ocr_search_ray.stages.pack import write_packed_shards
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = "/tmp/osr-packed-test"
+    res = write_packed_shards(docs, out, budget=256, packs_per_shard=8)
+    assert res["n_docs"] == docs.count()
+    shards = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(shards) == res["n_shards"] >= 2
+    back = rd.read_parquet(out)
+    rows = back.take_all()
+    assert len(rows) == res["n_docs"]
+    # every doc starts inside the shard's pack range and text survived
+    for r in rows[:50]:
+        assert r["start_off"] // 256 == r["pack_id"]
+        assert isinstance(r["text"], str) and r["n_tokens"] >= 0
+    # rerun is idempotent (atomic swap, no appended duplicates)
+    res2 = write_packed_shards(docs, out, budget=256, packs_per_shard=8)
+    assert res2["n_docs"] == res["n_docs"]
+    assert rd.read_parquet(out).count() == res["n_docs"]
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
