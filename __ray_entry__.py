@@ -420,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q.q_stratified_sample,
         "canonical_urls": q.q_canonical_urls,
         "canonical_dedup": q.q_canonical_dedup,
+        "vocab_encode": q.q_vocab_encode,
         "pack_sequences": q.q_pack_sequences,
         "pii_redact": q.q_pii_redact,
         "span_dedup": q.q_span_dedup,
@@ -729,6 +730,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\+\d[\d-]{7,}\d'))
                      AS BIGINT) AS n_phones
             FROM s2
+        """,
+        "vocab_encode": f"""
+            {_POSTINGS_PREFIX}
+            SELECT term, cf,
+                   CAST(row_number() OVER (ORDER BY cf DESC, term) - 1
+                     AS BIGINT) AS token_id
+            FROM (
+              SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
+              FROM postings GROUP BY term
+            )
         """,
         "canonical_urls": f"""
             {_MESSY_URLS_CTE}

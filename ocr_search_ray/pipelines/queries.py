@@ -1070,6 +1070,27 @@ def q_pii_redact(sf_dir: str):
     return redact_pii(docs.map_batches(augment, batch_format="pyarrow"))
 
 
+def q_vocab_encode(sf_dir: str):
+    """Token-id dictionary: vocabulary ranked by collection frequency
+    (ties by term) via the distributed prefix-sum ranking — no global
+    string sort."""
+    from ..stages.relational import global_rank
+
+    stats = term_stats(_postings(sf_dir)).select_columns(["term", "cf"])
+    ranked = global_rank(stats, "cf", "term")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": batch.column("term"),
+                "cf": batch.column("cf"),
+                "token_id": pc.subtract(batch.column("rank"), 1),
+            }
+        )
+
+    return ranked.map_batches(project, batch_format="pyarrow")
+
+
 def _synth_messy_urls(sf_dir: str):
     """Two spellings per target: even docs clean https, odd docs upper-case
     host + default port + fragment — pairs (2c, 2c+1) share a canonical."""

@@ -603,3 +603,81 @@ def stratified_sample(ds, key_cols: list[str], k: int, *,
         return batch.drop_columns(["sample_rank"])
 
     return out.map_batches(drop, batch_format="pyarrow")
+
+
+def global_rank(ds, value_col: str, tiebreak_col: str, *,
+                rank_col: str = "rank", n_parts: int = 64):
+    """Total ordering without a global sort: append 1-based ``rank_col``
+    equal to SQL ``row_number() OVER (ORDER BY value DESC, tiebreak ASC)``.
+
+    The distributed-ranking pattern (same prefix-sum plan as
+    ``pack.pack_sequences``): range-partition on the INT value column
+    (descending ranges), count per partition (≤ ``n_parts`` rows to the
+    driver → exclusive prefix offsets), then one int-key exchange and a
+    block-local Arrow sort per partition run. The tiebreak column (often a
+    string — a web vocabulary) is only ever sorted BLOCK-locally: the
+    pathological Ray range-partition boundary search over strings
+    (CLAUDE.md hard-won rule) never runs.
+    """
+    import ray
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = batch.column(value_col)
+        return pa.table(
+            {"lo": pa.array([pc.min(v).as_py()], pa.int64()),
+             "hi": pa.array([pc.max(v).as_py()], pa.int64())}
+        )
+
+    mm = ds.select_columns([value_col]).map_batches(
+        minmax, batch_format="pyarrow"
+    ).take_all()
+    if not mm:
+        return ds
+    lo = min(r["lo"] for r in mm)
+    hi = max(r["hi"] for r in mm)
+    width = max(1, (hi - lo) // n_parts + 1)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        part = pc.divide(
+            pc.subtract(hi, batch.column(value_col)), width
+        ).cast(pa.int32())
+        return batch.append_column("__rank_part", part)
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow")
+    sums = grouped_agg(
+        parted.select_columns(["__rank_part"]),
+        ["__rank_part"], [("n", "__rank_part", "count")],
+    )
+    rows = sorted((r["__rank_part"], r["n"]) for r in sums.take_all())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for part, n in rows:
+        offsets[part] = acc
+        acc += n
+    offsets_ref = ray.put(offsets)
+
+    def block_rank(block: pa.Table) -> pa.Table:
+        import numpy as np
+
+        table = ray.get(offsets_ref)
+        block = block.sort_by(
+            [("__rank_part", "ascending"), (value_col, "descending"),
+             (tiebreak_col, "ascending")]
+        )
+        parts = block.column("__rank_part").to_numpy(zero_copy_only=False)
+        rank = np.empty(len(parts), dtype=np.int64)
+        run_start = 0
+        for i in range(1, len(parts) + 1):
+            if i == len(parts) or parts[i] != parts[i - 1]:
+                base = table[int(parts[run_start])]
+                rank[run_start:i] = base + np.arange(1, i - run_start + 1)
+                run_start = i
+        return block.drop_columns(["__rank_part"]).append_column(
+            rank_col, pa.array(rank, pa.int64())
+        )
+
+    return cluster_apply(parted, ["__rank_part"], block_rank)

@@ -345,3 +345,33 @@ def test_write_packed_shards_layout_and_atomicity():
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 9), st.text("abc", min_size=1,
+                                                  max_size=4)),
+             min_size=1, max_size=60, unique_by=lambda r: r[1]),
+)
+def test_global_rank_matches_row_number(rows):
+    from ocr_search_ray.stages.relational import global_rank
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "v": pa.array([a for a, _ in rows], pa.int64()),
+                "t": pa.array([b for _, b in rows]),
+            }
+        )
+    ).repartition(3)
+    got = {
+        r["t"]: r["rank"]
+        for r in global_rank(ds, "v", "t", n_parts=4).take_all()
+    }
+    expected = {
+        t: i + 1
+        for i, (_, t) in enumerate(
+            sorted(rows, key=lambda r: (-r[0], r[1]))
+        )
+    }
+    assert got == expected
