@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_urls": q.q_canonical_urls,
         "canonical_dedup": q.q_canonical_dedup,
         "vocab_encode": q.q_vocab_encode,
+        "connected_components": q.q_connected_components,
         "pack_sequences": q.q_pack_sequences,
         "pii_redact": q.q_pii_redact,
         "span_dedup": q.q_span_dedup,
@@ -730,6 +731,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\+\d[\d-]{7,}\d'))
                      AS BIGINT) AS n_phones
             FROM s2
+        """,
+        "connected_components": """
+            WITH e AS (
+              SELECT doc_id AS src, doc_id + 1 AS dst
+              FROM documents WHERE doc_id % 5 < 3
+            ),
+            nodes AS (
+              SELECT DISTINCT n FROM (
+                SELECT src AS n FROM e UNION ALL SELECT dst FROM e
+              )
+            )
+            SELECT n AS node, CAST(n - (n % 5) AS BIGINT) AS component
+            FROM nodes
         """,
         "vocab_encode": f"""
             {_POSTINGS_PREFIX}

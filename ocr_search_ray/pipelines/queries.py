@@ -1070,6 +1070,29 @@ def q_pii_redact(sf_dir: str):
     return redact_pii(docs.map_batches(augment, batch_format="pyarrow"))
 
 
+def q_connected_components(sf_dir: str):
+    """Dedup-cluster construction: connected components (hash-min label
+    propagation to fixpoint) over planted chain edges (doc d — d+1 when
+    d%5<3 → components are the maximal runs; the oracle states the
+    closed form for this graph)."""
+    from ..stages.graph import connected_components
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id")
+        rem = pc.subtract(d, pc.multiply(pc.divide(d, 5), 5))
+        keep = batch.filter(pc.less(rem, 3))
+        return pa.table(
+            {"src": keep.column("doc_id"),
+             "dst": pc.add(keep.column("doc_id"), 1)}
+        )
+
+    return connected_components(
+        docs.map_batches(edges, batch_format="pyarrow"), n_blocks=4
+    )
+
+
 def q_vocab_encode(sf_dir: str):
     """Token-id dictionary: vocabulary ranked by collection frequency
     (ties by term) via the distributed prefix-sum ranking — no global

@@ -375,3 +375,43 @@ def test_global_rank_matches_row_number(rows):
         )
     }
     assert got == expected
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)),
+             min_size=1, max_size=24),
+)
+def test_connected_components_matches_union_find(edges):
+    from ocr_search_ray.stages.graph import connected_components
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(ds, n_blocks=2).take_all()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = {n for e in edges for n in e}
+    comp_min: dict = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[find(n)] for n in nodes}
+    assert got == expected
