@@ -422,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_dedup": q.q_canonical_dedup,
         "vocab_encode": q.q_vocab_encode,
         "connected_components": q.q_connected_components,
+        "robots_filter": q.q_robots_filter,
         "pack_sequences": q.q_pack_sequences,
         "pii_redact": q.q_pii_redact,
         "span_dedup": q.q_span_dedup,
@@ -731,6 +732,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\+\d[\d-]{7,}\d'))
                      AS BIGINT) AS n_phones
             FROM s2
+        """,
+        "robots_filter": f"""
+            WITH {_WEB_CTE.strip()},
+            parts AS (
+              SELECT url,
+                     split_part(split_part(url, '://', 2), '/', 1) AS domain,
+                     substr(split_part(url, '://', 2),
+                       length(split_part(split_part(url, '://', 2), '/', 1))
+                       + 1) AS path
+              FROM web
+            )
+            SELECT url, domain,
+                   CASE WHEN starts_with(path, '/doc-00012')
+                          THEN '/doc-00012'
+                        WHEN starts_with(path, '/doc-0001')
+                          THEN '/doc-0001'
+                        ELSE '' END AS matched_prefix,
+                   CASE WHEN starts_with(path, '/doc-00012') THEN TRUE
+                        WHEN starts_with(path, '/doc-0001') THEN FALSE
+                        ELSE TRUE END AS fetchable
+            FROM parts
         """,
         "connected_components": """
             WITH e AS (

@@ -1070,6 +1070,37 @@ def q_pii_redact(sf_dir: str):
     return redact_pii(docs.map_batches(augment, batch_format="pyarrow"))
 
 
+_ROBOTS_DOMAINS = ["hot.example.com"] + [
+    f"site{i}.example.org" for i in range(7)
+]
+
+
+def q_robots_filter(sf_dir: str):
+    """REP longest-match robots filtering over the synthesized url corpus
+    (every domain disallows /doc-0001 but re-allows /doc-00012)."""
+    from ..sources.webpages import read_webpages
+    from ..stages.robots import robots_filter
+
+    urls = read_webpages(sf_dir).map_batches(
+        lambda b: b.select(["url"]), batch_format="pyarrow"
+    )
+    import ray.data as rd
+
+    rules = rd.from_arrow(
+        pa.table(
+            {
+                "domain": pa.array(
+                    [d for d in _ROBOTS_DOMAINS for _ in range(2)]),
+                "rule_type": pa.array(
+                    ["disallow", "allow"] * len(_ROBOTS_DOMAINS)),
+                "path_prefix": pa.array(
+                    ["/doc-0001", "/doc-00012"] * len(_ROBOTS_DOMAINS)),
+            }
+        )
+    )
+    return robots_filter(urls, rules)
+
+
 def q_connected_components(sf_dir: str):
     """Dedup-cluster construction: connected components (hash-min label
     propagation to fixpoint) over planted chain edges (doc d — d+1 when
