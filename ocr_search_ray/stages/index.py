@@ -85,13 +85,38 @@ def add_term_bucket(postings, n_buckets: int = N_BUCKETS_DEFAULT):
             pa.int32(),
         )
         buckets = lut.take(encoded.indices)
-        return batch.append_column("term_bucket", buckets)
+        # ship BOTH string columns dictionary-encoded through the exchange:
+        # terms are Zipf-repeated and a page's ~20 postings share one 64-hex
+        # doc_id, so the encoded block is ~10-20x smaller on the wire (the
+        # all-to-all is the pipeline's only corpus-sized byte mover).
+        # Ray 2.49's sort handles per-block dictionaries (pinned by
+        # tests/test_query_index.py); the reduce side decodes before the
+        # bucket-local sort, so the written layout is unchanged.
+        return pa.table(
+            {
+                "doc_id": pc.dictionary_encode(
+                    batch.column("doc_id").combine_chunks()),
+                "term": encoded,
+                "tf": batch.column("tf"),
+                "term_bucket": buckets,
+            }
+        )
 
     return postings.map_batches(_bucket, batch_format="pyarrow")
 
 
 def _sort_group(group: pa.Table) -> pa.Table:
-    return group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    # decode the exchange's dictionary columns back to plain strings (the
+    # bytes already crossed the wire encoded; files stay plain)
+    cols = {}
+    for name in group.column_names:
+        col = group.column(name)
+        if pa.types.is_dictionary(col.type):
+            col = col.cast(pa.string())
+        cols[name] = col
+    return pa.table(cols).sort_by(
+        [("term", "ascending"), ("doc_id", "ascending")]
+    )
 
 
 def build_index(postings, out_dir: str | None = None, n_buckets: int = N_BUCKETS_DEFAULT):
@@ -199,6 +224,16 @@ def merge_into_index(new_postings, index_dir: str,
 
             new_rows = pq2.read_table(
                 new_dir, columns=["doc_id", "term", "tf"])
+            # staging was written from the dictionary-encoded exchange
+            # schema — normalize to the plain-string layout schema
+            new_rows = pa.table(
+                {
+                    n: (new_rows.column(n).cast(pa.string())
+                        if pa.types.is_dictionary(new_rows.column(n).type)
+                        else new_rows.column(n))
+                    for n in new_rows.column_names
+                }
+            )
             parts = [new_rows]
             if os.path.isdir(bucket_dir):
                 parts.append(pq2.read_table(
