@@ -423,6 +423,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_encode": q.q_vocab_encode,
         "connected_components": q.q_connected_components,
         "robots_filter": q.q_robots_filter,
+        "sliding_windows": q.q_sliding_windows,
+        "full_outer_join": q.q_full_outer_join,
+        "anti_join": q.q_anti_join,
         "pack_sequences": q.q_pack_sequences,
         "pii_redact": q.q_pii_redact,
         "span_dedup": q.q_span_dedup,
@@ -732,6 +735,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\+\d[\d-]{7,}\d'))
                      AS BIGINT) AS n_phones
             FROM s2
+        """,
+        "sliding_windows": """
+            WITH ev AS (
+              SELECT event_type, ts,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     CAST(epoch_us(ts) // 900000000 * 900000000 AS BIGINT)
+                       AS base
+              FROM events
+            ),
+            assigned AS (
+              SELECT event_type,
+                     make_timestamp(base - i.i * 900000000)
+                       AS window_start,
+                     cents
+              FROM ev, LATERAL (
+                SELECT unnest(generate_series(0, 3)) AS i) i
+            )
+            SELECT event_type, window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+            FROM assigned GROUP BY event_type, window_start
+        """,
+        "full_outer_join": """
+            SELECT o.o_orderkey,
+                   COALESCE(o.o_custkey, c.c_custkey) AS o_custkey,
+                   c.c_name
+            FROM orders o
+            FULL OUTER JOIN (
+              SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+              UNION ALL
+              SELECT c_custkey + 10000, c_name || '-shadow'
+              FROM customer WHERE c_acctbal > 9500
+            ) c ON o.o_custkey = c.c_custkey
+        """,
+        "anti_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000
+            )
         """,
         "robots_filter": f"""
             WITH {_WEB_CTE.strip()},

@@ -1070,6 +1070,76 @@ def q_pii_redact(sf_dir: str):
     return redact_pii(docs.map_batches(augment, batch_format="pyarrow"))
 
 
+def q_sliding_windows(sf_dir: str):
+    """1-hour windows hopping every 15 min per event_type (each event in 4
+    windows)."""
+    import datetime as dt
+
+    from ..stages.sessionize import sliding_window_agg
+
+    events = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return sliding_window_agg(
+        events, window=dt.timedelta(hours=1),
+        slide=dt.timedelta(minutes=15), key_cols=["event_type"],
+    )
+
+
+def q_full_outer_join(sf_dir: str):
+    """Distributed FULL OUTER join: all orders x high-balance customers
+    (unmatched sides null-extended, key coalesced). Every customer in
+    this corpus has orders, so the right side also plants shadow keys
+    (+10000) that match nothing — exercising the right-only branch."""
+    from ..stages.relational import cluster_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = batch.filter(pc.greater(batch.column("c_acctbal"), 5000.0))
+        real = pa.table({"o_custkey": k.column("c_custkey"),
+                         "c_name": k.column("c_name")})
+        sh = k.filter(pc.greater(k.column("c_acctbal"), 9500.0))
+        shadow = pa.table(
+            {"o_custkey": pc.add(sh.column("c_custkey"), 10000),
+             "c_name": pc.binary_join_element_wise(
+                 sh.column("c_name"), "-shadow", "")}
+        )
+        return pa.concat_tables([real, shadow]).combine_chunks()
+
+    vip = _read(sf_dir, "customer",
+                columns=["c_custkey", "c_name", "c_acctbal"]).map_batches(
+        keep, batch_format="pyarrow")
+    return cluster_join(
+        orders, vip, ["o_custkey"],
+        left_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
+        right_types={"c_name": pa.string()},
+        how="full",
+    )
+
+
+def q_anti_join(sf_dir: str):
+    """Distributed ANTI join: orders whose customer is NOT high-balance
+    (the deny-list complement of bloom_semi_join)."""
+    from ..stages.relational import cluster_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = batch.filter(pc.greater(batch.column("c_acctbal"), 9000.0))
+        return pa.table({"o_custkey": k.column("c_custkey")})
+
+    vip = _read(sf_dir, "customer",
+                columns=["c_custkey", "c_acctbal"]).map_batches(
+        keep, batch_format="pyarrow")
+    return cluster_join(
+        orders, vip, ["o_custkey"],
+        left_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+                    "o_totalprice": pa.float64()},
+        right_types={},
+        how="anti",
+    )
+
+
 _ROBOTS_DOMAINS = ["hot.example.com"] + [
     f"site{i}.example.org" for i in range(7)
 ]

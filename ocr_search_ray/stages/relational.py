@@ -374,7 +374,7 @@ def cluster_join(left, right, keys: list[str], *,
     order. ``right_types``: the right side's non-key value columns (its key
     columns must be named like ``keys``; pass ``{}`` for semi/anti, whose
     output is the left columns only). Duplicate right keys produce m:n join
-    semantics, like SQL. ``how``: "inner" | "left" | "semi" | "anti" —
+    semantics, like SQL. ``how``: "inner" | "left" | "semi" | "anti" | "full" —
     semi/anti are the scale answer for existence filters whose filter side
     is itself corpus-sized (e.g. drop every doc in a corpus-scale deny
     list without broadcasting it).
@@ -413,7 +413,8 @@ def cluster_join(left, right, keys: list[str], *,
         right.map_batches(align_right, batch_format="pyarrow")
     )
     join_type = {"inner": "inner", "left": "left outer",
-                 "semi": "left semi", "anti": "left anti"}[how]
+                 "semi": "left semi", "anti": "left anti",
+                 "full": "full outer"}[how]
 
     def block_join(block: pa.Table) -> pa.Table:
         side = block.column(_SIDE)

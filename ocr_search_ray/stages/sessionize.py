@@ -120,3 +120,54 @@ def sessionize(events, *, gap: dt.timedelta = DEFAULT_GAP,
 
     projected = events.select_columns([user_col, ts_col, order_col])
     return cluster_apply(projected, [user_col], block_sessions)
+
+
+def sliding_window_agg(events, *, window: "dt.timedelta",
+                       slide: "dt.timedelta", ts_col: str = "ts",
+                       key_cols: list[str] | None = None,
+                       value_col: str = "value"):
+    """Sliding (hopping) event-time windows: → key_cols + (window_start,
+    n_events, sum_value_cents), one output row per (key, window) where the
+    window [start, start+window) contains the event.
+
+    ``window`` must be an integer multiple of ``slide``; each event
+    replicates into window/slide window assignments (a vectorized k-way
+    batch concat — no per-row Python), then the standard two-phase
+    ``grouped_agg`` merges. The tumbling case is window == slide.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import grouped_agg
+
+    key_cols = key_cols or []
+    window_us = int(window.total_seconds() * 1_000_000)
+    slide_us = int(slide.total_seconds() * 1_000_000)
+    if window_us % slide_us:
+        raise ValueError("window must be a multiple of slide")
+    k = window_us // slide_us
+
+    def assign(batch: pa.Table) -> pa.Table:
+        away = pc.RoundOptions(round_mode="half_towards_infinity")
+        ts_us = pc.cast(batch.column(ts_col), pa.int64())
+        base = pc.multiply(pc.divide(ts_us, slide_us), slide_us)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column(value_col), 100),
+                     options=away),
+            pa.int64(),
+        )
+        parts = []
+        for i in range(k):
+            start = pc.subtract(base, i * slide_us)
+            cols = {kc: batch.column(kc) for kc in key_cols}
+            cols["window_start"] = pc.cast(start, pa.timestamp("us"))
+            cols["one"] = pa.repeat(pa.scalar(1, pa.int64()),
+                                    batch.num_rows)
+            cols["cents"] = cents
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts).combine_chunks()
+
+    assigned = events.map_batches(assign, batch_format="pyarrow")
+    return grouped_agg(
+        assigned, key_cols + ["window_start"],
+        [("n_events", "one", "sum"), ("sum_value_cents", "cents", "sum")],
+    )
