@@ -423,6 +423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_encode": q.q_vocab_encode,
         "connected_components": q.q_connected_components,
         "robots_filter": q.q_robots_filter,
+        "grouped_distinct": q.q_grouped_distinct,
+        "grouped_approx_distinct": q.q_grouped_approx_distinct,  # rows-only (HLL)
         "sliding_windows": q.q_sliding_windows,
         "full_outer_join": q.q_full_outer_join,
         "anti_join": q.q_anti_join,
@@ -735,6 +737,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\+\d[\d-]{7,}\d'))
                      AS BIGINT) AS n_phones
             FROM s2
+        """,
+        "grouped_distinct": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type
         """,
         "sliding_windows": """
             WITH ev AS (

@@ -1070,6 +1070,24 @@ def q_pii_redact(sf_dir: str):
     return redact_pii(docs.map_batches(augment, batch_format="pyarrow"))
 
 
+def q_grouped_distinct(sf_dir: str):
+    """Exact distinct users per event_type (two-level value-keyed
+    exchange)."""
+    from ..stages.relational import grouped_count_distinct
+
+    events = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_count_distinct(events, ["event_type"], "user_id")
+
+
+def q_grouped_approx_distinct(sf_dir: str):
+    """Per-group HLL distinct-user estimates (rows-only: deterministic
+    sketch, accuracy locked by pytest against the exact operator)."""
+    from ..stages.relational import grouped_approx_distinct
+
+    events = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_approx_distinct(events, ["event_type"], "user_id")
+
+
 def q_sliding_windows(sf_dir: str):
     """1-hour windows hopping every 15 min per event_type (each event in 4
     windows)."""

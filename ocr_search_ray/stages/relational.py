@@ -716,3 +716,104 @@ def global_rank(ds, value_col: str, tiebreak_col: str, *,
         )
 
     return cluster_apply(parted, ["__rank_part"], block_rank)
+
+
+def grouped_count_distinct(ds, keys: list[str], col: str, *,
+                           out_name: str = "n_distinct"):
+    """Exact COUNT(DISTINCT col) per key group at scale → keys + out_name.
+
+    Two-level plan (no group's distinct set ever sits in one Python
+    structure larger than a block): (1) per-batch dedupe of (keys, col)
+    collapses in-batch repeats; (2) ONE int-key exchange on (keys, col)
+    — note the VALUE is part of the exchange key, so a hot group's
+    distinct values spread across partitions like any other key domain —
+    with block-local dedupe makes pairs globally unique; (3) the standard
+    two-phase count per keys. The generic form of the salted trick
+    ``textstats.domain_stats`` uses.
+    """
+
+    def batch_dedupe(batch: pa.Table) -> pa.Table:
+        sub = batch.select(keys + [col])
+        return sub.group_by(keys + [col]).aggregate([])
+
+    deduped = cluster_apply(
+        ds.map_batches(batch_dedupe, batch_format="pyarrow"),
+        keys + [col],
+        lambda block: block.group_by(keys + [col]).aggregate([]),
+    )
+    return grouped_agg(deduped, keys, [(out_name, col, "count")])
+
+
+def grouped_approx_distinct(ds, keys: list[str], col: str, *,
+                            precision: int = 12):
+    """Approximate COUNT(DISTINCT col) per key group → keys +
+    (estimate:int64): one HyperLogLog per group (same md5 construction,
+    corrections and determinism as ``textstats.approx_distinct``), with
+    per-batch register partials merged by ONE exchange on the group key
+    (elementwise max, block-local). State per group is 2^precision bytes
+    REGARDLESS of cardinality — the scale path when groups are huge and
+    an exact per-group distinct is an avoidable full exchange of values.
+    """
+    import hashlib
+
+    import numpy as np
+
+    m = 1 << precision
+
+    def batch_registers(batch: pa.Table) -> pa.Table:
+        key_lists = [batch.column(k).to_pylist() for k in keys]
+        vals = batch.column(col).to_pylist()
+        regs_by_key: dict[tuple, np.ndarray] = {}
+        for i, v in enumerate(vals):
+            kt = tuple(kl[i] for kl in key_lists)
+            regs = regs_by_key.get(kt)
+            if regs is None:
+                regs = regs_by_key[kt] = np.zeros(m, dtype=np.uint8)
+            h = int.from_bytes(
+                hashlib.md5(str(v).encode()).digest()[:8], "big")
+            idx = h >> (64 - precision)
+            rest = h & ((1 << (64 - precision)) - 1)
+            rank = (64 - precision) - rest.bit_length() + 1
+            if rank > regs[idx]:
+                regs[idx] = rank
+        kts = list(regs_by_key)
+        cols = {
+            k: pa.array([kt[j] for kt in kts],
+                        batch.column(k).type)
+            for j, k in enumerate(keys)
+        }
+        cols["regs"] = pa.array(
+            [regs_by_key[kt].tobytes() for kt in kts], pa.binary())
+        return pa.table(cols)
+
+    def block_merge(block: pa.Table) -> pa.Table:
+        key_lists = [block.column(k).to_pylist() for k in keys]
+        regs_col = block.column("regs").to_pylist()
+        merged: dict[tuple, np.ndarray] = {}
+        for i, rb in enumerate(regs_col):
+            kt = tuple(kl[i] for kl in key_lists)
+            r = np.frombuffer(rb, dtype=np.uint8)
+            prev = merged.get(kt)
+            merged[kt] = r if prev is None else np.maximum(prev, r)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        kts = list(merged)
+        ests = []
+        for kt in kts:
+            regs = merged[kt]
+            est = alpha * m * m / np.sum(
+                np.exp2(-regs.astype(np.float64)))
+            zeros = int(np.count_nonzero(regs == 0))
+            if est <= 2.5 * m and zeros:
+                est = m * np.log(m / zeros)
+            ests.append(int(round(est)))
+        cols = {
+            k: pa.array([kt[j] for kt in kts], block.column(k).type)
+            for j, k in enumerate(keys)
+        }
+        cols["estimate"] = pa.array(ests, pa.int64())
+        return pa.table(cols)
+
+    parts = ds.select_columns(keys + [col]).map_batches(
+        batch_registers, batch_format="pyarrow"
+    )
+    return cluster_apply(parts, keys, block_merge)

@@ -415,3 +415,43 @@ def test_connected_components_matches_union_find(edges):
         comp_min[r] = min(comp_min.get(r, n), n)
     expected = {n: comp_min[find(n)] for n in nodes}
     assert got == expected
+
+
+def test_grouped_distinct_exact_and_hll_within_bounds():
+    import random
+
+    from ocr_search_ray.stages.relational import (
+        grouped_approx_distinct,
+        grouped_count_distinct,
+    )
+
+    rng = random.Random(7)
+    rows = [(f"g{rng.randrange(3)}", f"u{rng.randrange(500)}")
+            for _ in range(6000)]
+    ds = rd.from_arrow(
+        pa.table(
+            {"g": pa.array([a for a, _ in rows]),
+             "u": pa.array([b for _, b in rows])}
+        )
+    ).repartition(4)
+    naive: dict = {}
+    for g, u in rows:
+        naive.setdefault(g, set()).add(u)
+    exact = {
+        r["g"]: r["n_distinct"]
+        for r in grouped_count_distinct(ds, ["g"], "u").take_all()
+    }
+    assert exact == {g: len(s) for g, s in naive.items()}
+    approx = {
+        r["g"]: r["estimate"]
+        for r in grouped_approx_distinct(ds, ["g"], "u").take_all()
+    }
+    for g, s in naive.items():
+        assert abs(approx[g] - len(s)) / len(s) < 3 * 1.04 / (1 << 6)
+    # determinism across partitionings
+    approx2 = {
+        r["g"]: r["estimate"]
+        for r in grouped_approx_distinct(
+            ds.repartition(2), ["g"], "u").take_all()
+    }
+    assert approx2 == approx
