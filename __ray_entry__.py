@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_encode": q.q_vocab_encode,
         "connected_components": q.q_connected_components,
         "robots_filter": q.q_robots_filter,
+        "assign_split": q.q_assign_split,
         "grouped_distinct": q.q_grouped_distinct,
         "grouped_approx_distinct": q.q_grouped_approx_distinct,  # rows-only (HLL)
         "sliding_windows": q.q_sliding_windows,
@@ -737,6 +738,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\+\d[\d-]{7,}\d'))
                      AS BIGINT) AS n_phones
             FROM s2
+        """,
+        "assign_split": """
+            SELECT doc_id, text,
+                   CASE WHEN h < 98 THEN 'train'
+                        WHEN h < 99 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id, text,
+                     CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT)
+                       % 100 AS h
+              FROM documents
+            )
         """,
         "grouped_distinct": """
             SELECT event_type,

@@ -1070,6 +1070,14 @@ def q_pii_redact(sf_dir: str):
     return redact_pii(docs.map_batches(augment, batch_format="pyarrow"))
 
 
+def q_assign_split(sf_dir: str):
+    """Deterministic content-hash train/val/test assignment (98/1/1)."""
+    from ..stages.relational import assign_split
+
+    return assign_split(_read(sf_dir, "documents",
+                              columns=["doc_id", "text"]))
+
+
 def q_grouped_distinct(sf_dir: str):
     """Exact distinct users per event_type (two-level value-keyed
     exchange)."""

@@ -817,3 +817,39 @@ def grouped_approx_distinct(ds, keys: list[str], col: str, *,
         batch_registers, batch_format="pyarrow"
     )
     return cluster_apply(parts, keys, block_merge)
+
+
+def assign_split(ds, *, text_col: str = "text",
+                 splits: list[tuple[str, int]] | None = None):
+    """Deterministic corpus split → input columns + ``split``.
+
+    ``splits``: [(name, percent), ...] summing to 100; a row lands in the
+    bucket its content-hash percentile falls in (md5 of the text — stable
+    across runs, partitionings and machines; the standard
+    train/val/test assignment that must NEVER depend on row order).
+    Stateless per-batch map, no shuffle.
+    """
+    import hashlib
+
+    splits = splits or [("train", 98), ("val", 1), ("test", 1)]
+    if sum(p for _, p in splits) != 100:
+        raise ValueError("split percents must sum to 100")
+    bounds = []
+    acc = 0
+    for name, pct in splits:
+        acc += pct
+        bounds.append((acc, name))
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        out = []
+        for t in texts:
+            h = int.from_bytes(
+                hashlib.md5((t or "").encode()).digest()[:4], "big") % 100
+            for bound, name in bounds:
+                if h < bound:
+                    out.append(name)
+                    break
+        return batch.append_column("split", pa.array(out, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
