@@ -172,6 +172,34 @@ def _bench_once(sf_dir: str, num_cpus: int, *, with_queries: bool) -> dict:
     }
 
 
+def _busy_probe(_n):
+    import time as _t
+
+    t0 = _t.time()
+    i = 0
+    while _t.time() - t0 < 2.0:
+        for _ in range(10000):
+            i += 1
+    return i
+
+
+def _hw_ceiling(lo: int, hi: int) -> float:
+    """Busy-loop lo→hi scaling of the HOST at this moment (no Ray, no
+    memory traffic) — the hypervisor alternates fast/slow phases
+    (measured: identical code swings 0.41–1.1), so every scaling sample
+    self-reports the concurrent hardware ceiling."""
+    import multiprocessing as mp
+    import time as _t
+
+    rates = {}
+    for procs in (lo, hi):
+        with mp.Pool(procs) as pool:
+            t0 = _t.time()
+            total = sum(pool.map(_busy_probe, range(procs)))
+            rates[procs] = total / (_t.time() - t0)
+    return round((rates[hi] / rates[lo]) / (hi / lo), 3)
+
+
 def main() -> int:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -191,6 +219,8 @@ def main() -> int:
         # code back-to-back); average the lo/hi pair over GRAFT_SCALE_REPS
         # interleaved repetitions (default 2) for the reported efficiency
         reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+
+        ceiling_before = _hw_ceiling(lo, hi)
         per_rep = []
         last = {}
         for _rep in range(reps):
@@ -217,6 +247,8 @@ def main() -> int:
             f"wall_{hi}_s": last[hi]["value"],
             "per_rep_efficiency": per_rep,
             "scaling_efficiency": round(sum(per_rep) / len(per_rep), 3),
+            "hw_ceiling_before": ceiling_before,
+            "hw_ceiling_after": _hw_ceiling(lo, hi),
         }))
         return 0
 
