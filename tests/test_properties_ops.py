@@ -455,3 +455,78 @@ def test_grouped_distinct_exact_and_hll_within_bounds():
             ds.repartition(2), ["g"], "u").take_all()
     }
     assert approx2 == approx
+
+
+def test_new_ops_collect_only_bounded_state(monkeypatch):
+    """Scale-safety: on an amplified corpus the round-2 operator wave
+    collects only BOUNDED driver state — pack/rank collect per-block and
+    per-partition rows, bloom collects ONE merged bitmap row, span dedup
+    and canonical dedup collect nothing. Any whole-corpus take_all would
+    trip the cap."""
+    import ray.data as rd2
+
+    collected = []
+    orig = rd2.Dataset.take_all
+
+    def spy(self, *a, **kw):
+        rows = orig(self, *a, **kw)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(rd2.Dataset, "take_all", spy)
+
+    n = 5000
+    ds = rd2.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(
+                    [f"w{i} x{i} y{i} z{i} common filler" for i in range(n)]
+                ),
+            }
+        )
+    ).repartition(8)
+
+    from ocr_search_ray.stages.dedup import span_dedup
+    from ocr_search_ray.stages.pack import pack_sequences
+    from ocr_search_ray.stages.relational import (
+        bloom_semi_join,
+        global_rank,
+    )
+    from ocr_search_ray.stages.urlnorm import canonical_dedup
+
+    assert pack_sequences(ds, budget=64, n_parts=16).count() == n
+    assert span_dedup(ds, window=4).count() == n
+    assert global_rank(
+        ds.map_batches(
+            lambda b: pa.table(
+                {"v": b.column("doc_id"), "t": b.column("text")}
+            ),
+            batch_format="pyarrow",
+        ),
+        "v", "t", n_parts=16,
+    ).count() == n
+
+    allow = rd2.from_arrow(
+        pa.table({"doc_id": pa.array(range(0, n, 50), pa.int64())})
+    )
+    assert bloom_semi_join(
+        ds, allow, "doc_id",
+        left_types={"doc_id": pa.int64(), "text": pa.string()},
+    ).count() == n // 50
+
+    urls = ds.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"),
+             "url": pa.array(
+                 [f"https://s{int(d) % 5}.org/p{int(d)}"
+                  for d in b.column("doc_id").to_pylist()])}
+        ),
+        batch_format="pyarrow",
+    )
+    assert canonical_dedup(urls).count() == n
+
+    # every driver collect across ALL those ops is bounded: per-block
+    # minmax rows / per-partition sums / one bloom row — never ~corpus
+    assert collected, "expected instrumented collects"
+    assert max(collected) <= 64, collected
