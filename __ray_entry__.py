@@ -424,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q.q_connected_components,
         "robots_filter": q.q_robots_filter,
         "assign_split": q.q_assign_split,
+        "substring_search": q.q_substring_search,
         "grouped_distinct": q.q_grouped_distinct,
         "grouped_approx_distinct": q.q_grouped_approx_distinct,  # rows-only (HLL)
         "sliding_windows": q.q_sliding_windows,
@@ -738,6 +739,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\+\d[\d-]{7,}\d'))
                      AS BIGINT) AS n_phones
             FROM s2
+        """,
+        "substring_search": """
+            SELECT doc_id FROM documents
+            WHERE text LIKE '%merge batch%'
         """,
         "assign_split": """
             SELECT doc_id, text,

@@ -1070,6 +1070,15 @@ def q_pii_redact(sf_dir: str):
     return redact_pii(docs.map_batches(augment, batch_format="pyarrow"))
 
 
+def q_substring_search(sf_dir: str):
+    """LIKE '%merge batch%' via the trigram-index plan (candidates from
+    pattern-trigram intersection, exact verify by candidate join-back)."""
+    return textstats.substring_search(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        "merge batch",
+    )
+
+
 def q_assign_split(sf_dir: str):
     """Deterministic content-hash train/val/test assignment (98/1/1)."""
     from ..stages.relational import assign_split

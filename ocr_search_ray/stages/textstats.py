@@ -473,3 +473,84 @@ def repetition_stats(documents, *, id_col: str = "doc_id",
     return documents.select_columns([id_col, text_col]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def substring_search(documents, pattern: str, *, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """→ (doc_id): documents whose text CONTAINS ``pattern`` — SQL
+    ``LIKE '%pattern%'`` via the trigram-index plan (pg_trgm / code
+    search): in the indexed regime the corpus text is NEVER scanned for a
+    query; this operator models that flow end to end with the index side
+    built inline (swap step 1 for a prebuilt ``build_index`` layout over
+    (tri, doc_id) rows to go fully on-disk — same machinery as the term
+    index, tri ≙ term):
+
+    1. each batch emits one (doc_id) row per PATTERN trigram it contains
+       (vectorized ``match_substring`` per pattern trigram — only the
+       pattern's own trigrams ever leave the scan, no text, no full
+       trigram fan-out);
+    2. one int-key exchange counts trigram hits per doc — docs hitting
+       ALL pattern trigrams are candidates (complete: containing the
+       string implies containing every trigram);
+    3. candidates join BACK to the documents side (``cluster_join``
+       inner — candidate-sized, no broadcast, no driver collect) and an
+       exact vectorized ``match_substring`` removes trigram false
+       positives.
+
+    Patterns shorter than 3 chars fall back to the direct parallel scan.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import cluster_apply, cluster_join
+
+    tris = sorted({pattern[i:i + 3] for i in range(len(pattern) - 2)})
+
+    if not tris:
+        def scan(batch: pa.Table) -> pa.Table:
+            keep = batch.filter(
+                pc.match_substring(batch.column(text_col), pattern))
+            return pa.table({id_col: keep.column(id_col)})
+
+        return documents.select_columns([id_col, text_col]).map_batches(
+            scan, batch_format="pyarrow"
+        )
+
+    n_tris = len(tris)
+
+    def emit_hits(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        ids = batch.column(id_col)
+        parts = [
+            pa.table({id_col: ids.filter(pc.match_substring(text, t))})
+            for t in tris
+        ]
+        return pa.concat_tables(parts).combine_chunks()
+
+    hits = documents.select_columns([id_col, text_col]).map_batches(
+        emit_hits, batch_format="pyarrow"
+    )
+
+    def block_intersect(block: pa.Table) -> pa.Table:
+        one = pa.repeat(pa.scalar(1, pa.int64()), block.num_rows)
+        agg = block.append_column("one", one).group_by([id_col]).aggregate(
+            [("one", "sum")]
+        )
+        full = agg.filter(pc.equal(agg.column("one_sum"), n_tris))
+        return pa.table({id_col: full.column(id_col)})
+
+    candidates = cluster_apply(hits, [id_col], block_intersect)
+
+    id_type = pa.int64()
+    joined = cluster_join(
+        candidates, documents.select_columns([id_col, text_col]),
+        [id_col],
+        left_types={id_col: id_type},
+        right_types={text_col: pa.string()},
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(
+            pc.match_substring(batch.column(text_col), pattern))
+        return pa.table({id_col: keep.column(id_col)})
+
+    return joined.map_batches(verify, batch_format="pyarrow")

@@ -189,3 +189,31 @@ def test_repetition_stats_hand_cases():
     assert got[2]["n_2grams"] == 4
     assert got[2]["n_distinct_2grams"] == 2
     assert got[2]["top_2gram_count"] == 2
+
+
+def test_substring_search_matches_python_in():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.textstats import substring_search
+
+    texts = [
+        "alpha merge batch gamma",     # hit
+        "merge alpha batch",           # trigram FP candidate, not a hit
+        "nothing here",
+        "xmerge batchy",               # substring inside words still hits
+        "",
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts)}
+        )
+    ).repartition(3)
+    got = sorted(r["doc_id"] for r in
+                 substring_search(ds, "merge batch").take_all())
+    assert got == [i for i, t in enumerate(texts) if "merge batch" in t]
+    # short-pattern fallback (no trigram)
+    got2 = sorted(r["doc_id"] for r in
+                  substring_search(ds, "xm").take_all())
+    assert got2 == [i for i, t in enumerate(texts) if "xm" in t]
