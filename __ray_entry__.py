@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": q.q_robots_filter,
         "assign_split": q.q_assign_split,
         "substring_search": q.q_substring_search,
+        "profile_table": q.q_profile_table,
         "grouped_distinct": q.q_grouped_distinct,
         "grouped_approx_distinct": q.q_grouped_approx_distinct,  # rows-only (HLL)
         "sliding_windows": q.q_sliding_windows,
@@ -739,6 +740,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\+\d[\d-]{7,}\d'))
                      AS BIGINT) AS n_phones
             FROM s2
+        """,
+        "profile_table": """
+            WITH prepped AS (
+              SELECT event_type, user_id,
+                     CASE WHEN event_id % 7 = 0 THEN NULL
+                          ELSE CAST(round(value * 100) AS BIGINT)
+                     END AS value_cents
+              FROM events
+            )
+            SELECT 'event_type' AS column,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_nulls,
+                   MIN(CAST(event_type AS VARCHAR)) AS min_str,
+                   MAX(CAST(event_type AS VARCHAR)) AS max_str,
+                   CAST(COUNT(DISTINCT CAST(event_type AS VARCHAR))
+                     AS BIGINT) AS n_distinct
+            FROM prepped
+            UNION ALL
+            SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT),
+                   MIN(CAST(user_id AS VARCHAR)),
+                   MAX(CAST(user_id AS VARCHAR)),
+                   CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS BIGINT)
+            FROM prepped
+            UNION ALL
+            SELECT 'value_cents', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN value_cents IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT),
+                   MIN(CAST(value_cents AS VARCHAR)),
+                   MAX(CAST(value_cents AS VARCHAR)),
+                   CAST(COUNT(DISTINCT CAST(value_cents AS VARCHAR))
+                     AS BIGINT)
+            FROM prepped
         """,
         "substring_search": """
             SELECT doc_id FROM documents

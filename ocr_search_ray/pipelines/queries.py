@@ -1070,6 +1070,40 @@ def q_pii_redact(sf_dir: str):
     return redact_pii(docs.map_batches(augment, batch_format="pyarrow"))
 
 
+def q_profile_table(sf_dir: str):
+    """Data-quality profile (counts, nulls, distinct, string min/max per
+    column). Floats are profiled as exact integer cents (Arrow and DuckDB
+    render doubles differently as strings — '10' vs '10.0'); nulls are
+    planted (every 7th event) so the null counter is exercised."""
+    from ..stages.relational import profile_table
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "event_type", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        away = pc.RoundOptions(round_mode="half_towards_infinity")
+        eid = batch.column("event_id")
+        rem = pc.subtract(eid, pc.multiply(pc.divide(eid, 7), 7))
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100),
+                     options=away), pa.int64())
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "user_id": batch.column("user_id"),
+                "value_cents": pc.if_else(pc.equal(rem, 0),
+                                          pa.nulls(batch.num_rows,
+                                                   pa.int64()),
+                                          cents),
+            }
+        )
+
+    return profile_table(
+        events.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "user_id", "value_cents"],
+    )
+
+
 def q_substring_search(sf_dir: str):
     """LIKE '%merge batch%' via the trigram-index plan (candidates from
     pattern-trigram intersection, exact verify by candidate join-back)."""

@@ -853,3 +853,70 @@ def assign_split(ds, *, text_col: str = "text",
         return batch.append_column("split", pa.array(out, pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def profile_table(ds, columns: list[str]):
+    """Data-quality profile → one row per column: (column, n_rows,
+    n_nulls, n_distinct, min_str, max_str).
+
+    The standard pre-ingest audit pass: per-batch partials (count, null
+    count, min/max as strings) collapse each batch to one row per column;
+    distinct counts ride the exact ``grouped_count_distinct`` plan keyed
+    by (column, value-string) so no column's value set ever centralizes.
+    Driver state: O(columns).
+    """
+    import pyarrow.compute as pc
+
+    def partials(batch: pa.Table) -> pa.Table:
+        names, n_rows, n_nulls, mins, maxs = [], [], [], [], []
+        for c in columns:
+            col = batch.column(c)
+            names.append(c)
+            n_rows.append(batch.num_rows)
+            n_nulls.append(col.null_count)
+            s = col.drop_null().cast(pa.string())
+            mins.append(pc.min(s).as_py() if len(s) else None)
+            maxs.append(pc.max(s).as_py() if len(s) else None)
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n_rows": pa.array(n_rows, pa.int64()),
+                "n_nulls": pa.array(n_nulls, pa.int64()),
+                "min_str": pa.array(mins, pa.string()),
+                "max_str": pa.array(maxs, pa.string()),
+            }
+        )
+
+    base = cluster_apply(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["column"],
+        lambda block: block.group_by(["column"]).aggregate(
+            [("n_rows", "sum"), ("n_nulls", "sum"),
+             ("min_str", "min"), ("max_str", "max")]
+        ).rename_columns(
+            ["column", "n_rows", "n_nulls", "min_str", "max_str"]
+        ),
+    )
+
+    def explode_values(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in columns:
+            vals = batch.column(c).drop_null().cast(pa.string())
+            parts.append(
+                pa.table(
+                    {"column": pa.array([c] * len(vals), pa.string()),
+                     "value": vals}
+                )
+            )
+        return pa.concat_tables(parts).combine_chunks()
+
+    values = ds.map_batches(explode_values, batch_format="pyarrow")
+    distinct = grouped_count_distinct(values, ["column"], "value")
+
+    return cluster_join(
+        base, distinct, ["column"],
+        left_types={"column": pa.string(), "n_rows": pa.int64(),
+                    "n_nulls": pa.int64(), "min_str": pa.string(),
+                    "max_str": pa.string()},
+        right_types={"n_distinct": pa.int64()},
+    )
