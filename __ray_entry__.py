@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": q.q_minhash_signatures,
         "minhash_lsh_pairs": q.q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
+        "decontaminate": q.q_decontaminate,
         "simhash_signatures": q.q_simhash_signatures,
         "simhash_neardup": q.q_simhash_neardup,
         "quality_stats": q.q_quality_stats,
@@ -1217,6 +1218,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes z1 ON z1.doc_id = i.d1
             JOIN sizes z2 ON z2.doc_id = i.d2
             WHERE 100 * i.inter >= 30 * (z1.n + z2.n - i.inter)
+        """,
+        "decontaminate": f"""
+            WITH {_SHINGLE_CTE.strip()},
+            bsh AS (
+              SELECT DISTINCT s.sh AS g FROM sh s WHERE s.doc_id % 23 = 0
+            ),
+            hits AS (
+              SELECT s.doc_id, COUNT(b.g) AS bench_hits
+              FROM sh s LEFT JOIN bsh b ON s.sh = b.g
+              GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(z.n, 0) AS BIGINT) AS n_sh,
+                   CAST(COALESCE(h.bench_hits, 0) AS BIGINT) AS bench_hits,
+                   COALESCE(h.bench_hits, 0) > 0 AS contaminated
+            FROM documents d
+            LEFT JOIN sizes z ON z.doc_id = d.doc_id
+            LEFT JOIN hits h ON h.doc_id = d.doc_id
         """,
         "simhash_signatures": f"""
             WITH {_SIMHASH_CTE.strip()}

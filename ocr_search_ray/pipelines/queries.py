@@ -450,6 +450,22 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: the 'benchmark' is the deterministic
+    doc_id % 23 == 0 slice of the corpus itself (those docs self-contaminate
+    by construction, plus any other doc sharing one of their 3-grams), so
+    the overlap check is exercised with guaranteed positives AND negatives."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pick_bench(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        rem = pc.subtract(ids, pc.multiply(pc.divide(ids, 23), 23))
+        return batch.filter(pc.equal(rem, 0))
+
+    bench = docs.map_batches(pick_bench, batch_format="pyarrow")
+    return dedup_stage.decontaminate(docs, bench)
+
+
 def q_simhash_signatures(sf_dir: str):
     return dedup_stage.simhash_signatures(
         _read(sf_dir, "documents", columns=["doc_id", "text"])

@@ -812,3 +812,104 @@ def span_dedup(documents, *, window: int = 8, id_col: str = "doc_id",
         empties, batch_format="pyarrow"
     )
     return rebuilt.union(empty_docs)
+
+
+# ------------------------------------------------------- decontamination
+
+
+def _shingle_h64(s: str) -> int:
+    """First 16 md5 hex digits as uint64 — SQL-replayable as
+    ``CAST(('0x' || substr(md5(sh), 1, 16)) AS UBIGINT)``."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+
+
+def bench_ngram_hashes(benchmark, *, k: int = 3, text_col: str = "text",
+                       max_ngrams: int = 50_000_000):
+    """Distinct word-``k``-gram hashes of the benchmark side as a SORTED
+    uint64 numpy array.
+
+    Scale shape: the benchmark side of a decontamination pass is small by
+    definition (eval suites are 10^3–10^6 documents against a 10^12-row
+    corpus), so its distinct n-gram set is the canonical broadcast-side
+    lookup — per-batch distinct dataset-side, then a STREAMED driver union
+    (``iter_batches``, never ``take_all``) guarded by ``max_ngrams``. At
+    real scale the array would become a Bloom filter at the same plumbing
+    point; exactness here keeps the relational oracle exact.
+    """
+    import numpy as np
+
+    def batch_hashes(batch: pa.Table) -> pa.Table:
+        seen: set[int] = set()
+        for text in batch.column(text_col).to_pylist():
+            for s in shingles(text or "", k):
+                seen.add(_shingle_h64(s))
+        return pa.table({"h": pa.array(sorted(seen), pa.uint64())})
+
+    hashes = benchmark.select_columns([text_col]).map_batches(
+        batch_hashes, batch_format="pyarrow"
+    )
+    acc: set[int] = set()
+    for b in hashes.iter_batches(batch_format="pyarrow"):
+        acc.update(b.column("h").to_pylist())
+        if len(acc) > max_ngrams:
+            raise ValueError(
+                f"benchmark n-gram set exceeds max_ngrams={max_ngrams}; "
+                "the benchmark side must be the small side — raise the cap "
+                "only with driver memory to match"
+            )
+    return np.array(sorted(acc), dtype=np.uint64)
+
+
+def decontaminate(documents, benchmark, *, k: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text", max_bench_ngrams: int = 50_000_000):
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``k``-gram with a held-out benchmark set (the GPT-3 appendix-C /
+    Dolma-style n-gram overlap check).
+
+    → (id_col, n_sh, bench_hits, contaminated) — one row per corpus doc;
+    ``n_sh`` = distinct shingles of the doc, ``bench_hits`` = how many of
+    them appear anywhere in the benchmark, ``contaminated`` = hits > 0.
+    Exact integer evidence columns, so the DuckDB oracle compares counts,
+    not floats.
+
+    Scale shape: benchmark hash set broadcast once (``ray.put`` of a sorted
+    uint64 array; see :func:`bench_ngram_hashes`), corpus side streamed —
+    one ``map_batches`` pass, membership tested via vectorized binary
+    search (``np.searchsorted``), no shuffle, no corpus-sized driver state.
+    """
+    import numpy as np
+    import ray
+
+    bench = bench_ngram_hashes(
+        benchmark, k=k, text_col=text_col, max_ngrams=max_bench_ngrams
+    )
+    bench_ref = ray.put(bench)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ref = ray.get(bench_ref)  # zero-copy plasma read, cached per node
+        n = ref.shape[0]
+        out_nsh, out_hits = [], []
+        for text in batch.column(text_col).to_pylist():
+            shs = shingles(text or "", k)
+            if shs and n:
+                hv = np.fromiter(
+                    (_shingle_h64(s) for s in shs), dtype=np.uint64, count=len(shs)
+                )
+                pos = np.minimum(np.searchsorted(ref, hv), n - 1)
+                hits = int(np.count_nonzero(ref[pos] == hv))
+            else:
+                hits = 0
+            out_nsh.append(len(shs))
+            out_hits.append(hits)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_sh": pa.array(out_nsh, pa.int64()),
+                "bench_hits": pa.array(out_hits, pa.int64()),
+                "contaminated": pa.array([h > 0 for h in out_hits], pa.bool_()),
+            }
+        )
+
+    return documents.select_columns([id_col, text_col]).map_batches(
+        flag, batch_format="pyarrow"
+    )

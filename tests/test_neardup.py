@@ -238,3 +238,32 @@ def test_simhash_combination_banding_recall_equals_single_chunk():
     }
     assert got_default == brute
     assert got_combo == brute
+
+
+def test_decontaminate_flags_benchmark_overlap():
+    from ocr_search_ray.stages.dedup import decontaminate
+
+    corpus = _docs([BASE, NEAR, FAR])          # doc_id 0,1,2
+    bench = _docs([BASE])                      # BASE itself is the benchmark
+    out = (
+        decontaminate(corpus, bench)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["contaminated"].tolist() == [True, True, False]
+    n_base = len(shingles(BASE))
+    assert out.loc[0, "bench_hits"] == n_base == out.loc[0, "n_sh"]
+    # one-word edit wipes exactly the 3 shingles containing the edit
+    assert out.loc[1, "bench_hits"] == len(shingles(NEAR) & shingles(BASE))
+    assert out.loc[2, "bench_hits"] == 0 and out.loc[2, "n_sh"] > 0
+
+
+def test_bench_ngram_cap_raises():
+    import pytest as _pytest
+
+    from ocr_search_ray.stages.dedup import bench_ngram_hashes
+
+    bench = _docs([BASE, FAR])
+    with _pytest.raises(ValueError):
+        bench_ngram_hashes(bench, max_ngrams=3)
