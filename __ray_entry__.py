@@ -387,6 +387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_latest": q.q_dedup_keep_latest,
         "compact_delete": q.q_compact_delete,
         "sessionize": q.q_sessionize,
+        "event_lag_features": q.q_event_lag_features,
+        "pivot_event_types": q.q_pivot_event_types,
         "tumbling_windows": q.q_tumbling_windows,
         "asof_join": q.q_asof_join,
         "range_join": q.q_range_join,
@@ -1380,6 +1382,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                      AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "pivot_event_types": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+                     AS click_cnt,
+                   CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+                     AS error_cnt,
+                   CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                     AS purchase_cnt,
+                   CAST(COUNT(*) FILTER (event_type NOT IN
+                     ('click', 'error', 'purchase')) AS BIGINT) AS other_cnt
+            FROM events GROUP BY 1
+        """,
+        "event_lag_features": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT)
+                     AS prev_gap_us,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                     w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS roll_sum_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "sessionize": """
             WITH o AS (

@@ -789,6 +789,35 @@ def q_sessionize(sf_dir: str):
                             columns=["user_id", "ts", "event_id"]))
 
 
+def q_pivot_event_types(sf_dir: str):
+    """Pivot event_type counts per day (listed values + other bucket)."""
+    from ..stages.relational import pivot_counts
+
+    events = _read(sf_dir, "events", columns=["ts", "event_type"])
+    day_us = 86_400_000_000
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64())
+        day = pc.cast(pc.multiply(pc.divide(ts_us, day_us), day_us),
+                      pa.timestamp("us"))
+        return pa.table({"day": day, "event_type": batch.column("event_type")})
+
+    with_day = events.map_batches(add_day, batch_format="pyarrow")
+    return pivot_counts(with_day, ["day"], "event_type",
+                        ["click", "error", "purchase"])
+
+
+def q_event_lag_features(sf_dir: str):
+    """LAG / ROWS-BETWEEN window features per event (gap to previous event,
+    rolling 4-row cents sum, per user in time order)."""
+    from ..stages.sessionize import event_lag_features
+
+    return event_lag_features(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "value"])
+    )
+
+
 def q_tumbling_windows(sf_dir: str):
     """Fixed 1-hour event-time windows per event_type (streaming-window
     analogue of the micro-batch loop; stateless assignment + two-phase agg)."""

@@ -920,3 +920,38 @@ def profile_table(ds, columns: list[str]):
                     "max_str": pa.string()},
         right_types={"n_distinct": pa.int64()},
     )
+
+
+def pivot_counts(ds, key_cols: list[str], pivot_col: str,
+                 values: list[str], *, include_other: bool = True):
+    """Pivot a categorical column into per-value count columns:
+    → key_cols + ``<value>_cnt`` per listed value (+ ``other_cnt``).
+
+    The SQL shape ``COUNT(*) FILTER (WHERE pivot = v) ... GROUP BY keys``.
+    Stateless vectorized indicator expansion (one ``pc.equal`` mask per
+    value) feeding the standard two-phase :func:`grouped_agg` — the pivot
+    adds NO exchange beyond the grouped merge, and the value list is a
+    plan-time constant (pivoted columns must be enumerable; an unbounded
+    domain belongs in ``grouped_agg`` on (keys, pivot) instead).
+    """
+    import pyarrow.compute as pc
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        cols = {k: batch.column(k) for k in key_cols}
+        pv = batch.column(pivot_col)
+        any_listed = None
+        for v in values:
+            m = pc.fill_null(pc.equal(pv, v), False)
+            cols[f"ind_{v}"] = pc.cast(m, pa.int64())
+            any_listed = m if any_listed is None else pc.or_(any_listed, m)
+        if include_other:
+            cols["ind__other"] = pc.cast(pc.invert(any_listed), pa.int64())
+        return pa.table(cols)
+
+    specs = [(f"{v}_cnt", f"ind_{v}", "sum") for v in values]
+    if include_other:
+        specs.append(("other_cnt", "ind__other", "sum"))
+    expanded = ds.select_columns(key_cols + [pivot_col]).map_batches(
+        indicators, batch_format="pyarrow"
+    )
+    return grouped_agg(expanded, key_cols, specs)

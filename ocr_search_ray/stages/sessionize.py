@@ -171,3 +171,81 @@ def sliding_window_agg(events, *, window: "dt.timedelta",
         assigned, key_cols + ["window_start"],
         [("n_events", "one", "sum"), ("sum_value_cents", "cents", "sum")],
     )
+
+
+def event_lag_features(events, *, user_col: str = "user_id",
+                       ts_col: str = "ts", order_col: str = "event_id",
+                       value_col: str = "value", preceding: int = 3):
+    """Per-event window features — the LAG / ROWS-BETWEEN frame shape:
+    → (order_col, user_col, prev_gap_us, roll_sum_cents).
+
+    ``prev_gap_us``    = microseconds since the user's previous event
+                         (null on each user's first event) — SQL
+                         ``epoch_us(ts) - epoch_us(LAG(ts) OVER w)``.
+    ``roll_sum_cents`` = exact-integer-cents sum over the current row and
+                         ``preceding`` prior rows of the same user — SQL
+                         ``SUM(cents) OVER (w ROWS BETWEEN p PRECEDING AND
+                         CURRENT ROW)``. Window ``w`` is PARTITION BY user
+                         ORDER BY (ts, order_col).
+
+    Same partitioning assumption as :func:`sessionize` (one user's events
+    fit in one block — bounded per-key history); the walk itself is fully
+    vectorized: group boundaries via one numpy change-point scan, gaps via
+    a shifted diff, frames via prefix-cumsum differences.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def block_features(block: pa.Table) -> pa.Table:
+        block = block.sort_by(
+            [(user_col, "ascending"), (ts_col, "ascending"),
+             (order_col, "ascending")]
+        )
+        n = block.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    order_col: pa.array([], block.column(order_col).type),
+                    user_col: pa.array([], block.column(user_col).type),
+                    "prev_gap_us": pa.array([], pa.int64()),
+                    "roll_sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        users = block.column(user_col).to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(block.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        away = pc.RoundOptions(round_mode="half_towards_infinity")
+        cents = pc.cast(
+            pc.round(pc.multiply(block.column(value_col), 100), options=away),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+
+        is_start = np.empty(n, dtype=bool)
+        is_start[0] = True
+        np.not_equal(users[1:], users[:-1], out=is_start[1:])
+        starts = np.flatnonzero(is_start)
+        group_start = np.repeat(starts, np.diff(np.append(starts, n)))
+
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        np.subtract(ts_us[1:], ts_us[:-1], out=gap[1:])
+
+        idx = np.arange(n)
+        lo = np.maximum(idx - preceding, group_start)
+        cum = np.concatenate(([0], np.cumsum(cents, dtype=np.int64)))
+        roll = cum[idx + 1] - cum[lo]
+
+        return pa.table(
+            {
+                order_col: block.column(order_col),
+                user_col: block.column(user_col),
+                "prev_gap_us": pa.array(gap, pa.int64(), mask=is_start),
+                "roll_sum_cents": pa.array(roll, pa.int64()),
+            }
+        )
+
+    projected = events.select_columns(
+        [order_col, user_col, ts_col, value_col]
+    )
+    return cluster_apply(projected, [user_col], block_features)

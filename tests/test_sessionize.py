@@ -55,3 +55,57 @@ def test_events_scattered_across_blocks_still_one_session():
     out = sessionize(_events(rows)).take_all()
     assert len(out) == 1
     assert out[0]["n_events"] == 20
+
+
+def test_event_lag_features_gaps_and_rolling_sum():
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.sessionize import event_lag_features
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = {
+        "event_id": [1, 2, 3, 4, 10],
+        "user_id": [7, 7, 7, 7, 9],
+        "ts": [t0, t0 + dt.timedelta(seconds=5), t0 + dt.timedelta(seconds=6),
+               t0 + dt.timedelta(seconds=10), t0],
+        "value": [1.0, 2.0, 3.0, 4.0, 0.5],
+    }
+    out = (
+        event_lag_features(rd.from_arrow(pa.table(rows)), preceding=2)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # user 7: gaps null/5s/1s/4s; rolling window = current + 2 preceding
+    gaps = out["prev_gap_us"].tolist()
+    assert gaps[0] is None or gaps[0] != gaps[0]  # null first event
+    assert gaps[1:4] == [5_000_000, 1_000_000, 4_000_000]
+    assert out["roll_sum_cents"].tolist() == [100, 300, 600, 900, 50]
+    # user 9's single event: null gap, own cents only
+    assert out.loc[4, "event_id"] == 10
+
+
+def test_pivot_counts_listed_and_other():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.relational import pivot_counts
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "v": ["x", "y", "z", "x", "w"],
+        }
+    )
+    out = (
+        pivot_counts(rd.from_arrow(t), ["k"], "v", ["x", "y"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["x_cnt"].tolist() == [1, 1]
+    assert out["y_cnt"].tolist() == [1, 0]
+    assert out["other_cnt"].tolist() == [1, 1]
