@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q.q_range_join,
         # relational generality
         "agg_lineitem": q.q_agg_lineitem,
+        "rollup_lineitem": q.q_rollup_lineitem,
         "topk_customers": q.q_topk_customers,
         "filter_events": q.q_filter_events,
         "join_orders_customers": q.q_join_orders_customers,
@@ -1043,6 +1044,14 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                     AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "agg_lineitem": """
             SELECT l_returnflag, l_linestatus,

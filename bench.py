@@ -222,6 +222,7 @@ def main() -> int:
 
         ceiling_before = _hw_ceiling(lo, hi)
         per_rep = []
+        best = {lo: 0.0, hi: 0.0}
         last = {}
         for _rep in range(reps):
             results = {}
@@ -233,6 +234,7 @@ def main() -> int:
                     capture_output=True, text=True, check=True,
                 )
                 results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+                best[cpus] = max(best[cpus], results[cpus]["docs_per_s"])
             t_lo, t_hi = results[lo]["docs_per_s"], results[hi]["docs_per_s"]
             per_rep.append(round((t_hi / t_lo) / (hi / lo), 3))
             last = results
@@ -247,6 +249,12 @@ def main() -> int:
             f"wall_{hi}_s": last[hi]["value"],
             "per_rep_efficiency": per_rep,
             "scaling_efficiency": round(sum(per_rep) / len(per_rep), 3),
+            # noise-robust companion: fastest observed leg at each level
+            # (host slow phases only ever SLOW a leg, so the per-level max
+            # is the cleanest estimate of true capability — the standard
+            # min-wall-time benchmarking convention)
+            "best_pair_efficiency": round(
+                (best[hi] / best[lo]) / (hi / lo), 3),
             "hw_ceiling_before": ceiling_before,
             "hw_ceiling_after": _hw_ceiling(lo, hi),
         }))

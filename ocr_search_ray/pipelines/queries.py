@@ -196,6 +196,33 @@ def q_dedup_keep_latest(sf_dir: str):
 # ------------------------------------------------------------- relational ops
 
 
+def q_rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): finest + per-flag +
+    grand-total levels from one raw-data exchange."""
+    from ..stages.relational import rollup_agg
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        away = pc.RoundOptions(round_mode="half_towards_infinity")
+        qty = pc.cast(pc.round(batch.column("l_quantity"), options=away),
+                      pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": qty,
+            }
+        )
+
+    return rollup_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("sum_qty", "qty", "sum"), ("n_rows", "qty", "count")],
+    )
+
+
 def q_agg_lineitem(sf_dir: str):
     li = _read(
         sf_dir,

@@ -955,3 +955,66 @@ def pivot_counts(ds, key_cols: list[str], pivot_col: str,
         indicators, batch_format="pyarrow"
     )
     return grouped_agg(expanded, key_cols, specs)
+
+
+def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str, str]]):
+    """``GROUP BY ROLLUP(keys)``: the finest level runs ONE exchange over
+    the raw data (:func:`grouped_agg`); every coarser prefix level is an
+    aggregate-of-aggregates over the finest RESULT — group-count-sized, so
+    the rollup adds only trivially small exchanges, never a second pass
+    over the input (the classic rollup optimization).
+
+    Rollup algebra: ``count`` partials roll up as ``sum``; sum/min/max roll
+    up as themselves. Rolled-up key columns are NULL in coarser levels
+    (like SQL ROLLUP; assumes the key columns themselves contain no nulls —
+    callers with nullable keys need a sentinel, the standard GROUPING()
+    ambiguity). Output: keys + out_names, all levels unioned.
+    """
+    in_schema = ds.schema()
+    base = getattr(in_schema, "base_schema", in_schema)
+    key_types = {k: base.field(k).type for k in keys}
+
+    finest = grouped_agg(ds, keys, specs)
+    out_names = [out for out, _c, _f in specs]
+    roll_specs = [
+        (out, out, "sum" if fn == "count" else fn) for out, _c, fn in specs
+    ]
+    all_cols = keys + out_names
+
+    levels = [finest.select_columns(all_cols)]
+    for i in range(len(keys) - 1, -1, -1):
+        lvl_keys = keys[:i]
+        if lvl_keys:
+            lvl = grouped_agg(finest, lvl_keys, roll_specs)
+        else:
+
+            def add_all(batch: pa.Table) -> pa.Table:
+                return batch.append_column(
+                    "__all", pa.repeat(pa.scalar(0, pa.int32()),
+                                       batch.num_rows)
+                )
+
+            lvl = grouped_agg(
+                finest.map_batches(add_all, batch_format="pyarrow"),
+                ["__all"], roll_specs,
+            )
+
+        dropped = keys[i:]
+
+        def pad(batch: pa.Table, _dropped=tuple(dropped)) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (
+                    pa.nulls(batch.num_rows, key_types[k])
+                    if k in _dropped else batch.column(k)
+                )
+            for o in out_names:
+                cols[o] = batch.column(o)
+            return pa.table({c: cols[c] for c in all_cols})
+
+        levels.append(lvl.map_batches(pad, batch_format="pyarrow"))
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

@@ -312,3 +312,29 @@ def test_cluster_join_semi_and_anti():
     )
     assert semi == [("a", 1), ("a", 4)]  # no duplication from dup right keys
     assert anti == [("b", 2), ("c", 3)]
+
+
+def test_rollup_agg_levels():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.relational import rollup_agg
+
+    t = pa.table(
+        {
+            "a": ["x", "x", "y"],
+            "b": ["p", "q", "p"],
+            "v": [1, 2, 4],
+        }
+    )
+    out = rollup_agg(
+        rd.from_arrow(t), ["a", "b"],
+        [("s", "v", "sum"), ("n", "v", "count")],
+    ).to_pandas()
+    assert len(out) == 3 + 2 + 1  # finest + per-a + grand total
+    total = out[out["a"].isna() & out["b"].isna()]
+    assert total["s"].tolist() == [7] and total["n"].tolist() == [3]
+    per_a = out[out["a"].notna() & out["b"].isna()].sort_values("a")
+    assert per_a["s"].tolist() == [3, 4]
+    finest = out[out["b"].notna()]
+    assert sorted(finest["s"].tolist()) == [1, 2, 4]
