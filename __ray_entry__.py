@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_customers": q.q_topk_customers,
         "filter_events": q.q_filter_events,
         "join_orders_customers": q.q_join_orders_customers,
+        "salted_join": q.q_salted_join,
         "top_revenue_orders": q.q_top_revenue_orders,
         "sample_documents": q.q_sample_documents,
         "topk_orders_per_customer": q.q_topk_orders_per_customer,
@@ -1085,6 +1086,10 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "join_orders_customers": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "salted_join": """
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         """,

@@ -333,6 +333,29 @@ def q_join_orders_customers(sf_dir: str):
     )
 
 
+def q_salted_join(sf_dir: str):
+    """Same join as join_orders_customers but through the skew-mitigated
+    salted plan (left salted on o_orderkey, right replicated 8x) — the
+    oracle proves the salt algebra changes nothing."""
+    from ..stages.relational import salted_cluster_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    customers = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return salted_cluster_join(
+        orders,
+        customers.map_batches(
+            lambda t: t.rename_columns(["o_custkey", "c_name"]),
+            batch_format="pyarrow",
+        ),
+        ["o_custkey"],
+        left_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+                    "o_totalprice": pa.float64()},
+        right_types={"c_name": pa.string()},
+        salt_col="o_orderkey", n_salts=8,
+    )
+
+
 def q_topk_orders_per_customer(sf_dir: str):
     """Per-group top-k as a window-function analogue: each customer's top-3
     orders by price (one int-key exchange + block-local head, no global

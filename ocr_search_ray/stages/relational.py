@@ -1018,3 +1018,70 @@ def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str, str]]):
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def salted_cluster_join(left, right, keys: list[str], *,
+                        left_types: dict[str, "pa.DataType"],
+                        right_types: dict[str, "pa.DataType"],
+                        salt_col: str, n_salts: int = 16,
+                        how: str = "inner", hash_fn=None):
+    """Hot-key (skew) mitigation for :func:`cluster_join`: a single join
+    key shared by 10^8 rows (one mega-domain of the web) would otherwise
+    land its entire group in ONE reduce block. The skewed LEFT side gains
+    a deterministic per-row salt (crc32 of ``salt_col`` — any well-spread
+    per-row column, e.g. the url/doc id — mod ``n_salts``), the right side
+    is replicated once per salt, and the exchange keys become
+    ``keys + [salt]`` — the hot key now spreads across ``n_salts`` blocks.
+
+    Exact for how ∈ inner|left|semi|anti: each left row meets the FULL
+    right group of its key exactly once (in its salt's replica). ``full``
+    is rejected — right-unmatched rows would surface once per salt.
+    Cost: right side ships ``n_salts``×, so use when right ≪ left but too
+    big to broadcast and the left key distribution is skewed.
+    """
+    import zlib
+
+    import pyarrow.compute as pc
+
+    if how == "full":
+        raise ValueError("salted join cannot express full outer join "
+                         "(right-unmatched rows would duplicate per salt)")
+    _SALT = "__salt"
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        col = batch.column(salt_col)
+        if pa.types.is_integer(col.type):
+            salts = pc.cast(
+                pc.subtract(col, pc.multiply(pc.divide(col, n_salts),
+                                             n_salts)),
+                pa.int32(),
+            )
+        else:
+            encoded = pc.dictionary_encode(
+                col.cast(pa.string()).combine_chunks()
+            )
+            lut = pa.array(
+                [zlib.crc32(v.encode()) % n_salts
+                 for v in encoded.dictionary.to_pylist()],
+                pa.int32(),
+            )
+            salts = lut.take(encoded.indices)
+        return batch.append_column(_SALT, salts)
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        parts = []
+        for s in range(n_salts):
+            parts.append(batch.append_column(
+                _SALT, pa.repeat(pa.scalar(s, pa.int32()), batch.num_rows)
+            ))
+        return pa.concat_tables(parts).combine_chunks()
+
+    joined = cluster_join(
+        left.map_batches(add_salt, batch_format="pyarrow"),
+        right.map_batches(replicate, batch_format="pyarrow"),
+        keys + [_SALT],
+        left_types={**left_types, _SALT: pa.int32()},
+        right_types=right_types,
+        how=how, hash_fn=hash_fn,
+    )
+    return joined.drop_columns([_SALT])

@@ -338,3 +338,49 @@ def test_rollup_agg_levels():
     assert per_a["s"].tolist() == [3, 4]
     finest = out[out["b"].notna()]
     assert sorted(finest["s"].tolist()) == [1, 2, 4]
+
+
+def test_salted_join_matches_plain_on_hot_key():
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from ocr_search_ray.stages.relational import (
+        cluster_join,
+        salted_cluster_join,
+    )
+
+    # 2000 left rows, 90% share ONE hot key (the skew case the salt fixes)
+    n = 2000
+    left = pa.table(
+        {
+            "rid": pa.array(range(n), pa.int64()),
+            "k": pa.array([7 if i % 10 else i for i in range(n)], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([7, 11, 2050], pa.int64()),
+            "label": ["hot", "cold", "unmatched-left"],
+        }
+    )
+    kw = dict(
+        left_types={"rid": pa.int64(), "k": pa.int64()},
+        right_types={"label": pa.string()},
+    )
+    for how in ("inner", "left", "semi", "anti"):
+        plain = (
+            cluster_join(rd.from_arrow(left), rd.from_arrow(right), ["k"],
+                         how=how, **kw)
+            .to_pandas().sort_values(["rid"]).reset_index(drop=True)
+        )
+        salted = (
+            salted_cluster_join(rd.from_arrow(left), rd.from_arrow(right),
+                                ["k"], salt_col="rid", n_salts=8, how=how,
+                                **kw)
+            .to_pandas().sort_values(["rid"]).reset_index(drop=True)
+        )
+        assert plain.equals(salted), how
+    with _pytest.raises(ValueError):
+        salted_cluster_join(rd.from_arrow(left), rd.from_arrow(right),
+                            ["k"], salt_col="rid", how="full", **kw)
