@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": q.q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
         "decontaminate": q.q_decontaminate,
+        "chunk_documents": q.q_chunk_documents,
         "simhash_signatures": q.q_simhash_signatures,
         "simhash_neardup": q.q_simhash_neardup,
         "quality_stats": q.q_quality_stats,
@@ -1234,6 +1235,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes z1 ON z1.doc_id = i.d1
             JOIN sizes z2 ON z2.doc_id = i.d2
             WHERE 100 * i.inter >= 30 * (z1.n + z2.n - i.inter)
+        """,
+        "chunk_documents": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            )
+            SELECT doc_id,
+                   CAST(g.s / 48 AS BIGINT) AS chunk_idx,
+                   array_to_string(list_slice(words, g.s + 1, g.s + 64), ' ')
+                     AS chunk_text,
+                   CAST(least(64, len(words) - g.s) AS BIGINT) AS n_words
+            FROM w, LATERAL (
+              SELECT unnest(generate_series(0, len(words) - 1, 48)) AS s) g
         """,
         "decontaminate": f"""
             WITH {_SHINGLE_CTE.strip()},

@@ -500,6 +500,14 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_chunk_documents(sf_dir: str):
+    """Overlapping word-window chunking (64-word chunks every 48 words)."""
+    from ..stages.pack import chunk_documents
+
+    return chunk_documents(_read(sf_dir, "documents",
+                                 columns=["doc_id", "text"]))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: the 'benchmark' is the deterministic
     doc_id % 23 == 0 slice of the corpus itself (those docs self-contaminate

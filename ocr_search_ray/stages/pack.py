@@ -217,3 +217,49 @@ def write_packed_shards(documents, out_dir: str, *, budget: int = 256,
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     return {"n_docs": n_docs, "n_shards": len(shards), "out_dir": out_dir}
+
+
+def chunk_documents(documents, *, chunk_words: int = 64, stride: int = 48,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Overlapping fixed-window document chunking (the RAG / long-doc
+    training split): each doc fans out into word windows of ``chunk_words``
+    starting every ``stride`` words (overlap = chunk_words - stride).
+
+    → (id_col, chunk_idx, chunk_text, n_words). The final window is the
+    remainder (shorter than ``chunk_words``); a window is emitted only if
+    it starts inside the doc. Splitting is the engine-wide single-space
+    convention (``''.split(' ') == ['']``), so every doc — including empty
+    text — emits at least one chunk and no rows are silently dropped.
+
+    Scale shape: a pure stateless 1→N ``map_batches`` fan-out — no shuffle,
+    no state; chunk boundaries are word offsets so the SQL oracle replays
+    them with list slicing.
+    """
+    if stride <= 0 or chunk_words <= 0:
+        raise ValueError("chunk_words and stride must be positive")
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_idx, out_text, out_n = [], [], [], []
+        for did, text in zip(ids, texts):
+            ws = (text or "").split(" ")
+            n = len(ws)  # always >= 1: split(' ') never returns []
+            for ci, s in enumerate(range(0, n, stride)):
+                piece = ws[s : s + chunk_words]
+                out_id.append(did)
+                out_idx.append(ci)
+                out_text.append(" ".join(piece))
+                out_n.append(len(piece))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, batch.column(id_col).type),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+                "n_words": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return documents.select_columns([id_col, text_col]).map_batches(
+        fan_out, batch_format="pyarrow"
+    )

@@ -530,3 +530,41 @@ def test_new_ops_collect_only_bounded_state(monkeypatch):
     # minmax rows / per-partition sums / one bloom row — never ~corpus
     assert collected, "expected instrumented collects"
     assert max(collected) <= 64, collected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", ""]), max_size=20),
+        min_size=0, max_size=25,
+    ),
+    st.sampled_from([(4, 3), (5, 5), (64, 48)]),
+)
+def test_chunk_documents_matches_naive(docs, shape):
+    from ocr_search_ray.stages.pack import chunk_documents
+
+    chunk_words, stride = shape
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array([" ".join(ws) for ws in docs]),
+            }
+        )
+    ).repartition(3)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_words"])
+        for r in chunk_documents(
+            ds, chunk_words=chunk_words, stride=stride
+        ).take_all()
+    }
+
+    expected = {}
+    for i, ws in enumerate(docs):
+        words = " ".join(ws).split(" ")  # engine convention: '' -> ['']
+        for ci, s in enumerate(range(0, len(words), stride)):
+            piece = words[s : s + chunk_words]
+            expected[(i, ci)] = (" ".join(piece), len(piece))
+    assert got == expected
+    # every doc emits at least one chunk; overlap windows cover all words
+    assert {k[0] for k in got} == set(range(len(docs)))
