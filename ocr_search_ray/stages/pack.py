@@ -29,6 +29,7 @@ reference engine has no packing analogue.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -233,30 +234,47 @@ def chunk_documents(documents, *, chunk_words: int = 64, stride: int = 48,
 
     Scale shape: a pure stateless 1→N ``map_batches`` fan-out — no shuffle,
     no state; chunk boundaries are word offsets so the SQL oracle replays
-    them with list slicing.
+    them with list slicing. Fully vectorized: one Arrow ``split_pattern``
+    per batch, numpy window arithmetic on the list offsets, one gather
+    (``pc.take``) of the flat word values, one ``binary_join``.
     """
     if stride <= 0 or chunk_words <= 0:
         raise ValueError("chunk_words and stride must be positive")
 
     def fan_out(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        out_id, out_idx, out_text, out_n = [], [], [], []
-        for did, text in zip(ids, texts):
-            ws = (text or "").split(" ")
-            n = len(ws)  # always >= 1: split(' ') never returns []
-            for ci, s in enumerate(range(0, n, stride)):
-                piece = ws[s : s + chunk_words]
-                out_id.append(did)
-                out_idx.append(ci)
-                out_text.append(" ".join(piece))
-                out_n.append(len(piece))
+        words = pc.split_pattern(
+            pc.fill_null(batch.column(text_col), ""), pattern=" "
+        )
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offs = np.asarray(words.offsets)
+        per_doc = np.diff(offs)  # >= 1 per doc: split(' ') never returns []
+        n_chunks = -(-per_doc // stride)  # ceil; >= 1, so no doc is dropped
+        doc_idx = np.repeat(np.arange(len(per_doc)), n_chunks)
+        csum = np.cumsum(n_chunks)
+        chunk_idx = np.arange(int(csum[-1]) if len(csum) else 0) - np.repeat(
+            csum - n_chunks, n_chunks
+        )
+        starts = chunk_idx * stride  # word offset inside the doc
+        lens = np.minimum(chunk_words, per_doc[doc_idx] - starts)
+        # gather index into the flat word values: concat of per-chunk ranges
+        lsum = np.cumsum(lens)
+        gather = (
+            np.arange(int(lsum[-1]) if len(lsum) else 0)
+            - np.repeat(lsum - lens, lens)
+            + np.repeat(offs[doc_idx] + starts, lens)
+        )
+        taken = pc.take(words.values, pa.array(gather, pa.int64()))
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(np.concatenate(([0], lsum)), pa.int64()), taken
+        )
         return pa.table(
             {
-                id_col: pa.array(out_id, batch.column(id_col).type),
-                "chunk_idx": pa.array(out_idx, pa.int64()),
-                "chunk_text": pa.array(out_text, pa.string()),
-                "n_words": pa.array(out_n, pa.int64()),
+                id_col: pc.take(batch.column(id_col),
+                                pa.array(doc_idx, pa.int64())),
+                "chunk_idx": pa.array(chunk_idx, pa.int64()),
+                "chunk_text": pc.binary_join(lists, " "),
+                "n_words": pa.array(lens, pa.int64()),
             }
         )
 
