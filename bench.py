@@ -131,6 +131,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("value_percentiles", q.q_value_percentiles)
     timed("tumbling_windows", q.q_tumbling_windows)
     timed("pack_sequences", q.q_pack_sequences)
+    timed("chunk_documents", q.q_chunk_documents)
     timed("span_dedup", q.q_span_dedup)
     timed("bloom_semi_join", q.q_bloom_semi_join)
     timed("justext_blocks", q.q_justext_blocks)
