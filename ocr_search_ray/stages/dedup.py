@@ -794,9 +794,14 @@ def span_dedup(documents, *, window: int = 8, id_col: str = "doc_id",
 
     rebuilt = cluster_apply(all_spans, [id_col], block_rebuild)
 
-    # docs with zero words never emit spans — surface them with empty output
+    # docs with zero words never emit spans — surface them with empty output.
+    # fill_null: count_substring_regex(null) is null, and a null mask row
+    # would be DROPPED by filter — null-text docs must surface here too
+    # (one-row-per-doc contract)
     def empties(batch: pa.Table) -> pa.Table:
-        n_words = pc.count_substring_regex(batch.column(text_col), "[^ ]+")
+        n_words = pc.fill_null(
+            pc.count_substring_regex(batch.column(text_col), "[^ ]+"), 0
+        )
         keep = batch.filter(pc.equal(n_words, 0))
         zero = pa.array([0] * keep.num_rows, pa.int64())
         return pa.table(
@@ -817,16 +822,21 @@ def span_dedup(documents, *, window: int = 8, id_col: str = "doc_id",
 # ------------------------------------------------------- decontamination
 
 
-def _shingle_h64(s: str) -> int:
-    """First 16 md5 hex digits as uint64 — SQL-replayable as
-    ``CAST(('0x' || substr(md5(sh), 1, 16)) AS UBIGINT)``."""
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+def _shingle_h128(s: str) -> tuple[int, int]:
+    """FULL md5 digest as a (hi, lo) uint64 pair — the membership test
+    compares all 128 bits, so decontamination is exact up to full-md5
+    collisions (cryptographically negligible; a 64-bit prefix alone would
+    hit birthday collisions near 2^32 distinct shingles, reachable at
+    corpus scale)."""
+    d = hashlib.md5(s.encode("utf-8")).digest()
+    return (int.from_bytes(d[:8], "big"), int.from_bytes(d[8:16], "big"))
 
 
 def bench_ngram_hashes(benchmark, *, k: int = 3, text_col: str = "text",
                        max_ngrams: int = 50_000_000):
-    """Distinct word-``k``-gram hashes of the benchmark side as a SORTED
-    uint64 numpy array.
+    """Distinct word-``k``-gram md5 digests of the benchmark side as two
+    parallel uint64 numpy arrays ``(hi, lo)``, lexicographically sorted by
+    (hi, lo).
 
     Scale shape: the benchmark side of a decontamination pass is small by
     definition (eval suites are 10^3–10^6 documents against a 10^12-row
@@ -839,25 +849,31 @@ def bench_ngram_hashes(benchmark, *, k: int = 3, text_col: str = "text",
     import numpy as np
 
     def batch_hashes(batch: pa.Table) -> pa.Table:
-        seen: set[int] = set()
+        seen: set[tuple[int, int]] = set()
         for text in batch.column(text_col).to_pylist():
             for s in shingles(text or "", k):
-                seen.add(_shingle_h64(s))
-        return pa.table({"h": pa.array(sorted(seen), pa.uint64())})
+                seen.add(_shingle_h128(s))
+        ordered = sorted(seen)
+        return pa.table(
+            {"hi": pa.array([h for h, _ in ordered], pa.uint64()),
+             "lo": pa.array([l for _, l in ordered], pa.uint64())}
+        )
 
     hashes = benchmark.select_columns([text_col]).map_batches(
         batch_hashes, batch_format="pyarrow"
     )
-    acc: set[int] = set()
+    acc: set[tuple[int, int]] = set()
     for b in hashes.iter_batches(batch_format="pyarrow"):
-        acc.update(b.column("h").to_pylist())
+        acc.update(zip(b.column("hi").to_pylist(), b.column("lo").to_pylist()))
         if len(acc) > max_ngrams:
             raise ValueError(
                 f"benchmark n-gram set exceeds max_ngrams={max_ngrams}; "
                 "the benchmark side must be the small side — raise the cap "
                 "only with driver memory to match"
             )
-    return np.array(sorted(acc), dtype=np.uint64)
+    ordered = sorted(acc)
+    return (np.array([h for h, _ in ordered], dtype=np.uint64),
+            np.array([l for _, l in ordered], dtype=np.uint64))
 
 
 def decontaminate(documents, benchmark, *, k: int = 3, id_col: str = "doc_id",
@@ -870,12 +886,15 @@ def decontaminate(documents, benchmark, *, k: int = 3, id_col: str = "doc_id",
     ``n_sh`` = distinct shingles of the doc, ``bench_hits`` = how many of
     them appear anywhere in the benchmark, ``contaminated`` = hits > 0.
     Exact integer evidence columns, so the DuckDB oracle compares counts,
-    not floats.
+    not floats. Membership compares the FULL 128-bit md5 of each shingle
+    (hi searched, lo verified within the hi run), so the oracle's raw
+    string comparison and this check agree up to full-md5 collisions only.
 
-    Scale shape: benchmark hash set broadcast once (``ray.put`` of a sorted
-    uint64 array; see :func:`bench_ngram_hashes`), corpus side streamed —
-    one ``map_batches`` pass, membership tested via vectorized binary
-    search (``np.searchsorted``), no shuffle, no corpus-sized driver state.
+    Scale shape: benchmark hash set broadcast once (``ray.put`` of two
+    sorted uint64 arrays; see :func:`bench_ngram_hashes`), corpus side
+    streamed — one ``map_batches`` pass, membership tested via vectorized
+    binary search (``np.searchsorted``), no shuffle, no corpus-sized
+    driver state.
     """
     import numpy as np
     import ray
@@ -886,17 +905,31 @@ def decontaminate(documents, benchmark, *, k: int = 3, id_col: str = "doc_id",
     bench_ref = ray.put(bench)
 
     def flag(batch: pa.Table) -> pa.Table:
-        ref = ray.get(bench_ref)  # zero-copy plasma read, cached per node
-        n = ref.shape[0]
+        ref_hi, ref_lo = ray.get(bench_ref)  # zero-copy plasma, cached/node
+        n = ref_hi.shape[0]
         out_nsh, out_hits = [], []
         for text in batch.column(text_col).to_pylist():
             shs = shingles(text or "", k)
             if shs and n:
-                hv = np.fromiter(
-                    (_shingle_h64(s) for s in shs), dtype=np.uint64, count=len(shs)
+                pairs = [_shingle_h128(s) for s in shs]
+                hv_hi = np.fromiter(
+                    (h for h, _ in pairs), dtype=np.uint64, count=len(pairs)
                 )
-                pos = np.minimum(np.searchsorted(ref, hv), n - 1)
-                hits = int(np.count_nonzero(ref[pos] == hv))
+                hv_lo = np.fromiter(
+                    (l for _, l in pairs), dtype=np.uint64, count=len(pairs)
+                )
+                left = np.searchsorted(ref_hi, hv_hi, side="left")
+                right = np.searchsorted(ref_hi, hv_hi, side="right")
+                # hi runs are length ≤ 1 except for rare hi-prefix
+                # collisions — vectorize the common case, loop the rest
+                single = right - left == 1
+                hit_mask = single & (
+                    ref_lo[np.minimum(left, n - 1)] == hv_lo
+                )
+                hits = int(np.count_nonzero(hit_mask))
+                for i in np.nonzero(right - left > 1)[0]:
+                    if hv_lo[i] in ref_lo[left[i]:right[i]]:
+                        hits += 1
             else:
                 hits = 0
             out_nsh.append(len(shs))

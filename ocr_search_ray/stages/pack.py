@@ -85,6 +85,13 @@ def pack_sequences(documents, *, budget: int = 256, id_col: str = "doc_id",
     # partition domain from a cheap id-only pass (per-block partials; the
     # driver sees one row per block, bounded by parallelism not corpus)
     def minmax(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # an upstream filter may empty a block; min/max of an empty
+            # batch is null and would crash the driver-side min()
+            return pa.table(
+                {"lo": pa.array([], pa.int64()),
+                 "hi": pa.array([], pa.int64())}
+            )
         ids = batch.column(id_col)
         return pa.table(
             {"lo": pa.array([pc.min(ids).as_py()], pa.int64()),

@@ -659,6 +659,13 @@ def global_rank(ds, value_col: str, tiebreak_col: str, *,
     def minmax(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if batch.num_rows == 0:
+            # empty blocks (upstream filters) yield null min/max which
+            # would crash the driver-side min() over partials
+            return pa.table(
+                {"lo": pa.array([], pa.int64()),
+                 "hi": pa.array([], pa.int64())}
+            )
         v = batch.column(value_col)
         return pa.table(
             {"lo": pa.array([pc.min(v).as_py()], pa.int64()),
@@ -1051,11 +1058,14 @@ def salted_cluster_join(left, right, keys: list[str], *,
     def add_salt(batch: pa.Table) -> pa.Table:
         col = batch.column(salt_col)
         if pa.types.is_integer(col.type):
-            salts = pc.cast(
-                pc.subtract(col, pc.multiply(pc.divide(col, n_salts),
-                                             n_salts)),
-                pa.int32(),
-            )
+            # Euclidean (floor) mod: Arrow's divide truncates toward zero,
+            # so a negative salt column would yield negative salts that
+            # never match the right side's 0..n_salts-1 replicas — those
+            # rows would silently lose all matches
+            m = pc.subtract(col, pc.multiply(pc.divide(col, n_salts),
+                                             n_salts))
+            m = pc.if_else(pc.less(m, 0), pc.add(m, n_salts), m)
+            salts = pc.cast(m, pa.int32())
         else:
             encoded = pc.dictionary_encode(
                 col.cast(pa.string()).combine_chunks()
