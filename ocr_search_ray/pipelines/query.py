@@ -28,9 +28,9 @@ from ..functions.tokenizer import Tokenizer
 from ..stages.index import N_BUCKETS_DEFAULT, term_bucket
 from ..stages.search import (
     DEFAULT_MAX_RETURN,
-    hits_to_table,
     join_pages,
     score_hits,
+    topk_hits,
     validate_query,
 )
 
@@ -132,7 +132,9 @@ def search_index(index_dir: str, pages_path: str, query: str,
                                columns=["doc_id", "term", "tf"])
 
     hits = score_hits(postings, terms)
-    hits_table = hits_to_table(hits)
+    # distributed top-k before the collect — the driver and the pages
+    # point-lookup below both see ≤ max_return ids, even for a hot term
+    hits_table = topk_hits(hits, max_return)
     if hits_table.num_rows == 0:
         return pa.table(
             {c: [] for c in ["url", "page_idx", "img_path", "doc_id", "score"]}

@@ -15,9 +15,12 @@ Re-expresses the reference search flow (``src/ApiServer/ApiHandler.const.js:
 
 Physical plan (SURVEY.md J1): the query-term set is tiny → vectorized
 ``is_in`` filter over the posting table (predicate pushdown when reading the
-bucketed Parquet index), then the hit set (≪ corpus) is collected and
-broadcast via ``ray.put`` into a ``map_batches`` lookup over ``pages`` —
-a broadcast hash join, never an all-to-all shuffle.
+bucketed Parquet index), then a DISTRIBUTED top-k over the hit set (scores
+are final after the max-merge, so ranking commutes with the collect) — only
+the ≤ ``max_return`` winners reach the driver, even for a hot term whose
+df is corpus-scale — and those ids broadcast via ``ray.put`` into a
+``map_batches`` lookup over ``pages`` — a broadcast hash join, never an
+all-to-all shuffle.
 """
 
 from __future__ import annotations
@@ -74,10 +77,36 @@ def score_hits(postings, query_terms: list[str]):
     )
 
 
-def hits_to_table(hits) -> pa.Table:
-    """Collect the (small) hit dataset into a typed Arrow table — immune to
-    schema-less empty blocks (rows-based, explicit schema)."""
-    rows = hits.take_all()
+def topk_hits(hits, k: int) -> pa.Table:
+    """Distributed top-k over the (doc_id, score) hit dataset BEFORE any
+    driver collect → typed Arrow table of ≤ ``k`` rows.
+
+    Scores are FINAL after the max-merge (TermMatcher.class.js:40-51
+    semantics), so ranking commutes with the collect: per-block top-k
+    under the total order (score desc, doc_id asc), a one-block reduce of
+    the ≤ blocks×k winners (worker-side, never the driver), then a driver
+    collect of ≤ ``k`` rows. A hot query term — df("the")-scale at 10^12
+    docs — streams through the block walk; the driver holds O(k) rows,
+    period. Global top-k is exact: it is a subset of the union of
+    per-block top-k under the same total order.
+    """
+    import pyarrow.compute as pc
+
+    def block_topk(block: pa.Table) -> pa.Table:
+        if block.num_rows <= k:
+            return block
+        idx = pc.sort_indices(
+            block,
+            sort_keys=[("score", "descending"), ("doc_id", "ascending")],
+        )
+        return block.take(idx[:k])
+
+    winners = (
+        hits.map_batches(block_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+    )
+    rows = winners.take_all()  # ≤ k rows — bounded by construction
     return pa.table(
         {
             "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
@@ -123,9 +152,9 @@ def search(postings, pages, query: str, max_return: int = DEFAULT_MAX_RETURN,
         return pa.table({c: [] for c in _RESULT_COLUMNS})
 
     hits = score_hits(postings, query_terms)
-    # query-time hit set: small by construction; materializing it here is the
-    # broadcast side of the join, not a full-dataset materialization
-    hits_table = hits_to_table(hits)
+    # distributed top-k BEFORE the collect: only ≤ max_return winners ever
+    # reach the driver, which is the broadcast side of the pages join
+    hits_table = topk_hits(hits, max_return)
     if hits_table.num_rows == 0:
         return pa.table({c: [] for c in _RESULT_COLUMNS})
     scored_pages = join_pages(hits_table, pages)

@@ -1,0 +1,84 @@
+"""Scale-safety of the query path: a hot term's hit set (df ~ corpus at
+10^12 docs) must NEVER be collected to the driver — ranking happens as a
+distributed top-k first, so every driver collect is O(max_return)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def _hot_corpus(n: int):
+    from ocr_search_ray.functions.tokenizer import Tokenizer
+
+    term = list(Tokenizer().term_freqs("zebra").keys())[0]
+    doc_ids = [hashlib.sha256(f"doc{i}".encode()).hexdigest() for i in range(n)]
+    postings = pa.table(
+        {
+            "term": pa.array([term] * n),
+            "doc_id": pa.array(doc_ids),
+            "tf": pa.array([i % 97 + 1 for i in range(n)], pa.int64()),
+        }
+    )
+    pages = pa.table(
+        {
+            "url": pa.array([f"https://s.org/p{i}" for i in range(n)]),
+            "page_idx": pa.array([0] * n, pa.int32()),
+            "img_path": pa.array([f"{d}.png" for d in doc_ids]),
+            "doc_id": pa.array(doc_ids),
+        }
+    )
+    expected = sorted(
+        zip([i % 97 + 1 for i in range(n)], doc_ids),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return postings, pages, expected
+
+
+def test_search_driver_collect_bounded_on_hot_term(monkeypatch):
+    from ocr_search_ray.stages.search import search
+
+    n, k = 5000, 20
+    postings, pages, expected = _hot_corpus(n)
+
+    collected: list[int] = []
+    orig = rd.Dataset.take_all
+
+    def spy(self, *a, **kw):
+        rows = orig(self, *a, **kw)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(rd.Dataset, "take_all", spy)
+
+    out = search(
+        rd.from_arrow(postings).repartition(8),
+        rd.from_arrow(pages).repartition(8),
+        "zebra", max_return=k,
+    )
+    assert out.num_rows == k
+    got = list(zip(out.column("score").to_pylist(),
+                   out.column("doc_id").to_pylist()))
+    assert got == expected[:k]
+    assert collected, "expected instrumented collects"
+    # EVERY driver collect on the query path is O(max_return): the hot
+    # term's 5000-row hit set stays distributed
+    assert max(collected) <= k, collected
+
+
+def test_topk_hits_exact_vs_naive():
+    from ocr_search_ray.stages.search import topk_hits
+
+    n, k = 1000, 7
+    doc_ids = [hashlib.sha256(f"d{i}".encode()).hexdigest() for i in range(n)]
+    scores = [(i * 31) % 13 for i in range(n)]  # heavy ties at the cut
+    hits = rd.from_arrow(
+        pa.table({"doc_id": pa.array(doc_ids),
+                  "score": pa.array(scores, pa.int64())})
+    ).repartition(6)
+    got = topk_hits(hits, k)
+    naive = sorted(zip(scores, doc_ids), key=lambda t: (-t[0], t[1]))[:k]
+    assert list(zip(got.column("score").to_pylist(),
+                    got.column("doc_id").to_pylist())) == naive
