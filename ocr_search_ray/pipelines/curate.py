@@ -13,11 +13,12 @@ raw document table (the engine's headline beyond-reference use case):
 
 The gates are computed independently over the full corpus and intersected
 (deterministic, order-free semantics — a doc survives iff it passes ALL
-gates). Only the DROP sets are collected and broadcast — exact-dup
-non-representatives and LSH losers are both duplicate-sized (a small
-fraction of a real corpus), whereas the keep-set is corpus-sized and must
-never land on the driver. The corpus side streams through one final
-vectorized anti-filter.
+gates). The DROP sets — exact-dup non-representatives and LSH losers —
+stay DATASETS end to end and apply via one ``cluster_join(how="anti")``
+exchange: at web dup rates (30-50% of a real crawl) the drop sets are
+corpus-scale, so neither they nor the keep-set may ever land on the
+driver. Zero driver state on this path (the LSH verify's single merged
+bloom-bitmap row is the only bounded exception).
 """
 
 from __future__ import annotations
@@ -40,8 +41,6 @@ def curate(documents, *, min_tokens: int = DEFAULT_RULES["min_tokens"],
            max_stopword_pct: int = DEFAULT_RULES["max_stopword_pct"],
            neardup_min_jaccard_pct: int = 50):
     """→ (doc_id, n_chars, n_tokens) for every surviving document."""
-    import ray
-
     stats = quality_stats(documents)
 
     def quality_ok(batch: pa.Table) -> pa.Table:
@@ -59,26 +58,26 @@ def curate(documents, *, min_tokens: int = DEFAULT_RULES["min_tokens"],
 
     passing = stats.map_batches(quality_ok, batch_format="pyarrow")
 
-    # drop sets (both duplicate-sized): exact-dup non-representatives and
-    # the higher id of each verified near-dup pair
-    drops = {
-        r["doc_id"] for r in exact_dup_losers(documents).take_all()
-    } | {
-        r["doc_id2"]
-        for r in minhash_lsh_pairs(
-            documents, min_jaccard_pct=neardup_min_jaccard_pct
-        ).take_all()
-    }
-    drops_ref = ray.put(pa.array(sorted(drops)) if drops else None)
+    # drop sets stay datasets: exact-dup non-representatives ∪ the higher
+    # id of each verified near-dup pair, applied with a distributed anti
+    # join (one exchange) — never a driver collect, never a broadcast
+    from ..stages.relational import cluster_join
 
-    def final_filter(batch: pa.Table) -> pa.Table:
-        drop_arr = ray.get(drops_ref)
-        if drop_arr is None:
-            return batch
-        mask = pc.invert(
-            pc.is_in(batch.column("doc_id"),
-                     value_set=drop_arr.cast(batch.column("doc_id").type))
-        )
-        return batch.filter(mask)
+    id_type = dict(
+        zip(documents.schema().names, documents.schema().types)
+    )["doc_id"]
+    lsh_losers = minhash_lsh_pairs(
+        documents, min_jaccard_pct=neardup_min_jaccard_pct
+    ).map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id2")}),
+        batch_format="pyarrow",
+    )
+    drops_ds = exact_dup_losers(documents).union(lsh_losers)
 
-    return passing.map_batches(final_filter, batch_format="pyarrow")
+    return cluster_join(
+        passing, drops_ds, ["doc_id"],
+        left_types={"doc_id": id_type, "n_chars": pa.int64(),
+                    "n_tokens": pa.int64()},
+        right_types={},
+        how="anti",
+    )

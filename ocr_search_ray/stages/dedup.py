@@ -161,18 +161,21 @@ def minhash_lsh_pairs(documents, *, k: int = 3, num_hashes: int = 16,
 
     1. per-doc signature + band keys (batch-local, no shuffle)
     2. groupby(band_idx, band_sig) → candidate pairs, distinct
-    3. verify true shingle Jaccard ≥ min_jaccard_pct/100 **candidate-
-       restricted**: only the candidate pair list, the candidate doc-id set
-       and per-candidate shingle COUNTS ever reach the driver (all
-       O(candidates) ids/ints — duplicates are a small fraction of a real
-       corpus; never the corpus, never shingle sets). |∩| itself comes from
-       a shared-shingle exchange over the candidate docs only, with pair
-       emission gated on the candidate-pair set so a hot shingle can't blow
-       up the pair space.
+    3. verify true shingle Jaccard ≥ min_jaccard_pct/100 **collect-free**:
+       the candidate pair table STAYS a dataset end to end — at web dup
+       rates (30-50% of a crawl) candidates are corpus-scale and must
+       never be driver state. The corpus restricts to candidate docs via
+       ``bloom_semi_join`` (stateless bloom probe + exact semi — the only
+       driver state anywhere is the one merged bloom-bitmap row), |∩| is
+       computed by JOINING the pair table against each side's exploded
+       distinct shingles (pairs × shingles-of-doc1, then a semi on
+       (doc_id2, sh)) — pair emission is driven BY the pair table, so a
+       hot shingle can never blow up the pair space — and per-doc sizes
+       attach via two more ``cluster_join`` exchanges (the
+       ``ngram_jaccard_pairs`` plan, candidate-restricted).
 
     → (doc_id1, doc_id2, inter, uni) with 100*inter >= min_jaccard_pct*uni.
     """
-    import ray
 
     def band_rows_fn(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -227,146 +230,141 @@ def minhash_lsh_pairs(documents, *, k: int = 3, num_hashes: int = 16,
         ["band", "band_sig"],
         block_emit_pairs,
     )
-    # distinct pairs (a pair may collide in several bands)
+    # distinct pairs (a pair may collide in several bands); materialized:
+    # three consumers (bloom build, pair join, finalize chain) would
+    # otherwise each re-run the banding exchanges. Candidate-sized blocks
+    # pinned in the distributed object store (spillable) — NOT driver heap.
     distinct = cluster_apply(
         candidates,
         ["doc_id1", "doc_id2"],
         lambda block: block.group_by(["doc_id1", "doc_id2"]).aggregate([]),
-    )
+    ).materialize()
 
-    # --- candidate-restricted verify (no whole-corpus collection) ---
-    # the pair list + derived id set are O(candidates), ids only
-    pair_rows = distinct.take_all()
-    if not pair_rows:
-        id_type = pa.int64()
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "doc_id1": pa.array([], id_type),
-                    "doc_id2": pa.array([], id_type),
-                    "inter": pa.array([], pa.int64()),
-                    "uni": pa.array([], pa.int64()),
-                }
-            )
+    # --- collect-free verify: every side stays a dataset ---
+    from .relational import bloom_semi_join, cluster_join, grouped_agg
+
+    schema = documents.schema()
+    types = dict(zip(schema.names, schema.types))
+    id_type, text_type = types["doc_id"], types["text"]
+
+    def both_sides(batch: pa.Table) -> pa.Table:
+        ids = pa.chunked_array(
+            [batch.column("doc_id1"), batch.column("doc_id2")]
         )
-    cand_pairs = {(r["doc_id1"], r["doc_id2"]) for r in pair_rows}
-    cand_ids = sorted({d for p in cand_pairs for d in p})
-    pairs_ref = ray.put(cand_pairs)
-    ids_ref = ray.put(cand_ids)
+        return pa.table({"doc_id": ids})
 
-    def cand_shingle_rows(batch: pa.Table) -> pa.Table:
-        """Explode distinct shingles for CANDIDATE docs only."""
-        import pyarrow.compute as pc
+    # corpus → candidate docs: bloom prefilter (no shuffle for the ~100%
+    # of rows a benign dup rate rejects) + exact semi on survivors
+    cand_docs = bloom_semi_join(
+        documents.select_columns(["doc_id", "text"]),
+        distinct.map_batches(both_sides, batch_format="pyarrow"),
+        "doc_id",
+        left_types={"doc_id": id_type, "text": text_type},
+    ).materialize()  # candidate docs: reused by shingle + size explodes
 
-        id_arr = pa.array(ray.get(ids_ref), batch.column("doc_id").type)
-        flt = batch.filter(pc.is_in(batch.column("doc_id"), value_set=id_arr))
+    def shingle_rows(batch: pa.Table) -> pa.Table:
         out_id, out_sh = [], []
-        for did, text in zip(flt.column("doc_id").to_pylist(),
-                             flt.column("text").to_pylist()):
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
             for s in shingles(text or "", k):
                 out_id.append(did)
                 out_sh.append(s)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, batch.column("doc_id").type),
+                "doc_id": pa.array(out_id, id_type),
                 "sh": pa.array(out_sh, pa.string()),
             }
         )
 
-    def cand_size_rows(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        id_arr = pa.array(ray.get(ids_ref), batch.column("doc_id").type)
-        flt = batch.filter(pc.is_in(batch.column("doc_id"), value_set=id_arr))
-        texts = flt.column("text").to_pylist()
+    def size_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
         return pa.table(
             {
-                "doc_id": flt.column("doc_id"),
+                "doc_id": batch.column("doc_id"),
                 "n_sh": pa.array(
                     [len(shingles(t or "", k)) for t in texts], pa.int64()
                 ),
             }
         )
 
-    docs = documents.select_columns(["doc_id", "text"])
-    sizes = {
-        r["doc_id"]: r["n_sh"]
-        for r in docs.map_batches(cand_size_rows,
-                                  batch_format="pyarrow").take_all()
-    }
-    sizes_ref = ray.put(sizes)
+    shing = cand_docs.map_batches(shingle_rows, batch_format="pyarrow")
+    sizes_ds = cand_docs.map_batches(size_rows, batch_format="pyarrow")
 
-    def block_pair_inter(block: pa.Table) -> pa.Table:
-        """Pair hits among candidate docs sharing a shingle, gated on the
-        candidate-pair set (a hot shingle emits only candidate pairs)."""
-        pairs = ray.get(pairs_ref)
-        block = block.sort_by([("sh", "ascending"), ("doc_id", "ascending")])
-        shs = block.column("sh").to_pylist()
-        ids = block.column("doc_id").to_pylist()
-        a_out, b_out = [], []
-        i, n = 0, len(ids)
-        while i < n:
-            j = i
-            while j < n and shs[j] == shs[i]:
-                j += 1
-            for x in range(i, j):
-                for y in range(x + 1, j):
-                    key = (min(ids[x], ids[y]), max(ids[x], ids[y]))
-                    if key in pairs:
-                        a_out.append(key[0])
-                        b_out.append(key[1])
-            i = j
-        return pa.table(
-            {
-                "doc_id1": pa.array(a_out, block.column("doc_id").type),
-                "doc_id2": pa.array(b_out, block.column("doc_id").type),
-                "hit": pa.array([1] * len(a_out), pa.int64()),
-            }
-        )
-
-    def block_inter_sums(block: pa.Table) -> pa.Table:
-        agg = block.group_by(["doc_id1", "doc_id2"]).aggregate([("hit", "sum")])
-        return pa.table(
-            {
-                "doc_id1": agg.column("doc_id1"),
-                "doc_id2": agg.column("doc_id2"),
-                "inter": agg.column("hit_sum").cast(pa.int64()),
-            }
-        )
-
-    inter_counts = cluster_apply(
-        cluster_apply(
-            docs.map_batches(cand_shingle_rows, batch_format="pyarrow"),
-            ["sh"],
-            block_pair_inter,
+    # |∩| per pair WITHOUT enumerating shingle groups: attach doc1's
+    # shingles to each pair (inner join — pairs × |sh(doc1)| rows, linear
+    # in doc length, never quadratic in a shingle's df), LEFT-join a
+    # match marker for shingles doc2 also has — then one grouped pass
+    # yields n1 = rows per pair AND inter = matched rows per pair (no
+    # separate semi join or n1-size exchange needed)
+    with_sh = cluster_join(
+        distinct,
+        shing.map_batches(
+            lambda t: t.rename_columns(["doc_id1", "sh"]),
+            batch_format="pyarrow",
         ),
-        ["doc_id1", "doc_id2"],
-        block_inter_sums,
+        ["doc_id1"],
+        left_types={"doc_id1": id_type, "doc_id2": id_type},
+        right_types={"sh": pa.string()},
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id2": t.column("doc_id"),
+                "sh": t.column("sh"),
+                "m": pa.repeat(pa.scalar(1, pa.int64()), t.num_rows),
+            }
+        )
+
+    matched = cluster_join(
+        with_sh,
+        shing.map_batches(mark, batch_format="pyarrow"),
+        ["doc_id2", "sh"],
+        left_types={"doc_id1": id_type, "doc_id2": id_type,
+                    "sh": pa.string()},
+        right_types={"m": pa.int64()},
+        how="left",
+    )
+    pair_stats = grouped_agg(
+        matched, ["doc_id1", "doc_id2"],
+        [("n1", "sh", "count"), ("inter", "m", "sum")],
+    )
+    with_n2 = cluster_join(
+        pair_stats,
+        sizes_ds.map_batches(
+            lambda t: t.rename_columns(["doc_id2", "n2"]),
+            batch_format="pyarrow",
+        ),
+        ["doc_id2"],
+        left_types={"doc_id1": id_type, "doc_id2": id_type,
+                    "n1": pa.int64(), "inter": pa.int64()},
+        right_types={"n2": pa.int64()},
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        sz = ray.get(sizes_ref)
-        d1 = batch.column("doc_id1").to_pylist()
-        d2 = batch.column("doc_id2").to_pylist()
-        inter = batch.column("inter").to_pylist()
-        keep1, keep2, inters, unis = [], [], [], []
-        for a, b, i in zip(d1, d2, inter):
-            uni = sz[a] + sz[b] - i
-            if uni and 100 * i >= min_jaccard_pct * uni:
-                keep1.append(a)
-                keep2.append(b)
-                inters.append(i)
-                unis.append(uni)
-        return pa.table(
+        import pyarrow.compute as pc
+
+        # a pair with zero shared shingles sums m over all-null -> null
+        inter = pc.fill_null(batch.column("inter"), 0)
+        uni = pc.subtract(pc.add(batch.column("n1"), batch.column("n2")),
+                          inter)
+        keep = pc.and_(
+            pc.greater(uni, 0),
+            pc.greater_equal(
+                pc.multiply(inter, 100), pc.multiply(uni, min_jaccard_pct)
+            ),
+        )
+        out = pa.table(
             {
-                "doc_id1": pa.array(keep1, batch.column("doc_id1").type),
-                "doc_id2": pa.array(keep2, batch.column("doc_id2").type),
-                "inter": pa.array(inters, pa.int64()),
-                "uni": pa.array(unis, pa.int64()),
+                "doc_id1": batch.column("doc_id1"),
+                "doc_id2": batch.column("doc_id2"),
+                "inter": pc.cast(inter, pa.int64()),
+                "uni": pc.cast(uni, pa.int64()),
             }
         )
+        return out.filter(keep)
 
-    return inter_counts.map_batches(finalize, batch_format="pyarrow")
+    return with_n2.map_batches(finalize, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(documents, *, k: int = 3, min_jaccard_pct: int = 20,
