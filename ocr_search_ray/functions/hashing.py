@@ -38,6 +38,44 @@ def img_path(url: str, page_idx: int, page_count: int) -> str:
     return f"{doc_id(url, page_idx, page_count)}.png"
 
 
+def md5_digest_matrix(col) -> "object":
+    """Full md5 digests of an Arrow column's string form → (n, 16) uint8
+    numpy matrix.
+
+    The ONE shared content-hash kernel behind ``hash_sample``,
+    ``assign_split`` and ``stratified_sample`` (each derives its slice of
+    the digest vectorized: first byte, first-4-bytes-mod-100, whole
+    digest as rank). Values hash exactly as ``md5(str(value))`` — the SQL
+    oracle form ``md5(CAST(col AS VARCHAR))`` — including the legacy
+    ``str(None) == 'None'`` for nulls. One tight loop over the
+    concatenated Arrow string buffer via memoryview slices: no per-row
+    Python string objects, no ``to_pylist``.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = pc.fill_null(col.cast(pa.string()), "None")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    out = np.empty((n, 16), dtype=np.uint8)
+    if n == 0:
+        return out
+    offs = np.frombuffer(
+        arr.buffers()[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4
+    )
+    data = memoryview(arr.buffers()[2])
+    md5 = hashlib.md5
+    for i in range(n):
+        out[i] = np.frombuffer(
+            md5(data[offs[i]:offs[i + 1]]).digest(), dtype=np.uint8
+        )
+    return out
+
+
 def escape_regexp(s: str) -> str:
     """Regex-metacharacter escaping (SURVEY.md O16; reference
     ``src/util/escapeRegExp.func.js:1`` — unused in its main flow, kept for

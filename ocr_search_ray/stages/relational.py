@@ -221,20 +221,33 @@ def grouped_topk(ds, key_cols: list[str], order_by: list[tuple[str, str]],
     scan (SURVEY.md K3 generalized)."""
 
     def block_topk(block: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
         block = block.sort_by(
             [(c, "ascending") for c in key_cols] + list(order_by)
         )
-        key_lists = [block.column(c).to_pylist() for c in key_cols]
         n = block.num_rows
-        keep: list[int] = []
-        run_start = 0
-        for i in range(n + 1):
-            boundary = i == n or (
-                i > 0 and any(a[i] != a[i - 1] for a in key_lists)
-            )
-            if boundary:
-                keep.extend(range(run_start, min(run_start + k, i)))
-                run_start = i
+        if n == 0:
+            return block
+        # vectorized run-boundary scan: compare each key column against
+        # its shifted self (null==null is NOT a boundary; null vs value
+        # is — matching Python != on to_pylist values)
+        diff = None
+        for c in key_cols:
+            col = block.column(c).combine_chunks()
+            a, b = col.slice(1), col.slice(0, n - 1)
+            neq = pc.fill_null(pc.not_equal(a, b), False)
+            null_mismatch = pc.xor(pc.is_null(a), pc.is_null(b))
+            d = pc.or_(neq, null_mismatch)
+            diff = d if diff is None else pc.or_(diff, d)
+        boundary = np.concatenate(
+            ([True], diff.to_numpy(zero_copy_only=False))
+        )
+        run_starts = np.flatnonzero(boundary)
+        run_id = np.cumsum(boundary) - 1
+        pos_in_run = np.arange(n) - run_starts[run_id]
+        keep = np.flatnonzero(pos_in_run < k)
         return block.take(pa.array(keep, pa.int64()))
 
     return cluster_apply(ds, key_cols, block_topk, hash_fn=hash_fn)
@@ -337,18 +350,14 @@ def hash_sample(ds, key_col: str, *, threshold: int, modulus: int = 256):
     filter is stateless and embarrassingly parallel; SQL-expressible as
     ``substr(md5(CAST(key AS VARCHAR)), 1, 2) < hex(threshold)``.
     """
-    import hashlib
+    from ..functions.hashing import md5_digest_matrix
 
     if modulus != 256:
         raise ValueError("modulus must be 256 (first hash byte)")
 
     def f(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_pylist()
-        keep = [
-            i for i, k in enumerate(keys)
-            if hashlib.md5(str(k).encode()).digest()[0] < threshold
-        ]
-        return batch.take(pa.array(keep, pa.int64()))
+        digests = md5_digest_matrix(batch.column(key_col))
+        return batch.filter(pa.array(digests[:, 0] < threshold))
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -618,15 +627,19 @@ def stratified_sample(ds, key_cols: list[str], k: int, *,
     keeps only the quota (one int-key exchange; ≤ k rows per group leave
     the block walk).
     """
-    import hashlib
+    from ..functions.hashing import md5_digest_matrix
 
     def hashed(batch: pa.Table) -> pa.Table:
         src = batch.column(text_col if text_col else id_col)
-        vals = src.to_pylist()
-        h = [
-            hashlib.md5(str(v).encode()).hexdigest() for v in vals
-        ]
-        return batch.append_column("sample_rank", pa.array(h, pa.string()))
+        digests = md5_digest_matrix(src)
+        # raw digest bytes as fixed_size_binary(16): byte order ==
+        # hex-string order, so ranking is identical to the md5-hex SQL
+        # oracle at 16 bytes/row instead of a 32-char Python string
+        rank = pa.Array.from_buffers(
+            pa.binary(16), len(digests),
+            [None, pa.py_buffer(digests.tobytes())],
+        )
+        return batch.append_column("sample_rank", rank)
 
     ranked = ds.map_batches(hashed, batch_format="pyarrow")
     out = grouped_topk(
@@ -836,28 +849,31 @@ def assign_split(ds, *, text_col: str = "text",
     train/val/test assignment that must NEVER depend on row order).
     Stateless per-batch map, no shuffle.
     """
-    import hashlib
+    import numpy as np
+
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_digest_matrix
 
     splits = splits or [("train", 98), ("val", 1), ("test", 1)]
     if sum(p for _, p in splits) != 100:
         raise ValueError("split percents must sum to 100")
-    bounds = []
-    acc = 0
-    for name, pct in splits:
-        acc += pct
-        bounds.append((acc, name))
+    bounds = np.cumsum([p for _, p in splits])
+    names = pa.array([name for name, _ in splits], pa.string())
 
     def f(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        out = []
-        for t in texts:
-            h = int.from_bytes(
-                hashlib.md5((t or "").encode()).digest()[:4], "big") % 100
-            for bound, name in bounds:
-                if h < bound:
-                    out.append(name)
-                    break
-        return batch.append_column("split", pa.array(out, pa.string()))
+        # null text hashes as "" (the legacy `t or ""` semantics)
+        digests = md5_digest_matrix(
+            pc.fill_null(batch.column(text_col), "")
+        ).astype(np.uint32)
+        h = (
+            (digests[:, 0] << 24) | (digests[:, 1] << 16)
+            | (digests[:, 2] << 8) | digests[:, 3]
+        ) % 100
+        idx = np.searchsorted(bounds, h, side="right")
+        return batch.append_column(
+            "split", names.take(pa.array(idx, pa.int64()))
+        )
 
     return ds.map_batches(f, batch_format="pyarrow")
 

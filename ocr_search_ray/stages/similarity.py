@@ -20,8 +20,32 @@ import pyarrow as pa
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
-    """Stack a list<float> column into (n, d) float64."""
-    return np.array(batch.column(col).to_pylist(), dtype=np.float64)
+    """Stack a list<float> column into (n, d) float64 — ZERO-COPY from the
+    Arrow child buffer when the lists are rectangular (the embedding-table
+    invariant): flatten → one contiguous numpy view → reshape. The
+    ``to_pylist`` fallback (ragged/null lists) is ~10× slower for wide
+    vectors and never taken on real embedding columns."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if arr.null_count == 0:
+        if pa.types.is_fixed_size_list(arr.type):
+            d = arr.type.list_size
+            flat = arr.values.to_numpy(zero_copy_only=False)
+            return flat.reshape(n, d).astype(np.float64, copy=False)
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if (widths == widths[0]).all() and widths[0] > 0:
+            flat = arr.values.to_numpy(zero_copy_only=False)
+            return (
+                flat[offs[0]:offs[-1]]
+                .reshape(n, int(widths[0]))
+                .astype(np.float64, copy=False)
+            )
+    return np.array(arr.to_pylist(), dtype=np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -44,7 +68,8 @@ def ann_brute_topk(embeddings, queries: dict[int, list[float]], *, k: int = 10,
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         ids, qm = ray.get(q_ref)
-        vec_ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vec_ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
         m = _normalize(_batch_matrix(batch, vec_col))
         scores = m @ qm.T  # (n, num_queries)
         out_q, out_v, out_s = [], [], []
@@ -105,7 +130,8 @@ def lsh_bucket_topk(embeddings, queries: dict[int, list[float]], *, k: int = 10,
 
     def partial(batch: pa.Table) -> pa.Table:
         ids, qm, qb, pl = ray.get(ctx)
-        vec_ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vec_ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
         m = _normalize(_batch_matrix(batch, vec_col))
         bits = (m @ pl > 0).astype(np.uint8)
         buckets = bits.dot(1 << np.arange(bits.shape[1] - 1, -1, -1))
@@ -172,7 +198,8 @@ def embedding_neardup_pairs(embeddings, *, threshold: float, max_id: int,
 
     def pairs(batch: pa.Table) -> pa.Table:
         all_ids, all_m = ray.get(ref)
-        vec_ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vec_ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
         keep = vec_ids < max_id
         vec_ids = vec_ids[keep]
         if len(vec_ids) == 0:
@@ -337,8 +364,10 @@ def search_ivf_index(index_dir: str, queries: dict[int, list[float]], *,
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         ids, qm, probe_sets = ray.get(ctx)
-        vec_ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
-        cells = np.array(batch.column("cell").to_pylist(), dtype=np.int64)
+        vec_ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+        cells = batch.column("cell").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
         m = _normalize(_batch_matrix(batch, vec_col))
         scores = m @ qm.T
         out_q, out_v, out_s = [], [], []
@@ -411,7 +440,8 @@ def ivf_topk(embeddings, queries: dict[int, list[float]], *, k: int = 10,
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         ids, qm, probe_sets, cen = ray.get(ctx)
-        vec_ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vec_ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
         m = _normalize(_batch_matrix(batch, vec_col))
         assign = np.argmax(m @ cen.T, axis=1)
         scores = m @ qm.T
