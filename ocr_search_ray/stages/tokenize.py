@@ -45,12 +45,19 @@ class TokenizePages:
                  stopwords=None, segment_cjk=None) -> None:
         # once-per-actor state (the reference pays this per page).
         # ``stopwords``: the reference's ``stopwords.words()`` (no argument)
-        # unions EVERY downloaded NLTK language list; the engine defaults to
-        # the English list (documented divergence, SURVEY.md O10) — a
-        # deployment with the full NLTK data passes the union here and gets
-        # reference-exact multilingual filtering with no code change.
+        # unions EVERY downloaded NLTK language list. Three modes:
+        #   None          → English list (per-corpus default; SURVEY.md O10)
+        #   "multilingual"→ the packaged union (functions/stopwords_multi —
+        #                   the ASCII-effective content of the reference's
+        #                   union; only ASCII tokens ever reach the filter)
+        #   iterable      → caller-supplied (e.g. nltk_stopword_union() for
+        #                   byte-parity with a specific NLTK install)
         kwargs = {}
-        if stopwords is not None:
+        if stopwords == "multilingual":
+            from ..functions.stopwords_multi import MULTILINGUAL_STOPWORDS
+
+            kwargs["stopwords"] = MULTILINGUAL_STOPWORDS
+        elif stopwords is not None:
             kwargs["stopwords"] = frozenset(stopwords)
         if segment_cjk is not None:
             kwargs["segment_cjk"] = segment_cjk
