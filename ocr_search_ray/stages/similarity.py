@@ -229,20 +229,51 @@ def embedding_neardup_pairs(embeddings, *, threshold: float, max_id: int,
     return restricted.map_batches(pairs, batch_format="pyarrow")
 
 
+def resolve_n_centroids(embeddings, n_centroids) -> int:
+    """``"auto"`` → ≈√N cells (the standard IVF sizing rule: per-cell scan
+    cost and cell-count cost balance at √N), floored at 16; an int passes
+    through. ``count()`` is a metadata read for parquet sources."""
+    if n_centroids == "auto":
+        return max(16, int(round(embeddings.count() ** 0.5)))
+    return int(n_centroids)
+
+
 def _train_centroids(embeddings, n_centroids: int, train_iters: int,
                      id_col: str, vec_col: str) -> np.ndarray:
-    """Distributed coarse k-means (Lloyd): deterministic init from the
-    ``n_centroids`` smallest ids; each iteration is one partial-sum pass;
-    the driver holds only the (n_centroids × dim) table."""
+    """Distributed coarse k-means (Lloyd): deterministic init from a
+    CONTENT-HASH sample (the ``n_centroids`` rows with the smallest
+    ``md5(str(id))`` — unbiased w.r.t. the id distribution, unlike
+    smallest-id seeding which picks one contiguous ingestion cohort at
+    real id layouts); each iteration is one partial-sum pass; the driver
+    holds only the (n_centroids × dim) table."""
     import pyarrow.compute as pc
     import ray
 
-    def keep_seed(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.less(batch.column(id_col), n_centroids))
+    from ..functions.hashing import md5_digest_matrix
 
+    def seed_topn(batch: pa.Table) -> pa.Table:
+        if "__seed_rank" not in batch.column_names:
+            digests = md5_digest_matrix(batch.column(id_col))
+            rank = pa.Array.from_buffers(
+                pa.binary(16), len(digests),
+                [None, pa.py_buffer(digests.tobytes())],
+            )
+            batch = batch.append_column("__seed_rank", rank)
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("__seed_rank", "ascending"), (id_col, "ascending")],
+        )
+        return batch.take(idx[:n_centroids])
+
+    # distributed top-n by hash rank: per-batch winners → one-block reduce
+    # → the driver collects exactly n_centroids rows
     seed_rows = sorted(
-        embeddings.map_batches(keep_seed, batch_format="pyarrow").take_all(),
-        key=lambda r: r[id_col],
+        embeddings.select_columns([id_col, vec_col])
+        .map_batches(seed_topn, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(seed_topn, batch_format="pyarrow", batch_size=None)
+        .take_all(),
+        key=lambda r: (bytes(r["__seed_rank"]), r[id_col]),
     )
     centroids = _normalize(
         np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
@@ -281,7 +312,7 @@ def _train_centroids(embeddings, n_centroids: int, train_iters: int,
     return centroids
 
 
-def build_ivf_index(embeddings, out_dir: str, *, n_centroids: int = 16,
+def build_ivf_index(embeddings, out_dir: str, *, n_centroids=16,
                     train_iters: int = 3, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> None:
     """Persist an IVF ANN index: the embedding analogue of the bucketed
@@ -299,7 +330,8 @@ def build_ivf_index(embeddings, out_dir: str, *, n_centroids: int = 16,
     import ray
 
     centroids = _train_centroids(
-        embeddings, n_centroids, train_iters, id_col, vec_col
+        embeddings, resolve_n_centroids(embeddings, n_centroids),
+        train_iters, id_col, vec_col
     )
     c_ref = ray.put(centroids)
 
@@ -412,14 +444,16 @@ def search_ivf_index(index_dir: str, queries: dict[int, list[float]], *,
 
 
 def ivf_topk(embeddings, queries: dict[int, list[float]], *, k: int = 10,
-             n_centroids: int = 16, nprobe: int = 4, train_iters: int = 3,
+             n_centroids=16, nprobe: int = 4, train_iters: int = 3,
              id_col: str = "vec_id", vec_col: str = "embedding"):
     """IVF-style ANN: coarse k-means centroids partition the corpus; each
     query probes only its ``nprobe`` nearest cells (the scale path next to
     ``lsh_bucket_topk``).
 
-    Deterministic end to end: centroids initialize from the ``n_centroids``
-    smallest ids, Lloyd iterations run as distributed partial-sum passes
+    Deterministic end to end: centroids initialize from a content-hash
+    sample (smallest md5(str(id)) ranks — unbiased at any id layout;
+    ``n_centroids="auto"`` sizes cells ≈ √N), Lloyd iterations run as
+    distributed partial-sum passes
     (driver holds only the (n_centroids × dim) table), assignment ties break
     toward the lower centroid index. With ``nprobe >= n_centroids`` every
     cell is probed and the result EQUALS ``ann_brute_topk`` exactly (tested);
@@ -428,7 +462,8 @@ def ivf_topk(embeddings, queries: dict[int, list[float]], *, k: int = 10,
     import ray
 
     centroids = _train_centroids(
-        embeddings, n_centroids, train_iters, id_col, vec_col
+        embeddings, resolve_n_centroids(embeddings, n_centroids),
+        train_iters, id_col, vec_col
     )
 
     # ---- probe sets per query
