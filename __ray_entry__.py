@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": q.q_ngram_counts,
         "domain_stats": q.q_domain_stats,
         "clean_text": q.q_clean_text,
+        "path_convert": q.q_path_convert,
         "stratified_sample": q.q_stratified_sample,
         "canonical_urls": q.q_canonical_urls,
         "canonical_dedup": q.q_canonical_dedup,
@@ -907,6 +908,19 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(text), doc_id) AS rn
               FROM documents
             ) WHERE rn <= 5
+        """,
+        "path_convert": """
+            SELECT doc_id,
+                   'data/pptx/' || CAST(doc_id AS VARCHAR) || '.pptx'
+                     AS pptx_path,
+                   'data/pdf/'  || CAST(doc_id AS VARCHAR) || '.pdf'
+                     AS pdf_path,
+                   'data/png/'  || CAST(doc_id AS VARCHAR) AS png_dir,
+                   'data/docx/' || CAST(doc_id AS VARCHAR) || '.docx'
+                     AS docx_path,
+                   'data/pptx/' || CAST(doc_id AS VARCHAR) || '.pptx'
+                     AS pptx_roundtrip
+            FROM documents
         """,
         "clean_text": r"""
             WITH aug AS (

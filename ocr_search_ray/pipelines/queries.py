@@ -1468,3 +1468,40 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(
         _read(sf_dir, "documents", columns=["doc_id", "text"]), budget=256
     )
+
+
+def q_path_convert(sf_dir: str):
+    """O15 full path algebra over the reference's office-file layout
+    (PathConvert.const.js:10-134): synthesize each document's pptx upload
+    path, derive pdf / png-dir / docx and the png-dir→pptx round trip with
+    the vectorized replace-first kernels. Hex/integer ids contain no
+    directory or extension token, so replace-first equals the oracle's
+    direct concatenation on these inputs (the divergent double-token case
+    is pinned JS-exact in tests/test_pathconvert.py)."""
+    from ..functions.pathconvert import PathConvert
+
+    conv = PathConvert()
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column("doc_id").cast(pa.string())
+        lit = lambda s: pa.array([s] * n, pa.string())  # noqa: E731
+        pptx = pc.binary_join_element_wise(lit("data/pptx/"), ids,
+                                           lit(".pptx"), "")
+        pdf = conv.convert_column(pptx, "pptx", "pdf")
+        png_dir = conv.convert_column(pptx, "pptx", "png_dir")
+        docx = conv.convert_column(pdf, "pdf", "docx")
+        roundtrip = conv.convert_column(png_dir, "png_dir", "pptx")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pptx_path": pptx,
+                "pdf_path": pdf,
+                "png_dir": png_dir,
+                "docx_path": docx,
+                "pptx_roundtrip": roundtrip,
+            }
+        )
+
+    return docs.map_batches(derive, batch_format="pyarrow")
