@@ -230,18 +230,16 @@ def minhash_lsh_pairs(documents, *, k: int = 3, num_hashes: int = 16,
         ["band", "band_sig"],
         block_emit_pairs,
     )
-    # distinct pairs (a pair may collide in several bands); materialized:
-    # three consumers (bloom build, pair join, finalize chain) would
-    # otherwise each re-run the banding exchanges. Candidate-sized blocks
-    # pinned in the distributed object store (spillable) — NOT driver heap.
-    distinct = cluster_apply(
-        candidates,
-        ["doc_id1", "doc_id2"],
-        lambda block: block.group_by(["doc_id1", "doc_id2"]).aggregate([]),
-    ).materialize()
+    # materialized: two consumers (bloom keys, the fused exchange below)
+    # would otherwise each re-run the banding exchange. Candidate-sized
+    # blocks pinned in the distributed object store (spillable) — NOT
+    # driver heap. Cross-band duplicate pairs survive here; they dedup
+    # inside the fused exchange (same doc_id1 key → same block).
+    candidates = candidates.materialize()
 
     # --- collect-free verify: every side stays a dataset ---
-    from .relational import bloom_semi_join, cluster_join, grouped_agg
+    from .relational import bloom_prefilter, cluster_apply as _capply
+    from .relational import cluster_join, grouped_agg
 
     schema = documents.schema()
     types = dict(zip(schema.names, schema.types))
@@ -253,58 +251,84 @@ def minhash_lsh_pairs(documents, *, k: int = 3, num_hashes: int = 16,
         )
         return pa.table({"doc_id": ids})
 
-    # corpus → candidate docs: bloom prefilter (no shuffle for the ~100%
-    # of rows a benign dup rate rejects) + exact semi on survivors
-    cand_docs = bloom_semi_join(
+    # corpus → candidate docs: bloom prefilter only, no exact semi — the
+    # pair-table joins below are already an exact gate, so a bloom false
+    # positive merely wastes one doc's shingle explode (dropped at the
+    # joins), never changes the answer. Saves a full candidate exchange.
+    cand_docs = bloom_prefilter(
         documents.select_columns(["doc_id", "text"]),
-        distinct.map_batches(both_sides, batch_format="pyarrow"),
+        candidates.map_batches(both_sides, batch_format="pyarrow"),
         "doc_id",
-        left_types={"doc_id": id_type, "text": text_type},
     ).materialize()  # candidate docs: reused by shingle + size explodes
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
-        out_id, out_sh = [], []
+        """(doc_id, sh, n_sh) — the per-doc distinct-shingle count rides
+        every row so doc2's size reaches the pair through the marker join
+        (no separate size-attach exchange)."""
+        out_id, out_sh, out_n = [], [], []
         for did, text in zip(batch.column("doc_id").to_pylist(),
                              batch.column("text").to_pylist()):
-            for s in shingles(text or "", k):
+            shs = shingles(text or "", k)
+            for s in shs:
                 out_id.append(did)
                 out_sh.append(s)
+                out_n.append(len(shs))
         return pa.table(
             {
                 "doc_id": pa.array(out_id, id_type),
                 "sh": pa.array(out_sh, pa.string()),
-            }
-        )
-
-    def size_rows(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "n_sh": pa.array(
-                    [len(shingles(t or "", k)) for t in texts], pa.int64()
-                ),
+                "n_sh": pa.array(out_n, pa.int64()),
             }
         )
 
     shing = cand_docs.map_batches(shingle_rows, batch_format="pyarrow")
-    sizes_ds = cand_docs.map_batches(size_rows, batch_format="pyarrow")
 
-    # |∩| per pair WITHOUT enumerating shingle groups: attach doc1's
-    # shingles to each pair (inner join — pairs × |sh(doc1)| rows, linear
-    # in doc length, never quadratic in a shingle's df), LEFT-join a
-    # match marker for shingles doc2 also has — then one grouped pass
-    # yields n1 = rows per pair AND inter = matched rows per pair (no
-    # separate semi join or n1-size exchange needed)
-    with_sh = cluster_join(
-        distinct,
-        shing.map_batches(
-            lambda t: t.rename_columns(["doc_id1", "sh"]),
-            batch_format="pyarrow",
+    # |∩| per pair WITHOUT enumerating shingle groups: ONE fused exchange
+    # on doc_id1 dedups the cross-band pair duplicates AND attaches
+    # doc1's shingles (inner join — pairs × |sh(doc1)| rows, linear in
+    # doc length, never quadratic in a shingle's df); then a LEFT join
+    # marks shingles doc2 also has, and one grouped pass yields n1 = rows
+    # per pair AND inter = marked rows per pair.
+    def align_pair(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id1": batch.column("doc_id1").cast(id_type),
+                "doc_id2": batch.column("doc_id2").cast(id_type),
+                "sh": pa.nulls(batch.num_rows, pa.string()),
+                "__vside": pa.repeat(pa.scalar(0, pa.int8()),
+                                     batch.num_rows),
+            }
+        )
+
+    def align_sh1(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id1": batch.column("doc_id").cast(id_type),
+                "doc_id2": pa.nulls(batch.num_rows, id_type),
+                "sh": batch.column("sh"),
+                "__vside": pa.repeat(pa.scalar(1, pa.int8()),
+                                     batch.num_rows),
+            }
+        )
+
+    def block_dedup_join(block: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = block.column("__vside")
+        pairs = (
+            block.filter(pc.equal(side, 0))
+            .select(["doc_id1", "doc_id2"])
+            .group_by(["doc_id1", "doc_id2"]).aggregate([])
+        )
+        sh1 = block.filter(pc.equal(side, 1)).select(["doc_id1", "sh"])
+        return pairs.join(sh1, keys=["doc_id1"], join_type="inner")
+
+    with_sh = _capply(
+        candidates.map_batches(align_pair, batch_format="pyarrow").union(
+            shing.map_batches(align_sh1, batch_format="pyarrow")
         ),
         ["doc_id1"],
-        left_types={"doc_id1": id_type, "doc_id2": id_type},
-        right_types={"sh": pa.string()},
+        block_dedup_join,
     )
 
     def mark(t: pa.Table) -> pa.Table:
@@ -313,6 +337,7 @@ def minhash_lsh_pairs(documents, *, k: int = 3, num_hashes: int = 16,
                 "doc_id2": t.column("doc_id"),
                 "sh": t.column("sh"),
                 "m": pa.repeat(pa.scalar(1, pa.int64()), t.num_rows),
+                "n2": t.column("n_sh"),
             }
         )
 
@@ -322,23 +347,16 @@ def minhash_lsh_pairs(documents, *, k: int = 3, num_hashes: int = 16,
         ["doc_id2", "sh"],
         left_types={"doc_id1": id_type, "doc_id2": id_type,
                     "sh": pa.string()},
-        right_types={"m": pa.int64()},
+        right_types={"m": pa.int64(), "n2": pa.int64()},
         how="left",
     )
-    pair_stats = grouped_agg(
+    # n2 = max over the pair's matched rows (every matched row carries
+    # doc2's size; pairs with ZERO matches get null n2 and are dropped —
+    # they can never pass the threshold since inter = 0 < pct·uni)
+    with_n2 = grouped_agg(
         matched, ["doc_id1", "doc_id2"],
-        [("n1", "sh", "count"), ("inter", "m", "sum")],
-    )
-    with_n2 = cluster_join(
-        pair_stats,
-        sizes_ds.map_batches(
-            lambda t: t.rename_columns(["doc_id2", "n2"]),
-            batch_format="pyarrow",
-        ),
-        ["doc_id2"],
-        left_types={"doc_id1": id_type, "doc_id2": id_type,
-                    "n1": pa.int64(), "inter": pa.int64()},
-        right_types={"n2": pa.int64()},
+        [("n1", "sh", "count"), ("inter", "m", "sum"),
+         ("n2", "n2", "max")],
     )
 
     def finalize(batch: pa.Table) -> pa.Table:

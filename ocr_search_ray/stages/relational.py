@@ -522,15 +522,12 @@ def _bloom_hashes(column):
     return d1[idx], d2[idx]
 
 
-def bloom_semi_join(big, keys_ds, key: str, *, right_key: str | None = None,
-                    left_types: dict[str, "pa.DataType"],
-                    n_bits: int = 1 << 20, n_hashes: int = 4,
-                    hash_fn=None):
-    """EXACT semi-join with a Bloom prefilter — ``big`` rows whose ``key``
-    appears in ``keys_ds[right_key]``.
-
-    The scale pattern for existence filters where BOTH sides are large but
-    the match rate is low (visited-url suppression, deny-list application):
+def bloom_prefilter(big, keys_ds, key: str, *, right_key: str | None = None,
+                    n_bits: int = 1 << 20, n_hashes: int = 4):
+    """PROBABILISTIC membership prefilter: ``big`` rows whose ``key`` is
+    possibly in ``keys_ds[right_key]`` — keeps every true member plus a
+    false-positive residue ≈ (1 - e^{-kn/m})^k; drops nothing that
+    matches. No shuffle, driver state = ONE merged bitmap row.
 
     1. the key side folds into per-batch Bloom bitmaps (``n_bits`` bits,
        vectorized double hashing — one row of ``n_bits/8`` bytes per batch);
@@ -538,16 +535,14 @@ def bloom_semi_join(big, keys_ds, key: str, *, right_key: str | None = None,
        the driver receives ONE row, never a per-batch pile);
     3. the big side drops definite non-members per batch against the
        broadcast bitmap (``ray.put`` once) — no shuffle for the ~100% of
-       rows a selective filter rejects, false-positive rate
-       ≈ (1 - e^{-kn/m})^k;
-    4. survivors (match-rate-sized, not corpus-sized) go through the exact
-       ``cluster_join`` semi — the Bloom pass only PRUNES, the join decides.
+       rows a selective filter rejects.
 
-    ``left_types``: all ``big`` columns → arrow type (cluster_join output
-    order). Result == SQL ``WHERE EXISTS`` exactly.
+    Use directly when a downstream join is ALREADY an exact gate (the LSH
+    verify's pair-table joins) and survivors only cost wasted work, not
+    wrong answers; use :func:`bloom_semi_join` when the filter itself must
+    be exact.
     """
     import numpy as np
-    import pyarrow.compute as pc
 
     import ray
 
@@ -601,8 +596,31 @@ def bloom_semi_join(big, keys_ds, key: str, *, right_key: str | None = None,
             member &= bit.astype(bool)
         return batch.filter(pa.array(member))
 
-    prefiltered = big.map_batches(probe, batch_format="pyarrow")
+    return big.map_batches(probe, batch_format="pyarrow")
 
+
+def bloom_semi_join(big, keys_ds, key: str, *, right_key: str | None = None,
+                    left_types: dict[str, "pa.DataType"],
+                    n_bits: int = 1 << 20, n_hashes: int = 4,
+                    hash_fn=None):
+    """EXACT semi-join with a Bloom prefilter — ``big`` rows whose ``key``
+    appears in ``keys_ds[right_key]``.
+
+    The scale pattern for existence filters where BOTH sides are large but
+    the match rate is low (visited-url suppression, deny-list application):
+    :func:`bloom_prefilter` drops the ~100% of rows a selective filter
+    rejects without a shuffle, then the survivors (match-rate-sized, not
+    corpus-sized) go through the exact ``cluster_join`` semi — the Bloom
+    pass only PRUNES, the join decides.
+
+    ``left_types``: all ``big`` columns → arrow type (cluster_join output
+    order). Result == SQL ``WHERE EXISTS`` exactly.
+    """
+    right_key = right_key or key
+    prefiltered = bloom_prefilter(
+        big, keys_ds, key, right_key=right_key,
+        n_bits=n_bits, n_hashes=n_hashes,
+    )
     right = keys_ds.select_columns([right_key])
     if right_key != key:
         right = right.map_batches(
