@@ -284,10 +284,11 @@ def q_topk_customers(sf_dir: str):
             }
         )
 
-    out = (
-        joined.map_batches(rename, batch_format="pyarrow")
-        .sort(["n_orders", "custkey"], descending=[True, False])
-        .limit(10)
+    from ..stages.relational import topk_rows
+
+    out = topk_rows(
+        joined.map_batches(rename, batch_format="pyarrow"),
+        [("n_orders", "descending"), ("custkey", "ascending")], 10,
     )
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
@@ -459,18 +460,25 @@ def q_top_revenue_orders(sf_dir: str):
         columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
     ).map_batches(late_lines, batch_format="pyarrow")
 
-    joined = cluster_join(
-        lineitem, qualifying, ["l_orderkey"],
-        left_types={"l_orderkey": pa.int64(), "rev_units": pa.int64()},
+    from ..stages.relational import topk_rows
+
+    # revenue aggregates BELOW the join (sum is keyed by the join key, so
+    # agg-then-join ≡ join-then-agg): the batch combiner collapses line
+    # rows before any exchange, and the join then ships one row per order
+    # instead of one per line. The inner join drops non-qualifying orders.
+    rev_per_order = grouped_agg(
+        lineitem, ["l_orderkey"], [("revenue_units", "rev_units", "sum")]
+    )
+    per_order = cluster_join(
+        rev_per_order, qualifying, ["l_orderkey"],
+        left_types={"l_orderkey": pa.int64(), "revenue_units": pa.int64()},
         right_types={"o_orderdate": pa.timestamp("us")},
     )
-    per_order = grouped_agg(
-        joined, ["l_orderkey", "o_orderdate"],
-        [("revenue_units", "rev_units", "sum")],
-    )
-    top = (
-        per_order.sort(["revenue_units", "l_orderkey"],
-                       descending=[True, False]).limit(10)
+    # distributed top-10 (per-block head + one-block reduce) instead of a
+    # whole-dataset sort exchange
+    top = topk_rows(
+        per_order,
+        [("revenue_units", "descending"), ("l_orderkey", "ascending")], 10,
     )
     return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
 

@@ -142,10 +142,11 @@ def search_index(index_dir: str, pages_path: str, query: str,
     pages = _read_pages_for_hits(
         pages_path, hits_table.column("doc_id").to_pylist(), n_buckets
     )
-    ranked = (
-        join_pages(hits_table, pages)
-        .sort(["score", "doc_id"], descending=[True, False])
-        .limit(max_return)
-    )
-    out = pa.Table.from_pandas(ranked.to_pandas(), preserve_index=False)
+    import pyarrow.compute as pc2
+
+    scored = join_pages(hits_table, pages)  # ≤ max_return rows
+    out = pa.Table.from_pandas(scored.to_pandas(), preserve_index=False)
+    out = out.take(pc2.sort_indices(
+        out, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+    )[:max_return])
     return out.select(["url", "page_idx", "img_path", "doc_id", "score"])

@@ -207,6 +207,28 @@ def cluster_apply(ds, key_cols: list[str], block_fn, *, hash_fn=None):
     )
 
 
+def topk_rows(ds, order_by: list[tuple[str, str]], k: int):
+    """Global top-k WITHOUT a sort exchange: per-block head under the
+    total order (``order_by`` must include a tiebreaker for determinism),
+    then a one-block reduce of the ≤ blocks×k winners. Exact: the global
+    top-k is a subset of the union of per-block top-k under the same
+    total order. Replaces ``ds.sort(...).limit(k)`` — which range-
+    partitions the WHOLE dataset — wherever only the head is wanted."""
+    import pyarrow.compute as pc
+
+    def block_topk(block: pa.Table) -> pa.Table:
+        if block.num_rows <= k:
+            return block
+        idx = pc.sort_indices(block, sort_keys=order_by)
+        return block.take(idx[:k])
+
+    return (
+        ds.map_batches(block_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def grouped_topk(ds, key_cols: list[str], order_by: list[tuple[str, str]],
                  k: int, *, hash_fn=None):
     """Per-group top-k without a global sort: cluster on the group key,

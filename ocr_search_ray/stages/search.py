@@ -158,8 +158,11 @@ def search(postings, pages, query: str, max_return: int = DEFAULT_MAX_RETURN,
     if hits_table.num_rows == 0:
         return pa.table({c: [] for c in _RESULT_COLUMNS})
     scored_pages = join_pages(hits_table, pages)
-    ranked = scored_pages.sort(["score", "doc_id"], descending=[True, False]).limit(
-        max_return
-    )
-    out = pa.Table.from_pandas(ranked.to_pandas(), preserve_index=False)
+    # ≤ max_return rows by construction (one page row per hit id) — rank
+    # locally with an Arrow sort; a Ray .sort() here would be a pointless
+    # exchange barrier over k rows
+    out = pa.Table.from_pandas(scored_pages.to_pandas(), preserve_index=False)
+    out = out.take(pc.sort_indices(
+        out, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+    )[:max_return])
     return out.select(_RESULT_COLUMNS)
