@@ -4,9 +4,9 @@ For every left row, attach the right row with the greatest ``ts_col`` that
 is <= the left row's (per ``on`` key) — a LEFT ASOF join (brief: custom
 operators "as-of join"). Built on the engine's exchange primitive
 (SURVEY.md §8): tag both sides, union, ``cluster_by`` the key, then one
-block-local Arrow sort + linear walk. No per-group Python dispatch, no
-sort-merge machinery — wall cost is one int-key exchange over
-|left| + |right| rows.
+block-local Arrow sort + a vectorized segment-cummax pick (numpy accumulate + one Arrow
+take). No per-group Python dispatch, no sort-merge machinery — wall cost
+is one int-key exchange over |left| + |right| rows.
 
 Determinism: rows are walked in ``(key, ts, side, order_col)`` order with
 right rows first at equal timestamps (<= semantics) — among right rows
@@ -63,54 +63,62 @@ def asof_join(left, right, *, on: str, ts_col: str,
     unioned = tagged_left.union(tagged_right)
 
     def block_walk(block: pa.Table) -> pa.Table:
+        """Vectorized as-of pick: after the (key, ts, side) sort, the
+        right row each left row sees is the LATEST side-0 index in its
+        key group — a segment-reset cumulative max. Encode (group_id,
+        right_index+1) into one monotonic int64, ``np.maximum.accumulate``
+        once, decode, and gather the right payload with one Arrow take
+        whose null indices produce the no-match nulls. No per-row
+        Python."""
+        import numpy as np
+        import pyarrow.compute as pc
+
         block = block.sort_by(
             [(on, "ascending"), (ts_col, "ascending"), ("__side", "ascending")]
         )
-        keys = block.column(on).to_pylist()
-        tss = block.column(ts_col).to_pylist()
-        sides = block.column("__side").to_pylist()
-        lvals = {c: block.column("l_" + c).to_pylist() for c in left_cols}
-        rvals = {c: block.column("r_" + c).to_pylist() for c in right_cols}
-
-        out = {on: [], ts_col: [], ts_col + suffix: []}
-        for c in left_cols:
-            out[c] = []
-        for c in rcols_out:
-            out[c] = []
-
-        last_key = object()
-        last_right: tuple | None = None
-        for i in range(block.num_rows):
-            if keys[i] != last_key:
-                last_key = keys[i]
-                last_right = None
-            if sides[i] == 0:
-                last_right = (tss[i], tuple(rvals[c][i] for c in right_cols))
-                continue
-            out[on].append(keys[i])
-            out[ts_col].append(tss[i])
+        n = block.num_rows
+        if n == 0:
+            ts_type = block.column(ts_col).type
+            cols = {on: block.column(on), ts_col: block.column(ts_col),
+                    ts_col + suffix: pa.nulls(0, ts_type)}
             for c in left_cols:
-                out[c].append(lvals[c][i])
-            if last_right is None:
-                out[ts_col + suffix].append(None)
-                for c in rcols_out:
-                    out[c].append(None)
-            else:
-                out[ts_col + suffix].append(last_right[0])
-                for c, v in zip(rcols_out, last_right[1]):
-                    out[c].append(v)
+                cols[c] = block.column("l_" + c)
+            for c, rc in zip(right_cols, rcols_out):
+                cols[rc] = block.column("r_" + c)
+            return pa.table(cols)
 
-        ts_type = block.column(ts_col).type
-        schema_types = {on: block.column(on).type, ts_col: ts_type,
-                        ts_col + suffix: ts_type}
-        # infer payload types from the tagged columns (null-safe)
+        side = block.column("__side").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        kcol = block.column(on).combine_chunks()
+        if n > 1:
+            a, b = kcol.slice(1), kcol.slice(0, n - 1)
+            neq = pc.fill_null(pc.not_equal(a, b), False)
+            nm = pc.xor(pc.is_null(a), pc.is_null(b))
+            change = np.concatenate(
+                ([True], pc.or_(neq, nm).to_numpy(zero_copy_only=False))
+            )
+        else:
+            change = np.array([True])
+        gid = (np.cumsum(change) - 1).astype(np.int64)
+        rp = np.where(side == 0, np.arange(n, dtype=np.int64), -1)
+        enc = gid * np.int64(n + 1) + (rp + 1)
+        run = np.maximum.accumulate(enc)
+        last_gid = run // np.int64(n + 1)
+        last_rp = run % np.int64(n + 1) - 1
+        lmask = side == 1
+        ridx = np.where((last_gid == gid) & (last_rp >= 0), last_rp, -1)[lmask]
+        take_idx = pa.array(np.maximum(ridx, 0), pa.int64(), mask=ridx < 0)
+
+        left_tbl = block.filter(pa.array(lmask))
+        rside = block.select([ts_col] + ["r_" + c for c in right_cols])
+        taken = rside.take(take_idx)
+
+        cols = {on: left_tbl.column(on), ts_col: left_tbl.column(ts_col),
+                ts_col + suffix: taken.column(ts_col)}
         for c in left_cols:
-            schema_types[c] = block.column("l_" + c).type
+            cols[c] = left_tbl.column("l_" + c)
         for c, rc in zip(right_cols, rcols_out):
-            schema_types[rc] = block.column("r_" + c).type
-        return pa.table(
-            {name: pa.array(vals, schema_types[name])
-             for name, vals in out.items()}
-        )
+            cols[rc] = taken.column("r_" + c)
+        return pa.table(cols)
 
     return cluster_apply(unioned, [on], block_walk)
