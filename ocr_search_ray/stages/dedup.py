@@ -92,20 +92,23 @@ def exact_dup_losers(documents, *, id_col: str = "doc_id",
         )
 
     def block_losers(block: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
         block = block.sort_by(
             [("text_sha256", "ascending"), (id_col, "ascending")]
         )
-        digests = block.column("text_sha256").to_pylist()
-        ids = block.column(id_col).to_pylist()
-        losers = []
-        i, n = 0, len(ids)
-        while i < n:
-            j = i
-            while j < n and digests[j] == digests[i]:
-                j += 1
-            losers.extend(ids[i + 1:j])  # all but the min id
-            i = j
-        return pa.table({id_col: pa.array(losers, block.column(id_col).type)})
+        n = block.num_rows
+        if n == 0:
+            return block.select([id_col])
+        # a loser is any row whose digest equals its predecessor's (the
+        # run head after the sort is the min-id representative)
+        col = block.column("text_sha256").combine_chunks()
+        same = pc.equal(col.slice(1), col.slice(0, n - 1))
+        mask = np.concatenate(
+            ([False], same.to_numpy(zero_copy_only=False))
+        )
+        return block.filter(pa.array(mask)).select([id_col])
 
     return cluster_apply(
         documents.map_batches(hash_batch, batch_format="pyarrow"),
@@ -776,35 +779,40 @@ def span_dedup(documents, *, window: int = 8, id_col: str = "doc_id",
     )
 
     def block_rebuild(block: pa.Table) -> pa.Table:
+        """Vectorized doc rebuild: per-doc span/drop counts in one grouped
+        pass; kept spans gathered with Arrow's order-preserving list
+        aggregation (single-threaded group_by accumulates in encounter
+        order of the span_idx-sorted block) and joined with one
+        ``binary_join``. No per-row Python."""
+        import pyarrow.compute as pc
+
         block = block.sort_by(
             [(id_col, "ascending"), ("span_idx", "ascending")]
         )
-        ids = block.column(id_col).to_pylist()
-        span_texts = block.column("span_text").to_pylist()
-        keeps = block.column("keep").to_pylist()
-        out_id, out_text, out_n, out_drop = [], [], [], []
-        i, n = 0, block.num_rows
-        while i < n:
-            j = i
-            kept: list[str] = []
-            dropped = 0
-            while j < n and ids[j] == ids[i]:
-                if keeps[j]:
-                    kept.append(span_texts[j])
-                else:
-                    dropped += 1
-                j += 1
-            out_id.append(ids[i])
-            out_text.append(" ".join(kept))
-            out_n.append(j - i)
-            out_drop.append(dropped)
-            i = j
+        stats = block.group_by(id_col, use_threads=False).aggregate(
+            [("keep", "count"), ("keep", "sum")]
+        )
+        kept = block.filter(block.column("keep"))
+        texts = kept.group_by(id_col, use_threads=False).aggregate(
+            [("span_text", "list")]
+        )
+        ttab = pa.table(
+            {
+                id_col: texts.column(id_col),
+                "text_clean": pc.binary_join(
+                    texts.column("span_text_list"), " "
+                ),
+            }
+        )
+        out = stats.join(ttab, keys=[id_col], join_type="left outer")
+        n_spans = out.column("keep_count").cast(pa.int64())
+        n_kept = pc.fill_null(out.column("keep_sum"), 0).cast(pa.int64())
         return pa.table(
             {
-                id_col: pa.array(out_id, block.column(id_col).type),
-                "text_clean": pa.array(out_text, pa.string()),
-                "n_spans": pa.array(out_n, pa.int64()),
-                "n_dropped": pa.array(out_drop, pa.int64()),
+                id_col: out.column(id_col),
+                "text_clean": pc.fill_null(out.column("text_clean"), ""),
+                "n_spans": n_spans,
+                "n_dropped": pc.subtract(n_spans, n_kept),
             }
         )
 
