@@ -38,6 +38,37 @@ def img_path(url: str, page_idx: int, page_count: int) -> str:
     return f"{doc_id(url, page_idx, page_count)}.png"
 
 
+def sha256_hex_column(col, *, null_as: str = "") -> "object":
+    """sha256 hexdigests of a string column → Arrow string array.
+
+    Same buffer-walk shape as :func:`md5_digest_matrix`: one pass over
+    the concatenated Arrow utf-8 buffer via memoryview slices — no
+    per-row Python string allocation, no ``encode()`` (the Arrow buffer
+    IS utf-8). Nulls hash as ``null_as`` (the ``t or ""`` convention of
+    the dedup operators)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = pc.fill_null(col, null_as)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.string())
+    offs = np.frombuffer(
+        arr.buffers()[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4
+    )
+    data = memoryview(arr.buffers()[2])
+    sha = hashlib.sha256
+    return pa.array(
+        [sha(data[offs[i]:offs[i + 1]]).hexdigest() for i in range(n)],
+        pa.string(),
+    )
+
+
 def md5_digest_matrix(col) -> "object":
     """Full md5 digests of an Arrow column's string form → (n, 16) uint8
     numpy matrix.

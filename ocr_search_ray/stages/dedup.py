@@ -42,13 +42,11 @@ def exact_dedup(documents, *, id_col: str = "doc_id", text_col: str = "text"):
     sha256 is computed batch-local, the groupby shuffles digests, not text."""
 
     def hash_batch(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
+        from ..functions.hashing import sha256_hex_column
+
         return pa.table(
             {
-                "text_sha256": pa.array(
-                    [hashlib.sha256((t or "").encode()).hexdigest() for t in texts],
-                    pa.string(),
-                ),
+                "text_sha256": sha256_hex_column(batch.column(text_col)),
                 id_col: batch.column(id_col),
             }
         )
@@ -80,13 +78,11 @@ def exact_dup_losers(documents, *, id_col: str = "doc_id",
     side to broadcast in curation (the keep-set is corpus-sized)."""
 
     def hash_batch(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
+        from ..functions.hashing import sha256_hex_column
+
         return pa.table(
             {
-                "text_sha256": pa.array(
-                    [hashlib.sha256((t or "").encode()).hexdigest() for t in texts],
-                    pa.string(),
-                ),
+                "text_sha256": sha256_hex_column(batch.column(text_col)),
                 id_col: batch.column(id_col),
             }
         )
