@@ -37,9 +37,21 @@ PAGE_COLS = [
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Column-pruned read with ~num_cpus blocks (the CLAUDE.md exchange
+    rule): Ray's default read parallelism (2×cpus splits) makes every
+    downstream exchange schedule hundreds of ms-scale tasks — measured
+    3-4× wall on the multi-join entries at sf0.1. ``override_num_blocks``
+    pins read tasks to the cluster's core count; oversized outputs still
+    split by ``target_max_block_size``, so the setting is size-safe at
+    any scale."""
+    import ray
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return rd.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns,
+        override_num_blocks=max(4, min(64, cpus)),
+    )
 
 
 # ---------------------------------------------------------------- ingest core
