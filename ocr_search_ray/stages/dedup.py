@@ -187,7 +187,12 @@ def minhash_lsh_pairs(documents, *, k: int = 3, num_hashes: int = 16,
             for b, bsig in enumerate(lsh_bands(sig, band_rows)):
                 out_id.append(did)
                 out_b.append(b)
-                out_sig.append(bsig)
+                # band key ships as the md5 of the band signature: band
+                # sigs are near-unique per doc (dictionary encoding can't
+                # help), so the digest cuts this op's one all-to-all ~4×.
+                # Equality is preserved; an md5 collision merely ADDS a
+                # candidate pair, which the exact verify then gates.
+                out_sig.append(hashlib.md5(bsig.encode()).hexdigest())
         return pa.table(
             {
                 "doc_id": pa.array(out_id, batch.column("doc_id").type),
