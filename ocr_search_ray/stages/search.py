@@ -116,28 +116,21 @@ def topk_hits(hits, k: int) -> pa.Table:
 
 
 def join_pages(hits_table: pa.Table, pages):
-    """Broadcast hash join of the (small) hit set against the pages table."""
+    """Broadcast hash join of the (small) hit set against the pages table —
+    vectorized: an ``is_in`` filter then a block-local Arrow join per
+    batch. The pages scan is the corpus-sized side; no per-row Python
+    runs on it."""
     import ray
 
-    hits_ref = ray.put(
-        dict(
-            zip(
-                hits_table.column("doc_id").to_pylist(),
-                hits_table.column("score").to_pylist(),
-            )
-        )
-    )
+    hits_ref = ray.put(hits_table)
 
     def _lookup(batch: pa.Table) -> pa.Table:
-        score_by_doc = ray.get(hits_ref)
-        doc_ids = batch.column("doc_id").to_pylist()
-        keep_idx = [i for i, d in enumerate(doc_ids) if d in score_by_doc]
-        sub = batch.take(pa.array(keep_idx, pa.int64()))
-        scores = pa.array(
-            [score_by_doc[d] for d in sub.column("doc_id").to_pylist()],
-            pa.int64(),
+        hits = ray.get(hits_ref)
+        keep = batch.filter(
+            pc.is_in(batch.column("doc_id"),
+                     value_set=hits.column("doc_id").combine_chunks())
         )
-        return sub.append_column("score", scores)
+        return keep.join(hits, keys=["doc_id"], join_type="inner")
 
     return pages.map_batches(_lookup, batch_format="pyarrow")
 

@@ -145,3 +145,30 @@ def test_decontaminate_full_digest_membership():
     # sorted lexicographically by (hi, lo)
     pairs = list(zip(hi.tolist(), lo.tolist()))
     assert pairs == sorted(pairs)
+
+
+def test_bloom_prefilter_superset_and_semi_join_exact():
+    """bloom_prefilter keeps EVERY true member (no false negatives) and
+    only a bounded false-positive residue; bloom_semi_join stays exact."""
+    from ocr_search_ray.stages.relational import (
+        bloom_prefilter,
+        bloom_semi_join,
+    )
+
+    n = 4000
+    big = rd.from_arrow(
+        pa.table({"k": pa.array(range(n), pa.int64()),
+                  "v": pa.array([f"v{i}" for i in range(n)])})
+    ).repartition(4)
+    members = list(range(0, n, 37))
+    keys = rd.from_arrow(pa.table({"k": pa.array(members, pa.int64())}))
+
+    pre = {r["k"] for r in bloom_prefilter(big, keys, "k").take_all()}
+    assert set(members) <= pre  # no false negatives, ever
+    assert len(pre) <= len(members) + n // 100  # fp residue bounded (~1%)
+
+    exact = {r["k"] for r in bloom_semi_join(
+        big, keys, "k",
+        left_types={"k": pa.int64(), "v": pa.string()},
+    ).take_all()}
+    assert exact == set(members)
