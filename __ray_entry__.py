@@ -424,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": q.q_domain_stats,
         "clean_text": q.q_clean_text,
         "path_convert": q.q_path_convert,
+        "dedup_incremental": q.q_dedup_incremental,
         "stratified_sample": q.q_stratified_sample,
         "canonical_urls": q.q_canonical_urls,
         "canonical_dedup": q.q_canonical_dedup,
@@ -908,6 +909,26 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(text), doc_id) AS rn
               FROM documents
             ) WHERE rn <= 5
+        """,
+        "dedup_incremental": """
+            WITH corpus AS (
+              SELECT sha256(COALESCE(text, '')) AS h
+              FROM documents WHERE doc_id % 10 <> 0
+            ),
+            newb AS (
+              SELECT doc_id, sha256(COALESCE(text, '')) AS text_sha256
+              FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 1000000, sha256(COALESCE(text, ''))
+              FROM documents WHERE doc_id % 7 = 0
+            ),
+            reps AS (
+              SELECT text_sha256, MIN(doc_id) AS doc_id
+              FROM newb GROUP BY text_sha256
+            )
+            SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.text_sha256
+            FROM reps r
+            WHERE r.text_sha256 NOT IN (SELECT h FROM corpus)
         """,
         "path_convert": """
             SELECT doc_id,

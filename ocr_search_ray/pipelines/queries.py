@@ -1525,3 +1525,60 @@ def q_path_convert(sf_dir: str):
         )
 
     return docs.map_batches(derive, batch_format="pyarrow")
+
+
+def _mod(col, n: int):
+    """Euclidean mod for nonnegative int columns (Arrow has no mod)."""
+    return pc.subtract(col, pc.multiply(pc.divide(col, n), n))
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup against the ON-DISK digest index
+    (stages/dedup_disk): corpus = doc_id%10≠0 builds the bucketed index;
+    the arriving batch = (doc_id%10=0 docs) ∪ (copies of doc_id%7=0 docs
+    re-arriving under new ids) — so both drop paths run: within-batch
+    dups collapse to the min id, index dups are anti-joined out reading
+    only the affected bucket dirs. Survivors = the %10 rows exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..stages.dedup_disk import build_digest_index, dedup_against_index
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep(pred):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pred(_mod(batch.column("doc_id"), 10),
+                                     _mod(batch.column("doc_id"), 7)))
+        return f
+
+    corpus = docs.map_batches(
+        keep(lambda m10, m7: pc.not_equal(m10, 0)), batch_format="pyarrow"
+    )
+    fresh = docs.map_batches(
+        keep(lambda m10, m7: pc.equal(m10, 0)), batch_format="pyarrow"
+    )
+    rearrivals = docs.map_batches(
+        keep(lambda m10, m7: pc.equal(m7, 0)), batch_format="pyarrow"
+    ).map_batches(
+        lambda b: pa.table(
+            {"doc_id": pc.add(b.column("doc_id"), 1_000_000),
+             "text": b.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+    batch = fresh.union(rearrivals)
+
+    tmp = tempfile.mkdtemp(prefix="osr-dedupinc-", dir="/tmp")
+    try:
+        index_dir = os.path.join(tmp, "digests")
+        build_digest_index(corpus, index_dir)
+        out = dedup_against_index(batch, index_dir)
+        # materialize before the index dir is removed (lazy reads)
+        return out.map_batches(
+            lambda t: t.select(["doc_id", "text_sha256"]),
+            batch_format="pyarrow",
+        ).materialize()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
