@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_text": q.q_clean_text,
         "path_convert": q.q_path_convert,
         "dedup_incremental": q.q_dedup_incremental,
+        "pagerank": q.q_pagerank,
         "stratified_sample": q.q_stratified_sample,
         "canonical_urls": q.q_canonical_urls,
         "canonical_dedup": q.q_canonical_dedup,
@@ -909,6 +910,69 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(text), doc_id) AS rn
               FROM documents
             ) WHERE rn <= 5
+        """,
+        "pagerank": """
+            WITH e AS (
+              SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+              UNION ALL SELECT doc_id, doc_id % 89 FROM documents
+              UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+            ),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e
+                UNION ALL SELECT dst FROM e
+              )
+            ),
+            params AS (
+              SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS pr0
+              FROM nodes
+            ),
+            deg AS (
+              SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+              FROM e GROUP BY src
+            ),
+            p0 AS (
+              SELECT node, (SELECT pr0 FROM params) AS pr FROM nodes
+            ),
+            p1 AS (
+              SELECT n.node,
+                     (15 * (SELECT pr0 FROM params)) // 100
+                     + (85 * COALESCE(s.sm, 0)) // 100 AS pr
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS sm
+                FROM e JOIN p0 p ON p.node = e.src
+                       JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = n.node
+            ),
+            p2 AS (
+              SELECT n.node,
+                     (15 * (SELECT pr0 FROM params)) // 100
+                     + (85 * COALESCE(s.sm, 0)) // 100 AS pr
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS sm
+                FROM e JOIN p1 p ON p.node = e.src
+                       JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = n.node
+            ),
+            p3 AS (
+              SELECT n.node,
+                     (15 * (SELECT pr0 FROM params)) // 100
+                     + (85 * COALESCE(s.sm, 0)) // 100 AS pr
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS sm
+                FROM e JOIN p2 p ON p.node = e.src
+                       JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = n.node
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(pr AS BIGINT) AS pr_units
+            FROM p3
         """,
         "dedup_incremental": """
             WITH corpus AS (

@@ -1582,3 +1582,41 @@ def q_dedup_incremental(sf_dir: str):
         ).materialize()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_pagerank(sf_dir: str):
+    """Exact int64 fixed-point PageRank (stages/graph.pagerank_fixed) over
+    a deterministic hub-skewed graph: every doc links to doc_id%97,
+    doc_id%89 and doc_id//2 (duplicate edges and self-loops included —
+    the SQL builds the identical multiset). 3 synchronous rounds at
+    scale 10^12; every operation is an integer floor, so the oracle
+    hash-compare is bit-exact."""
+    from ..stages.graph import pagerank_fixed
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks()
+        dsts = [
+            _mod(d, 97).combine_chunks()
+            if isinstance(_mod(d, 97), pa.ChunkedArray) else _mod(d, 97),
+            _mod(d, 89).combine_chunks()
+            if isinstance(_mod(d, 89), pa.ChunkedArray) else _mod(d, 89),
+            pc.divide(d, 2),
+        ]
+        return pa.table(
+            {
+                "src": pa.chunked_array([d, d, d]),
+                "dst": pa.chunked_array(
+                    [x.combine_chunks() if isinstance(x, pa.ChunkedArray)
+                     else x for x in dsts]
+                ),
+            }
+        )
+
+    # few wide blocks: an iterative op multiplies per-task overhead by
+    # (stages × rounds); at corpus scale the natural block count applies
+    return pagerank_fixed(
+        docs.map_batches(edges, batch_format="pyarrow").repartition(4),
+        iters=3,
+    )

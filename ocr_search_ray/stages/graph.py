@@ -110,3 +110,152 @@ def connected_components(edges, *, src_col: str = "src",
         )
 
     return labels.map_batches(project, batch_format="pyarrow")
+
+
+def pagerank_fixed(edges, *, iters: int = 3, scale: int = 10**12,
+                   src_col: str = "src", dst_col: str = "dst"):
+    """PageRank in exact int64 fixed-point — the iterative-algorithm
+    pattern with a bit-exact relational oracle (floats would make the
+    oracle hash-compare fragile; every op here is an integer floor, so
+    DuckDB replays the identical lattice).
+
+    Semantics (damping 0.85, teleport 0.15, ``iters`` synchronous
+    rounds):
+
+    - nodes = distinct(src ∪ dst); N = |nodes|
+    - pr_0(v)     = scale // N
+    - share_k(u)  = pr_k(u) // outdeg(u)
+    - pr_{k+1}(v) = (15 * (scale // N)) // 100
+                    + (85 * Σ_{u→v} share_k(u)) // 100
+      (Σ over int64 is order-free; nodes with no in-edges keep the
+      teleport term. Dangling nodes — no out-edges — leak their mass,
+      the simple-PageRank convention; document or add self-loops.)
+
+    Scale shape: out-degrees attach to the EDGE table once
+    (``cluster_join``, materialized); each round is one pr⋈edges join,
+    one grouped share-sum and one left join back onto the node table —
+    three int-key exchanges, all datasets. Each round materializes the
+    pr table (two int64 columns, object-store-resident — the same
+    iterative-fixpoint requirement as ``connected_components``); the
+    driver holds only N.
+
+    → (node:int64, pr_units:int64) with pr = pr_units / scale.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import cluster_apply
+
+    def srcs(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column(src_col).cast(pa.int64())})
+
+    def dsts(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column(dst_col).cast(pa.int64())})
+
+    nodes = cluster_apply(
+        edges.map_batches(srcs, batch_format="pyarrow").union(
+            edges.map_batches(dsts, batch_format="pyarrow")
+        ),
+        ["node"],
+        lambda block: block.group_by(["node"]).aggregate([]),
+    ).materialize()
+    n_nodes = nodes.count()
+    pr0 = scale // n_nodes
+    teleport = (15 * pr0) // 100
+
+    outdeg = grouped_agg(
+        edges.map_batches(
+            lambda b: pa.table({src_col: b.column(src_col).cast(pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        [src_col], [("outdeg", src_col, "count")],
+    )
+    edges_w_deg = cluster_join(
+        edges.map_batches(
+            lambda b: pa.table(
+                {src_col: b.column(src_col).cast(pa.int64()),
+                 dst_col: b.column(dst_col).cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        outdeg,
+        [src_col],
+        left_types={src_col: pa.int64(), dst_col: pa.int64()},
+        right_types={"outdeg": pa.int64()},
+    ).materialize()
+
+    # pr is kept PARTIAL between rounds: only nodes that received
+    # in-edge mass have rows; every absent node's pr is a closed-form
+    # default (pr0 before round 1, the bare teleport term after — a node
+    # with no in-edges gets exactly that every round). This removes the
+    # per-round left join onto the node table; nodes join back ONCE at
+    # the end. Round 0's shares need no join at all (pr is uniform).
+    pr = None
+    default = pr0
+    for _ in range(iters):
+        if pr is None:
+            contribs = edges_w_deg.map_batches(
+                lambda b: pa.table(
+                    {dst_col: b.column(dst_col),
+                     "share": pc.divide(pr0, b.column("outdeg"))}
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            contribs = cluster_join(
+                edges_w_deg,
+                pr.map_batches(
+                    lambda b: pa.table(
+                        {src_col: b.column("node"), "pr": b.column("pr")}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                [src_col],
+                left_types={src_col: pa.int64(), dst_col: pa.int64(),
+                            "outdeg": pa.int64()},
+                right_types={"pr": pa.int64()},
+                how="left",
+            ).map_batches(
+                lambda b, _d=default: pa.table(
+                    {dst_col: b.column(dst_col),
+                     "share": pc.divide(
+                         pc.fill_null(b.column("pr"), _d),
+                         b.column("outdeg"))}
+                ),
+                batch_format="pyarrow",
+            )
+        sums = grouped_agg(contribs, [dst_col],
+                           [("in_sum", "share", "sum")])
+        pr = sums.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column(dst_col),
+                    "pr": pc.add(
+                        teleport,
+                        pc.divide(pc.multiply(b.column("in_sum"), 85), 100),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        default = teleport
+
+    final = cluster_join(
+        nodes,
+        pr.map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"), "pr": b.column("pr")}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+        left_types={"node": pa.int64()},
+        right_types={"pr": pa.int64()},
+        how="left",
+    )
+    return final.map_batches(
+        lambda b, _d=default: pa.table(
+            {"node": b.column("node"),
+             "pr_units": pc.fill_null(b.column("pr"), _d)}
+        ),
+        batch_format="pyarrow",
+    )

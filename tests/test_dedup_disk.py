@@ -83,3 +83,40 @@ def test_dedup_against_empty_index_dir(tmp_path):
     # the merged dir now catches those digests
     out2 = dedup_against_index(_docs([(9, "a"), (10, "c")]), idx).take_all()
     assert {r["doc_id"] for r in out2} == {10}
+
+
+def test_pagerank_fixed_matches_local_fixpoint():
+    """pagerank_fixed vs a literal numpy replay of the integer lattice —
+    hubs rank above leaves, teleport-only nodes get the closed form."""
+    from ocr_search_ray.stages.graph import pagerank_fixed
+
+    edges = [(i, i % 5) for i in range(2, 40)] + [(0, 1), (1, 0)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    scale, iters = 10**12, 3
+    got = {
+        r["node"]: r["pr_units"]
+        for r in pagerank_fixed(ds, iters=iters, scale=scale).take_all()
+    }
+
+    nodes = sorted({v for e in edges for v in e})
+    pr0 = scale // len(nodes)
+    teleport = (15 * pr0) // 100
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    pr = {v: pr0 for v in nodes}
+    for _ in range(iters):
+        sums = {}
+        for a, b in edges:
+            sums[b] = sums.get(b, 0) + pr[a] // outdeg[a]
+        pr = {v: teleport + (85 * sums.get(v, 0)) // 100 for v in nodes}
+    assert got == pr
+    # structural sanity: the in-degree hubs outrank plain nodes
+    assert min(pr[h] for h in range(5) if h in pr) > pr[7]
