@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "posting_lists": q.q_posting_lists,
         "merge_index": q.q_merge_index,
         "tfidf_weights": q.q_tfidf_weights,
+        "bm25_weights": q.q_bm25_weights,
         "heavy_terms": q.q_heavy_terms,
         "term_stats": q.q_term_stats,
         "search_topk": q.q_search,
@@ -500,6 +501,32 @@ def oracle_sql() -> dict[str, str]:
                      * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
                      AS tfidf
             FROM postings p JOIN df USING (term), n
+        """,
+        "bm25_weights": f"""
+            {_POSTINGS_PREFIX},
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM pages_full),
+            tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS t FROM postings),
+            df AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM postings GROUP BY term
+            ),
+            dl AS (
+              SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+              FROM postings GROUP BY doc_id
+            )
+            SELECT p.doc_id, p.term,
+                   ln(((CAST(n.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE))
+                        + 0.5)
+                      / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                   * ((CAST(p.tf AS DOUBLE) * 2.2)
+                      / (CAST(p.tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75
+                                  * (CAST(dl.dl AS DOUBLE)
+                                     / (CAST(tot.t AS DOUBLE)
+                                        / CAST(n.n_docs AS DOUBLE))))))
+                     AS bm25
+            FROM postings p JOIN df USING (term) JOIN dl USING (doc_id),
+                 n, tot
         """,
         "normalize_convert": f"""
             WITH {_WEB_CTE.strip()},

@@ -123,11 +123,12 @@ def q_merge_index(sf_dir: str):
 
     def split(keep_mod):
         def f(batch: pa.Table) -> pa.Table:
-            # deterministic doc split on the hex id's last char
-            ids = batch.column("doc_id").to_pylist()
-            keep = [i for i, d in enumerate(ids)
-                    if (int(d[-1], 16) % 10 == 0) == keep_mod]
-            return batch.take(pa.array(keep, pa.int64()))
+            # deterministic doc split on the hex id's last char:
+            # int(c,16) % 10 == 0 ⇔ c ∈ {'0','a'} — vectorized slice+is_in
+            last = pc.utf8_slice_codeunits(
+                batch.column("doc_id"), start=63, stop=64)
+            mask = pc.is_in(last, value_set=pa.array(["0", "a"]))
+            return batch.filter(mask if keep_mod else pc.invert(mask))
         return f
 
     base = postings.map_batches(split(False), batch_format="pyarrow")
@@ -1620,3 +1621,12 @@ def q_pagerank(sf_dir: str):
         docs.map_batches(edges, batch_format="pyarrow").repartition(4),
         iters=3,
     )
+
+
+def q_bm25_weights(sf_dir: str):
+    """Okapi BM25 per posting (k1=1.2, b=0.75; Lucene idf) — pinned float
+    op order, df and dl attached via distributed cluster_join exchanges."""
+    from ..stages.index import bm25_weights
+
+    stages = ingest(read_webpages(sf_dir))
+    return bm25_weights(stages["postings"], stages["pages"])

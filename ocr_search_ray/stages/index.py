@@ -346,6 +346,97 @@ def tfidf_weights(postings, pages):
     return joined.map_batches(weigh, batch_format="pyarrow")
 
 
+def bm25_weights(postings, pages, *, k1: float = 1.2, b: float = 0.75):
+    """→ (doc_id, term, bm25): Okapi BM25 per posting — the ranking
+    upgrade over :func:`tfidf_weights` (same distributed shape, one more
+    exchange for per-doc lengths).
+
+    score = ln(((N − df) + 0.5) / (df + 0.5) + 1)        [Lucene idf]
+            · (tf·(k1+1)) / (tf + k1·((1−b) + b·(dl/avgdl)))
+
+    N = page rows, dl = Σtf per doc, avgdl = Σtf / N. df and dl are both
+    corpus-scale tables at 10^12 docs, so each attaches through ONE
+    int-key ``cluster_join`` exchange (term hash, then doc hash) — never
+    a broadcast. The weight kernel is vectorized and every float op is
+    two-operand in a PINNED order, so an oracle re-implementation
+    reproduces the doubles bitwise (constants 2.2 / 1.2 / 0.25 / 0.75
+    parse to identical IEEE doubles in Python and SQL).
+    """
+    import pyarrow.compute as pc
+
+    from .relational import cluster_join, grouped_agg
+
+    n_docs = float(pages.count())
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"t": pa.array([pc.sum(batch.column("tf")).as_py() or 0],
+                           pa.int64())}
+        )
+
+    total_tf = sum(
+        r["t"] for r in postings.map_batches(
+            tf_partial, batch_format="pyarrow").take_all()
+    )
+    avgdl = float(total_tf) / n_docs
+
+    df_table = term_stats(postings).map_batches(
+        lambda t: t.select(["term", "df"]), batch_format="pyarrow"
+    )
+    with_df = cluster_join(
+        postings, df_table, ["term"],
+        left_types={"doc_id": pa.string(), "term": pa.string(),
+                    "tf": pa.int64()},
+        right_types={"df": pa.int64()},
+    )
+    dl_table = grouped_agg(postings, ["doc_id"], [("dl", "tf", "sum")])
+    with_dl = cluster_join(
+        with_df, dl_table, ["doc_id"],
+        left_types={"doc_id": pa.string(), "term": pa.string(),
+                    "tf": pa.int64(), "df": pa.int64()},
+        right_types={"dl": pa.int64()},
+    )
+
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        nd = pa.scalar(n_docs, pa.float64())
+        dfd = pc.cast(batch.column("df"), pa.float64())
+        tfd = pc.cast(batch.column("tf"), pa.float64())
+        dld = pc.cast(batch.column("dl"), pa.float64())
+        # pinned two-operand order — mirrored verbatim in the oracle
+        idf = pc.ln(
+            pc.add(
+                pc.divide(
+                    pc.add(pc.subtract(nd, dfd), 0.5),
+                    pc.add(dfd, 0.5),
+                ),
+                1.0,
+            )
+        )
+        denom = pc.add(
+            tfd,
+            pc.multiply(
+                k1,
+                pc.add(one_minus_b,
+                       pc.multiply(b, pc.divide(dld, avgdl))),
+            ),
+        )
+        score = pc.multiply(
+            idf, pc.divide(pc.multiply(tfd, k1p1), denom)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "term": batch.column("term"),
+                "bm25": score,
+            }
+        )
+
+    return with_dl.map_batches(weigh, batch_format="pyarrow")
+
+
 def heavy_terms(postings, *, min_cf: int, slots: int = 4096):
     """Exact heavy hitters (terms with total tf ≥ ``min_cf``) via a
     Misra-Gries pre-filter — the sketch-then-verify plan for Zipf heads.
