@@ -1630,3 +1630,16 @@ def q_bm25_weights(sf_dir: str):
 
     stages = ingest(read_webpages(sf_dir))
     return bm25_weights(stages["postings"], stages["pages"])
+
+
+def q_search_bm25(sf_dir: str):
+    """BM25-ranked search over the same corpus/query as search_topk —
+    integer-quantized scores make the per-doc sum order-free, so the
+    oracle compares exactly."""
+    from ..stages.search import bm25_search
+
+    stages = ingest(read_webpages(sf_dir))
+    return bm25_search(
+        stages["postings"], stages["pages"], "Spark MERGE data!",
+        max_return=20,
+    )

@@ -159,3 +159,126 @@ def search(postings, pages, query: str, max_return: int = DEFAULT_MAX_RETURN,
         out, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
     )[:max_return])
     return out.select(_RESULT_COLUMNS)
+
+
+def bm25_search(postings, pages, query: str,
+                max_return: int = DEFAULT_MAX_RETURN,
+                tokenizer: Tokenizer | None = None,
+                *, k1: float = 1.2, b: float = 0.75) -> pa.Table:
+    """BM25-ranked search — the modern scorer on the same physical plan as
+    :func:`search` (the reference ranks by raw tf; SURVEY.md A3 notes the
+    max-merge; BM25 SUMS per-term contributions, the standard semantics).
+
+    Scores are quantized to int64 units (``trunc(bm25 · 10^9)``) BEFORE
+    the per-doc sum, so the aggregation is order-free and the relational
+    oracle compares integers — float summation order never matters.
+
+    Physical plan: postings filter to the query terms (df per term falls
+    out of the filtered rows — df(t) = that term's row count); per-doc
+    lengths come from the FULL posting stream via one grouped exchange
+    joined to the hit rows (at deployment scale dl is a precomputed
+    column; here it is derived); per-doc integer sums ride the int-key
+    exchange; distributed top-k BEFORE any collect; pages point-lookup
+    for ≤ ``max_return`` ids.
+    """
+    from .relational import cluster_apply, cluster_join, grouped_agg
+
+    validate_query(query, max_return)
+    tok = tokenizer or Tokenizer()
+    query_terms = sorted(tok.term_freqs(query).keys())
+    if not query_terms:
+        return pa.table({c: [] for c in _RESULT_COLUMNS})
+
+    n_docs = float(pages.count())
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"t": pa.array([pc.sum(batch.column("tf")).as_py() or 0],
+                           pa.int64())}
+        )
+
+    total_tf = sum(
+        r["t"] for r in postings.map_batches(
+            tf_partial, batch_format="pyarrow").take_all()
+    )
+    avgdl = float(total_tf) / n_docs
+
+    terms_arr = pa.array(query_terms, pa.string())
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("term"), value_set=terms_arr)
+        return batch.filter(mask)
+
+    hits_tf = postings.map_batches(_filter, batch_format="pyarrow")
+
+    # df per query term from the filtered rows themselves (df = row count)
+    df_table = grouped_agg(hits_tf, ["term"], [("df", "tf", "count")])
+    with_df = cluster_join(
+        hits_tf, df_table, ["term"],
+        left_types={"doc_id": pa.string(), "term": pa.string(),
+                    "tf": pa.int64()},
+        right_types={"df": pa.int64()},
+    )
+    dl_table = grouped_agg(postings, ["doc_id"], [("dl", "tf", "sum")])
+    with_dl = cluster_join(
+        with_df, dl_table, ["doc_id"],
+        left_types={"doc_id": pa.string(), "term": pa.string(),
+                    "tf": pa.int64(), "df": pa.int64()},
+        right_types={"dl": pa.int64()},
+    )
+
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    def score_units(batch: pa.Table) -> pa.Table:
+        nd = pa.scalar(n_docs, pa.float64())
+        dfd = pc.cast(batch.column("df"), pa.float64())
+        tfd = pc.cast(batch.column("tf"), pa.float64())
+        dld = pc.cast(batch.column("dl"), pa.float64())
+        idf = pc.ln(
+            pc.add(
+                pc.divide(pc.add(pc.subtract(nd, dfd), 0.5),
+                          pc.add(dfd, 0.5)),
+                1.0,
+            )
+        )
+        denom = pc.add(
+            tfd,
+            pc.multiply(
+                k1,
+                pc.add(one_minus_b,
+                       pc.multiply(b, pc.divide(dld, avgdl))),
+            ),
+        )
+        bm25 = pc.multiply(idf, pc.divide(pc.multiply(tfd, k1p1), denom))
+        units = pc.cast(
+            pc.trunc(pc.multiply(bm25, 1000000000.0)), pa.int64()
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "score": units}
+        )
+
+    def _block_sum(block: pa.Table) -> pa.Table:
+        agg = block.group_by("doc_id").aggregate([("score", "sum")])
+        return pa.table(
+            {
+                "doc_id": agg.column("doc_id"),
+                "score": agg.column("score_sum").cast(pa.int64()),
+            }
+        )
+
+    doc_scores = cluster_apply(
+        with_dl.map_batches(score_units, batch_format="pyarrow"),
+        ["doc_id"],
+        _block_sum,
+    )
+    hits_table = topk_hits(doc_scores, max_return)
+    if hits_table.num_rows == 0:
+        return pa.table({c: [] for c in _RESULT_COLUMNS})
+    out = pa.Table.from_pandas(
+        join_pages(hits_table, pages).to_pandas(), preserve_index=False
+    )
+    out = out.take(pc.sort_indices(
+        out, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+    )[:max_return])
+    return out.select(_RESULT_COLUMNS)
