@@ -427,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_text": q.q_clean_text,
         "path_convert": q.q_path_convert,
         "dedup_incremental": q.q_dedup_incremental,
+        "neardup_incremental": q.q_neardup_incremental,
         "pagerank": q.q_pagerank,
         "stratified_sample": q.q_stratified_sample,
         "canonical_urls": q.q_canonical_urls,
@@ -938,6 +939,47 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(text), doc_id) AS rn
               FROM documents
             ) WHERE rn <= 5
+        """,
+        "neardup_incremental": f"""
+            WITH {_MINHASH_CTE.strip()},
+            bands AS (
+              SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                     string_agg(mh, ',' ORDER BY i) AS band_sig
+              FROM mh GROUP BY doc_id, CAST(i // 4 AS INT)
+            ),
+            newb AS (
+              SELECT doc_id AS src_id, doc_id AS new_id
+              FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id, doc_id + 1000000
+              FROM documents WHERE doc_id % 7 = 0
+            ),
+            cand AS (
+              SELECT DISTINCT nn.new_id, cb.doc_id AS corpus_doc_id,
+                     nn.src_id
+              FROM newb nn
+              JOIN bands nb ON nb.doc_id = nn.src_id
+              JOIN bands cb ON cb.band = nb.band
+                           AND cb.band_sig = nb.band_sig
+              WHERE cb.doc_id % 10 <> 0
+            ),
+            inter AS (
+              SELECT c.new_id, c.corpus_doc_id,
+                     COUNT(*) AS inter, MIN(c.src_id) AS src_id
+              FROM cand c
+              JOIN sh s1 ON s1.doc_id = c.src_id
+              JOIN sh s2 ON s2.doc_id = c.corpus_doc_id
+                        AND s2.sh = s1.sh
+              GROUP BY c.new_id, c.corpus_doc_id
+            )
+            SELECT CAST(i.new_id AS BIGINT) AS doc_id,
+                   CAST(i.corpus_doc_id AS BIGINT) AS corpus_doc_id,
+                   CAST(i.inter AS BIGINT) AS inter,
+                   CAST(z1.n + z2.n - i.inter AS BIGINT) AS uni
+            FROM inter i
+            JOIN sizes z1 ON z1.doc_id = i.src_id
+            JOIN sizes z2 ON z2.doc_id = i.corpus_doc_id
+            WHERE 100 * i.inter >= 50 * (z1.n + z2.n - i.inter)
         """,
         "pagerank": """
             WITH e AS (

@@ -1643,3 +1643,45 @@ def q_search_bm25(sf_dir: str):
         stages["postings"], stages["pages"], "Spark MERGE data!",
         max_return=20,
     )
+
+
+def q_neardup_incremental(sf_dir: str):
+    """Incremental near-dup against the on-disk MinHash band index
+    (stages/neardup_disk): corpus = doc_id%10≠0 docs build the bucketed
+    band+shingle index; the arriving batch = (%10=0 docs, all fresh) ∪
+    (verbatim re-arrivals of %7=0 corpus docs under id+1e6). Candidates
+    come from the probed band buckets only; verification runs from the
+    index's shingle digests — the corpus text is never re-read. Expected
+    pairs: exactly the re-arrivals of INDEXED docs (Jaccard 1)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..stages.neardup_disk import build_neardup_index, neardup_against_index
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    corpus = docs.map_batches(
+        lambda b: b.filter(pc.not_equal(_mod(b.column("doc_id"), 10), 0)),
+        batch_format="pyarrow",
+    )
+    fresh = docs.map_batches(
+        lambda b: b.filter(pc.equal(_mod(b.column("doc_id"), 10), 0)),
+        batch_format="pyarrow",
+    )
+    rearrivals = docs.map_batches(
+        lambda b: (lambda k: pa.table(
+            {"doc_id": pc.add(k.column("doc_id"), 1_000_000),
+             "text": k.column("text")}
+        ))(b.filter(pc.equal(_mod(b.column("doc_id"), 7), 0))),
+        batch_format="pyarrow",
+    )
+    batch = fresh.union(rearrivals)
+
+    tmp = tempfile.mkdtemp(prefix="osr-ndinc-", dir="/tmp")
+    try:
+        index_dir = os.path.join(tmp, "ndidx")
+        build_neardup_index(corpus, index_dir)
+        return neardup_against_index(batch, index_dir).materialize()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

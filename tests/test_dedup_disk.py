@@ -120,3 +120,59 @@ def test_pagerank_fixed_matches_local_fixpoint():
     assert got == pr
     # structural sanity: the in-degree hubs outrank plain nodes
     assert min(pr[h] for h in range(5) if h in pr) > pr[7]
+
+
+def test_neardup_index_lifecycle(tmp_path):
+    """Band index: probe finds near-dups of INDEXED docs only; merge makes
+    a batch's docs visible to the next batch; idempotent re-merge."""
+    from ocr_search_ray.stages.neardup_disk import (
+        build_neardup_index,
+        merge_new_into_neardup_index,
+        neardup_against_index,
+    )
+
+    def text(i, *, tweak=None):
+        ws = [f"w{i}t{j}" for j in range(12)]
+        if tweak is not None:
+            ws[tweak] = "perturbed"
+        return " ".join(ws)
+
+    idx = str(tmp_path / "ndidx")
+    corpus = _docs([(i, text(i)) for i in range(30)])
+    build_neardup_index(corpus, idx, n_buckets=8)
+
+    batch1 = _docs([
+        (100, text(3)),            # exact re-arrival → pair with 3
+        (101, text(5, tweak=11)),  # near-dup (11/13 shingles shared)
+        (102, "completely novel words only here today"),
+    ])
+    got = {
+        (r["doc_id"], r["corpus_doc_id"]): (r["inter"], r["uni"])
+        for r in neardup_against_index(
+            batch1, idx, n_buckets=8, min_jaccard_pct=50
+        ).take_all()
+    }
+    assert (100, 3) in got and got[(100, 3)][0] == got[(100, 3)][1]
+    assert (101, 5) in got  # the perturbed doc still collides + verifies
+    assert all(n != 102 for n, _ in got)
+
+    # merge batch 1; a doc duplicating 102 is now caught
+    merge_new_into_neardup_index(batch1, idx, n_buckets=8)
+    batch2 = _docs([(200, "completely novel words only here today")])
+    got2 = {
+        (r["doc_id"], r["corpus_doc_id"])
+        for r in neardup_against_index(
+            batch2, idx, n_buckets=8, min_jaccard_pct=50
+        ).take_all()
+    }
+    assert (200, 102) in got2
+
+    # idempotent re-merge: same probe result afterwards
+    merge_new_into_neardup_index(batch1, idx, n_buckets=8)
+    got3 = {
+        (r["doc_id"], r["corpus_doc_id"])
+        for r in neardup_against_index(
+            batch2, idx, n_buckets=8, min_jaccard_pct=50
+        ).take_all()
+    }
+    assert got3 == got2
