@@ -135,6 +135,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("span_dedup", q.q_span_dedup)
     timed("bloom_semi_join", q.q_bloom_semi_join)
     timed("justext_blocks", q.q_justext_blocks)
+    timed("search_bm25", q.q_search_bm25)
+    timed("dedup_incremental", q.q_dedup_incremental)
+    timed("pagerank", q.q_pagerank)
     return timings
 
 
