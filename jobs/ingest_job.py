@@ -68,7 +68,12 @@ def main(argv: list[str] | None = None) -> int:
             new_parts = sorted(
                 set(glob.glob(f"{args.out}/postings/part=*")) - before
             )
-            if not os.path.isdir(index_dir):
+            if not os.path.isdir(f"{args.out}/postings"):
+                # nothing ingested (e.g. every fragment quarantined as
+                # status='error') — surface it instead of crashing on a
+                # missing dir; the manifest rows carry the diagnosis
+                summary["index"] = "no_postings"
+            elif not os.path.isdir(index_dir):
                 # first cycle: full build from everything ingested so far
                 build_index(rd.read_parquet(f"{args.out}/postings"),
                             out_dir=index_dir)

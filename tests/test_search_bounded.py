@@ -82,3 +82,49 @@ def test_topk_hits_exact_vs_naive():
     naive = sorted(zip(scores, doc_ids), key=lambda t: (-t[0], t[1]))[:k]
     assert list(zip(got.column("score").to_pylist(),
                     got.column("doc_id").to_pylist())) == naive
+
+
+def test_bm25_ranks_rare_term_matches_first():
+    """BM25 semantics sanity (beyond the oracle): a doc matching the RARE
+    query term outranks docs matching only the ubiquitous one, even at
+    equal tf — idf does its job; the tf-only reference scorer cannot make
+    this distinction."""
+    from ocr_search_ray.functions.tokenizer import Tokenizer
+    from ocr_search_ray.stages.search import bm25_search, search
+
+    tok = Tokenizer()
+    rare = list(tok.term_freqs("zymurgy").keys())[0]
+    common = list(tok.term_freqs("kitchen").keys())[0]
+
+    n = 60
+    doc_ids = [hashlib.sha256(f"d{i}".encode()).hexdigest() for i in range(n)]
+    rows_term, rows_doc, rows_tf = [], [], []
+    for i, d in enumerate(doc_ids):
+        rows_term.append(common)
+        rows_doc.append(d)
+        rows_tf.append(3)
+        if i == 7:  # one doc also has the rare term, same tf
+            rows_term.append(rare)
+            rows_doc.append(d)
+            rows_tf.append(3)
+    postings = rd.from_arrow(
+        pa.table({"term": pa.array(rows_term), "doc_id": pa.array(rows_doc),
+                  "tf": pa.array(rows_tf, pa.int64())})
+    ).repartition(4)
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([f"https://x.org/{i}" for i in range(n)]),
+                "page_idx": pa.array([0] * n, pa.int32()),
+                "img_path": pa.array([f"{d}.png" for d in doc_ids]),
+                "doc_id": pa.array(doc_ids),
+            }
+        )
+    )
+    out = bm25_search(postings, pages, "zymurgy kitchen", max_return=5)
+    assert out.column("doc_id")[0].as_py() == doc_ids[7]
+
+    # the reference's tf/max scorer ties everything at 3 — rare doc is NOT
+    # necessarily first there (tie broken by id): the scorers differ
+    ref = search(postings, pages, "zymurgy kitchen", max_return=5)
+    assert set(ref.column("score").to_pylist()) == {3}
