@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": q.q_term_stats,
         "search_topk": q.q_search,
         "search_bm25": q.q_search_bm25,
+        "search_bm25_disk": q.q_search_bm25_disk,
         "search_index_disk": q.q_search_index,
         "term_correlations": q.q_term_correlations,
         "closest_terms": q.q_closest_terms,
@@ -1155,6 +1156,46 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "search_bm25": f"""
+            {_POSTINGS_PREFIX},
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM pages_full),
+            tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS t FROM postings),
+            dl AS (
+              SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+              FROM postings GROUP BY doc_id
+            ),
+            qp AS (
+              SELECT doc_id, term, tf FROM postings
+              WHERE term IN ('spark', 'merge', 'datum')
+            ),
+            df AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM qp GROUP BY term
+            ),
+            units AS (
+              SELECT p.doc_id,
+                     CAST(trunc(
+                       (ln(((CAST(n.n_docs AS DOUBLE)
+                             - CAST(df.df AS DOUBLE)) + 0.5)
+                          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                        * ((CAST(p.tf AS DOUBLE) * 2.2)
+                           / (CAST(p.tf AS DOUBLE)
+                              + 1.2 * (0.25 + 0.75
+                                       * (CAST(dl.dl AS DOUBLE)
+                                          / (CAST(tot.t AS DOUBLE)
+                                             / CAST(n.n_docs AS DOUBLE)))))))
+                       * 1000000000.0) AS BIGINT) AS u
+              FROM qp p JOIN df USING (term) JOIN dl USING (doc_id), n, tot
+            ),
+            hits AS (
+              SELECT doc_id, CAST(SUM(u) AS BIGINT) AS score
+              FROM units GROUP BY doc_id
+            )
+            SELECT p.url, p.page_idx, p.img_path, h.doc_id, h.score
+            FROM hits h JOIN pages_full p USING (doc_id)
+            ORDER BY h.score DESC, h.doc_id
+            LIMIT 20
+        """,
+        "search_bm25_disk": f"""
             {_POSTINGS_PREFIX},
             n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM pages_full),
             tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS t FROM postings),

@@ -1685,3 +1685,32 @@ def q_neardup_incremental(sf_dir: str):
         return neardup_against_index(batch, index_dir).materialize()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_search_bm25_disk(sf_dir: str):
+    """The PRODUCTION BM25 path: bucketed posting index + doc-length
+    sidecar on disk, bucket-pruned query — must equal the in-memory
+    search_bm25 exactly (same oracle)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..stages.index import build_index
+    from .query import search_index_bm25, write_doc_lengths
+
+    stages = ingest(read_webpages(sf_dir))
+    n_docs = stages["pages"].count()
+    tmp = tempfile.mkdtemp(prefix="osr-bm25idx-", dir="/tmp")
+    try:
+        index_dir = os.path.join(tmp, "index")
+        pages_path = os.path.join(tmp, "pages")
+        dl_path = os.path.join(tmp, "doc_lengths")
+        build_index(stages["postings"], index_dir)
+        write_doc_lengths(stages["postings"], dl_path)
+        stages["pages"].write_parquet(pages_path, compression="zstd")
+        return search_index_bm25(
+            index_dir, pages_path, dl_path, n_docs, "Spark MERGE data!",
+            max_return=20,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

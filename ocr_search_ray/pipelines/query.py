@@ -150,3 +150,155 @@ def search_index(index_dir: str, pages_path: str, query: str,
         out, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
     )[:max_return])
     return out.select(["url", "page_idx", "img_path", "doc_id", "score"])
+
+
+def write_doc_lengths(postings, out_dir: str) -> None:
+    """Persist the per-doc token-length sidecar a BM25 index needs
+    (Lucene's norms analogue): (doc_id, dl = Σtf) plus one stats row
+    (n_postings total) — written once at build time so the query path
+    never re-aggregates the posting stream."""
+    from ..stages.relational import grouped_agg
+
+    grouped_agg(postings, ["doc_id"], [("dl", "tf", "sum")]).write_parquet(
+        out_dir, compression="zstd"
+    )
+
+
+def search_index_bm25(index_dir: str, pages_path: str, dl_path: str,
+                      n_docs: int, query: str,
+                      max_return: int = DEFAULT_MAX_RETURN,
+                      *, n_buckets: int = N_BUCKETS_DEFAULT,
+                      k1: float = 1.2, b: float = 0.75,
+                      history_dir: str | None = None) -> pa.Table:
+    """BM25 ranking over the ON-DISK layout: bucket-pruned posting read
+    (only the query terms' ``term_bucket`` dirs, term predicate pushed
+    down), df per term from the filtered rows, per-doc lengths joined
+    from the :func:`write_doc_lengths` sidecar (a distributed
+    ``cluster_join`` — the dl table is corpus-sized and never collects),
+    integer-quantized scores, distributed top-k, pages point-lookup.
+    ``n_docs`` is the corpus page count (a build-time constant, like the
+    sidecar)."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.relational import cluster_apply, cluster_join, grouped_agg
+    from ..stages.search import _RESULT_COLUMNS, join_pages, topk_hits
+
+    validate_query(query, max_return)
+    tok = Tokenizer()
+    tfs = tok.term_freqs(query)
+    if history_dir is not None:
+        append_search_history(history_dir, query, tfs)
+    terms = sorted(tfs)
+    empty = pa.table({c: [] for c in _RESULT_COLUMNS})
+    if not terms:
+        return empty
+
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    paths = [
+        f
+        for bkt in buckets
+        for f in sorted(_glob.glob(
+            os.path.join(index_dir, f"term_bucket={bkt}", "*.parquet")))
+    ]
+    if not paths:
+        return empty
+    hits_tf = rd.read_parquet(paths, filter=pc.field("term").isin(terms),
+                              columns=["doc_id", "term", "tf"])
+
+    # avgdl from the sidecar (one cheap partial-sum pass over two thin
+    # int columns — or store it as a stats row at build time)
+    dl_ds = rd.read_parquet(dl_path, columns=["doc_id", "dl"])
+
+    def dl_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"t": pa.array([pc.sum(batch.column("dl")).as_py() or 0],
+                           pa.int64())}
+        )
+
+    total_tf = sum(
+        r["t"] for r in dl_ds.map_batches(
+            dl_partial, batch_format="pyarrow").take_all()
+    )
+    avgdl = float(total_tf) / float(n_docs)
+
+    df_table = grouped_agg(hits_tf, ["term"], [("df", "tf", "count")])
+    with_df = cluster_join(
+        hits_tf, df_table, ["term"],
+        left_types={"doc_id": pa.string(), "term": pa.string(),
+                    "tf": pa.int64()},
+        right_types={"df": pa.int64()},
+    )
+    with_dl = cluster_join(
+        with_df, dl_ds, ["doc_id"],
+        left_types={"doc_id": pa.string(), "term": pa.string(),
+                    "tf": pa.int64(), "df": pa.int64()},
+        right_types={"dl": pa.int64()},
+    )
+
+    nd = float(n_docs)
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    def score_units(batch: pa.Table) -> pa.Table:
+        dfd = pc.cast(batch.column("df"), pa.float64())
+        tfd = pc.cast(batch.column("tf"), pa.float64())
+        dld = pc.cast(batch.column("dl"), pa.float64())
+        idf = pc.ln(
+            pc.add(
+                pc.divide(
+                    pc.add(pc.subtract(pa.scalar(nd, pa.float64()), dfd),
+                           0.5),
+                    pc.add(dfd, 0.5)),
+                1.0,
+            )
+        )
+        denom = pc.add(
+            tfd,
+            pc.multiply(
+                k1,
+                pc.add(one_minus_b,
+                       pc.multiply(b, pc.divide(dld, avgdl))),
+            ),
+        )
+        bm25 = pc.multiply(idf, pc.divide(pc.multiply(tfd, k1p1), denom))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score": pc.cast(
+                    pc.trunc(pc.multiply(bm25, 1000000000.0)), pa.int64()
+                ),
+            }
+        )
+
+    def block_sum(block: pa.Table) -> pa.Table:
+        agg = block.group_by("doc_id").aggregate([("score", "sum")])
+        return pa.table(
+            {
+                "doc_id": agg.column("doc_id"),
+                "score": agg.column("score_sum").cast(pa.int64()),
+            }
+        )
+
+    doc_scores = cluster_apply(
+        with_dl.map_batches(score_units, batch_format="pyarrow"),
+        ["doc_id"],
+        block_sum,
+    )
+    hits_table = topk_hits(doc_scores, max_return)
+    if hits_table.num_rows == 0:
+        return empty
+    pages = _read_pages_for_hits(
+        pages_path, hits_table.column("doc_id").to_pylist(), n_buckets
+    )
+    import pyarrow.compute as pc3
+
+    out = pa.Table.from_pandas(
+        join_pages(hits_table, pages).to_pandas(), preserve_index=False
+    )
+    out = out.take(pc3.sort_indices(
+        out, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+    )[:max_return])
+    return out.select(_RESULT_COLUMNS)
