@@ -52,7 +52,10 @@ def sha256_hex_column(col, *, null_as: str = "") -> "object":
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    arr = pc.fill_null(col, null_as)
+    # The buffer walk below reads int32 offsets — valid ONLY for pa.string().
+    # A large_string column (int64 offsets) would silently hash wrong slices,
+    # so normalize the physical layout first (same guard md5_digest_matrix has).
+    arr = pc.fill_null(col.cast(pa.string()), null_as)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)

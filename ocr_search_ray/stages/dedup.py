@@ -174,7 +174,16 @@ def minhash_lsh_pairs(documents, *, k: int = 3, num_hashes: int = 16,
        ``ngram_jaccard_pairs`` plan, candidate-restricted).
 
     → (doc_id1, doc_id2, inter, uni) with 100*inter >= min_jaccard_pct*uni.
+
+    ``min_jaccard_pct`` must be > 0: the collect-free verify computes |∩|
+    from a pair-shingle join, so zero-overlap candidates never produce an
+    intersection row and a threshold of 0 (which would accept them) cannot
+    be honored.
     """
+    if min_jaccard_pct <= 0:
+        raise ValueError(
+            "min_jaccard_pct must be > 0 (zero-overlap pairs are not "
+            "representable by the collect-free verify plan)")
 
     def band_rows_fn(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()

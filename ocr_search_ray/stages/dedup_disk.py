@@ -198,15 +198,18 @@ def merge_new_into_digest_index(survivors, index_dir: str, *,
         @ray.remote
         def merge_bucket(bucket_dir: str, new_dir: str) -> int:
             import os
-            import shutil
 
             import pyarrow.parquet as pq2
 
             new_rows = pq2.read_table(
                 new_dir, columns=["text_sha256", "rep_id"])
+            # decode dictionary columns to their VALUE type (int64 rep_id
+            # stays int64 — forcing pa.string() here would make the concat
+            # with the existing bucket's int64 column raise)
             new_rows = pa.table(
                 {
-                    n: (new_rows.column(n).cast(pa.string())
+                    n: (new_rows.column(n).cast(
+                            new_rows.column(n).type.value_type)
                         if pa.types.is_dictionary(new_rows.column(n).type)
                         else new_rows.column(n))
                     for n in new_rows.column_names
@@ -229,13 +232,26 @@ def merge_new_into_digest_index(survivors, index_dir: str, *,
                     "rep_id": agg.column("rep_id_first"),
                 }
             ).sort_by([("text_sha256", "ascending")])
-            tmp = bucket_dir + ".tmp"
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.makedirs(tmp)
-            pq2.write_table(merged, os.path.join(tmp, "part-0.parquet"),
-                            compression="zstd")
-            shutil.rmtree(bucket_dir, ignore_errors=True)
-            os.rename(tmp, bucket_dir)
+            # Crash-safe swap: write ONE merged file and os.replace() it in
+            # (atomic on POSIX). The bucket dir is never absent: before the
+            # replace it holds the old files, after it the merged superset
+            # plus (briefly) the old subset files — duplicate digests are
+            # harmless to the anti-join membership test and the next merge's
+            # keep-first compacts them. The old rmtree-then-rename pattern
+            # had a window where the bucket vanished entirely (ADVICE r3).
+            os.makedirs(bucket_dir, exist_ok=True)
+            old_files = [f for f in os.listdir(bucket_dir)
+                         if f.endswith(".parquet")]
+            tmp_file = os.path.join(bucket_dir, ".merged.parquet.tmp")
+            pq2.write_table(merged, tmp_file, compression="zstd")
+            merged_name = "merged-0.parquet"
+            os.replace(tmp_file, os.path.join(bucket_dir, merged_name))
+            for f in old_files:
+                if f != merged_name:
+                    try:
+                        os.remove(os.path.join(bucket_dir, f))
+                    except OSError:
+                        pass
             return new_rows.num_rows
 
         futures = []

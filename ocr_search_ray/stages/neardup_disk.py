@@ -57,9 +57,12 @@ def _band_and_shingle_fns(id_col: str, text_col: str, k: int,
                 out_b.append(b)
                 out_sig.append(digest)
                 out_bkt.append(zlib.crc32(digest.encode()) % n_buckets)
+        # Pin the id type: a batch whose docs ALL have empty signatures
+        # (texts shorter than k words) would otherwise yield a null-typed
+        # doc_id column that conflicts at union/write (ADVICE r3).
         return pa.table(
             {
-                id_col: pa.array(out_id),
+                id_col: pa.array(out_id, batch.column(id_col).type),
                 "band": pa.array(out_b, pa.int32()),
                 "band_sig": pa.array(out_sig, pa.string()),
                 "band_bucket": pa.array(out_bkt, pa.int32()),
@@ -79,7 +82,7 @@ def _band_and_shingle_fns(id_col: str, text_col: str, k: int,
             out_bkt.append(zlib.crc32(str(did).encode()) % n_buckets)
         return pa.table(
             {
-                id_col: pa.array(out_id),
+                id_col: pa.array(out_id, batch.column(id_col).type),
                 "sh_md5": pa.array(out_sh, pa.string()),
                 "doc_bucket": pa.array(out_bkt, pa.int32()),
             }
@@ -307,7 +310,6 @@ def merge_new_into_neardup_index(new_docs, index_dir: str, *, k: int = 3,
         def merge_bucket(bucket_dir: str, new_dir: str,
                          dedup_keys: tuple) -> int:
             import os
-            import shutil
 
             import pyarrow.parquet as pq2
 
@@ -336,13 +338,24 @@ def merge_new_into_neardup_index(new_docs, index_dir: str, *, k: int = 3,
                 {**{c: agg.column(c) for c in dedup_keys},
                  **{c: agg.column(f"{c}_first") for c in value_cols}}
             )
-            tmp = bucket_dir + ".tmp"
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.makedirs(tmp)
-            pq2.write_table(merged, os.path.join(tmp, "part-0.parquet"),
-                            compression="zstd")
-            shutil.rmtree(bucket_dir, ignore_errors=True)
-            os.rename(tmp, bucket_dir)
+            # Crash-safe swap (see dedup_disk.merge_bucket): one merged
+            # file os.replace()d in; old subset files removed after. A
+            # crash mid-cleanup leaves redundant duplicate rows that the
+            # next merge's keep-first dedup compacts — the bucket itself
+            # is never missing.
+            os.makedirs(bucket_dir, exist_ok=True)
+            old_files = [f for f in os.listdir(bucket_dir)
+                         if f.endswith(".parquet")]
+            tmp_file = os.path.join(bucket_dir, ".merged.parquet.tmp")
+            pq2.write_table(merged, tmp_file, compression="zstd")
+            merged_name = "merged-0.parquet"
+            os.replace(tmp_file, os.path.join(bucket_dir, merged_name))
+            for f in old_files:
+                if f != merged_name:
+                    try:
+                        os.remove(os.path.join(bucket_dir, f))
+                    except OSError:
+                        pass
             return new_rows.num_rows
 
         futures = []
