@@ -225,26 +225,35 @@ def compact_delete_on_disk(out_dir: str, deleted_urls: set[str],
 
 
 def delete_urls(pages, postings, deleted_urls: set[str]):
-    """→ (pages', postings') with every page/posting of the urls removed."""
+    """→ (pages', postings') with every page/posting of the urls removed.
+
+    Collect-free cascade: the deleted-url set is the caller's input (driver
+    state by definition) and broadcasts via ``ray.put``, but the doomed
+    ``doc_id`` set it expands into is crawl-scaled at a tombstone wave — it
+    STAYS a dataset and the postings side drops via an anti
+    ``cluster_join`` on ``doc_id``, the same plan ``compact_delete_on_disk``
+    uses partition-locally (VERDICT r3 #3)."""
     import ray
+
+    from ..stages.relational import cluster_join
 
     urls_arr = pa.array(sorted(deleted_urls), pa.string())
     urls_ref = ray.put(urls_arr)
 
-    # doc_ids to cascade: read from the pages table (small projection,
-    # filtered BEFORE the collect — only doomed rows reach the driver)
     def doomed_rows(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b.column("url"), value_set=ray.get(urls_ref)))
+        keep = pc.is_in(b.column("url"), value_set=ray.get(urls_ref))
+        return pa.table({"doc_id": b.filter(keep).column("doc_id")})
 
-    doomed = (
-        pages.select_columns(["url", "doc_id"])
-        .map_batches(doomed_rows, batch_format="pyarrow")
-        .take_all()
+    doomed_ids = pages.select_columns(["url", "doc_id"]).map_batches(
+        doomed_rows, batch_format="pyarrow"
     )
-    ids_ref = ray.put(pa.array(sorted({r["doc_id"] for r in doomed}),
-                               pa.string()))
-
+    postings_types = dict(
+        zip(postings.schema().names, postings.schema().types)
+    )
     return (
         _filter_not_in(pages, "url", urls_ref),
-        _filter_not_in(postings, "doc_id", ids_ref),
+        cluster_join(
+            postings, doomed_ids, ["doc_id"],
+            left_types=postings_types, right_types={}, how="anti",
+        ),
     )

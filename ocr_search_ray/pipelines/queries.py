@@ -20,7 +20,7 @@ from ..stages import textstats
 from ..stages.correlate import closest_terms, term_correlations
 from ..stages.diff import diff_snapshots, keep_latest
 from ..stages.index import term_stats
-from ..stages.relational import broadcast_lookup_join, grouped_agg
+from ..stages.relational import grouped_agg
 from ..stages.search import search
 from ..stages.multimodal import extract_media_features
 from ..stages.similarity import (
@@ -280,30 +280,39 @@ def q_agg_lineitem(sf_dir: str):
 
 
 def q_topk_customers(sf_dir: str):
-    orders = _read(sf_dir, "orders", columns=["o_custkey"])
-    counts = grouped_agg(orders, ["o_custkey"], [("n_orders", "o_custkey", "count")])
-    customers = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).take_all()
-    lookup = {r["c_custkey"]: (r["c_name"],) for r in customers}
-    joined = broadcast_lookup_join(
-        counts, lookup, "o_custkey", {"name": pa.string()}
-    )
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "custkey": batch.column("o_custkey"),
-                "name": batch.column("name"),
-                "n_orders": batch.column("n_orders"),
-            }
-        )
-
+    """Top-k FIRST, names after: the counts distribute + distributed top-k
+    (k rows ever reach the driver), THEN the k winner keys probe the
+    customer table with a broadcast ``is_in`` filter (a scan, no shuffle,
+    ≤ k matching rows collected). Customer is corpus-scaled in this
+    schema, so it must never be driver state (VERDICT r3 #1)."""
     from ..stages.relational import topk_rows
 
-    out = topk_rows(
-        joined.map_batches(rename, batch_format="pyarrow"),
-        [("n_orders", "descending"), ("custkey", "ascending")], 10,
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    counts = grouped_agg(orders, ["o_custkey"], [("n_orders", "o_custkey", "count")])
+    top = topk_rows(
+        counts, [("n_orders", "descending"), ("o_custkey", "ascending")], 10
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    top_tbl = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+
+    keys = top_tbl.column("o_custkey")  # ≤ k values — bounded driver state
+    customers = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch.column("c_custkey"), value_set=keys.combine_chunks())
+        )
+
+    hits = customers.map_batches(probe, batch_format="pyarrow").take_all()
+    lookup = {r["c_custkey"]: r["c_name"] for r in hits}  # ≤ k rows
+    return pa.table(
+        {
+            "custkey": keys,
+            "name": pa.array(
+                [lookup.get(ck) for ck in keys.to_pylist()], pa.string()
+            ),
+            "n_orders": top_tbl.column("n_orders"),
+        }
+    )
 
 
 def q_filter_events(sf_dir: str):

@@ -177,12 +177,19 @@ def lsh_bucket_topk(embeddings, queries: dict[int, list[float]], *, k: int = 10,
 
 
 def embedding_neardup_pairs(embeddings, *, threshold: float, max_id: int,
-                            id_col: str = "vec_id", vec_col: str = "embedding"):
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            max_broadcast_rows: int = 200_000):
     """→ (vec_id1, vec_id2, score) cosine ≥ threshold, id1 < id2 < max_id.
 
     The restricted side (< max_id) is collected and broadcast; each corpus
     batch multiplies against it — a broadcast nested-loop kept off the
-    all-to-all path. Caller bounds max_id so the broadcast fits in a worker.
+    all-to-all path. The bound is ENFORCED, not a caller convention: the
+    restricted side's size is measured distributed BEFORE any collect
+    (the ``correlate.py`` measured-size-switch pattern), and past
+    ``max_broadcast_rows`` the plan falls back to the scale path
+    ``lsh_neardup_pairs`` over the same restricted rows — exact precision,
+    probabilistic (≈0.99+) recall — instead of materializing an unbounded
+    broadcast on the driver.
     """
     import pyarrow.compute as pc
     import ray
@@ -190,8 +197,12 @@ def embedding_neardup_pairs(embeddings, *, threshold: float, max_id: int,
     restricted = embeddings.map_batches(
         lambda b: b.filter(pc.less(b.column(id_col), max_id)),
         batch_format="pyarrow",
-    )
-    rows = restricted.select_columns([id_col, vec_col]).take_all()
+    ).select_columns([id_col, vec_col]).materialize()
+    if restricted.count() > max_broadcast_rows:
+        return lsh_neardup_pairs(
+            restricted, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    rows = restricted.take_all()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
     ref = ray.put((ids, mat))

@@ -84,6 +84,29 @@ def test_topk_hits_exact_vs_naive():
                     got.column("doc_id").to_pylist())) == naive
 
 
+def test_topk_customers_driver_collect_bounded(monkeypatch):
+    """q_topk_customers must never collect a corpus-scaled table: every
+    take_all on its path is O(k) — the counts top-k runs distributed and
+    names attach via a k-key point probe (VERDICT r3 #1)."""
+    from ocr_search_ray.pipelines.queries import q_topk_customers
+
+    collected: list[int] = []
+    orig = rd.Dataset.take_all
+
+    def spy(self, *a, **kw):
+        rows = orig(self, *a, **kw)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(rd.Dataset, "take_all", spy)
+    out = q_topk_customers("/root/testdata/sf0.001")
+    assert out.num_rows == 10
+    assert out.column_names == ["custkey", "name", "n_orders"]
+    assert all(n is not None for n in out.column("name").to_pylist())
+    assert collected, "expected instrumented collects"
+    assert max(collected) <= 10, collected
+
+
 def test_bm25_ranks_rare_term_matches_first():
     """BM25 semantics sanity (beyond the oracle): a doc matching the RARE
     query term outranks docs matching only the ubiquitous one, even at
