@@ -368,7 +368,54 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering note: the driver's per-round correctness window covers the
+    # FIRST 50 entries, so entries it has not yet driver-verified lead the
+    # dict (rounds 1-3 covered the trailing block; all entries pass the
+    # identical local harness, tools/crosscheck.py).
     return {
+        "ngram_counts": q.q_ngram_counts,
+        "domain_stats": q.q_domain_stats,
+        "clean_text": q.q_clean_text,
+        "path_convert": q.q_path_convert,
+        "dedup_incremental": q.q_dedup_incremental,
+        "neardup_incremental": q.q_neardup_incremental,
+        "pagerank": q.q_pagerank,
+        "stratified_sample": q.q_stratified_sample,
+        "canonical_urls": q.q_canonical_urls,
+        "canonical_dedup": q.q_canonical_dedup,
+        "vocab_encode": q.q_vocab_encode,
+        "connected_components": q.q_connected_components,
+        "robots_filter": q.q_robots_filter,
+        "assign_split": q.q_assign_split,
+        "substring_search": q.q_substring_search,
+        "profile_table": q.q_profile_table,
+        "grouped_distinct": q.q_grouped_distinct,
+        "grouped_approx_distinct": q.q_grouped_approx_distinct,  # rows-only (HLL)
+        "sliding_windows": q.q_sliding_windows,
+        "full_outer_join": q.q_full_outer_join,
+        "anti_join": q.q_anti_join,
+        "pack_sequences": q.q_pack_sequences,
+        "pii_redact": q.q_pii_redact,
+        "span_dedup": q.q_span_dedup,
+        "bloom_semi_join": q.q_bloom_semi_join,
+        "repetition_stats": q.q_repetition_stats,
+        "justext_blocks": q.q_justext_blocks,
+        "main_content": q.q_main_content,
+        "extract_links": q.q_extract_links,
+        "link_degrees": q.q_link_degrees,
+        "ann_cosine_topk": q.q_ann_cosine_topk,
+        "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only
+        # IVF with full probes == exact cosine top-k → reuse the brute oracle
+        "ann_ivf_topk": q.q_ann_ivf_topk,
+        "ann_ivf_disk": q.q_ann_ivf_disk,
+        "lsh_neardup": q.q_lsh_neardup,  # rows-only (LSH buckets)
+        "embedding_neardup": q.q_embedding_neardup,
+        # multimodal plumbing (decode stubbed; layout/status are exact)
+        "media_features": q.q_media_features,
+        "media_resize": q.q_media_resize,
+        "media_frames": q.q_media_frames,
+        "media_real": q.q_media_real,  # rows-only (real BMP/WAV kernels)
+        # --- driver-verified in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         # ingest / index / search (reference parity)
         "ingest_pages": q.q_ingest_pages,
         "postings_tf": q.q_postings_tf,
@@ -423,48 +470,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": q.q_approx_distinct,  # rows-only (HLL sketch)
         "vocab_stats": q.q_vocab_stats,
         "lang_id": q.q_lang_id,
-        "ngram_counts": q.q_ngram_counts,
-        "domain_stats": q.q_domain_stats,
-        "clean_text": q.q_clean_text,
-        "path_convert": q.q_path_convert,
-        "dedup_incremental": q.q_dedup_incremental,
-        "neardup_incremental": q.q_neardup_incremental,
-        "pagerank": q.q_pagerank,
-        "stratified_sample": q.q_stratified_sample,
-        "canonical_urls": q.q_canonical_urls,
-        "canonical_dedup": q.q_canonical_dedup,
-        "vocab_encode": q.q_vocab_encode,
-        "connected_components": q.q_connected_components,
-        "robots_filter": q.q_robots_filter,
-        "assign_split": q.q_assign_split,
-        "substring_search": q.q_substring_search,
-        "profile_table": q.q_profile_table,
-        "grouped_distinct": q.q_grouped_distinct,
-        "grouped_approx_distinct": q.q_grouped_approx_distinct,  # rows-only (HLL)
-        "sliding_windows": q.q_sliding_windows,
-        "full_outer_join": q.q_full_outer_join,
-        "anti_join": q.q_anti_join,
-        "pack_sequences": q.q_pack_sequences,
-        "pii_redact": q.q_pii_redact,
-        "span_dedup": q.q_span_dedup,
-        "bloom_semi_join": q.q_bloom_semi_join,
-        "repetition_stats": q.q_repetition_stats,
-        "justext_blocks": q.q_justext_blocks,
-        "main_content": q.q_main_content,
-        "extract_links": q.q_extract_links,
-        "link_degrees": q.q_link_degrees,
-        "ann_cosine_topk": q.q_ann_cosine_topk,
-        "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only
-        # IVF with full probes == exact cosine top-k → reuse the brute oracle
-        "ann_ivf_topk": q.q_ann_ivf_topk,
-        "ann_ivf_disk": q.q_ann_ivf_disk,
-        "lsh_neardup": q.q_lsh_neardup,  # rows-only (LSH buckets)
-        "embedding_neardup": q.q_embedding_neardup,
-        # multimodal plumbing (decode stubbed; layout/status are exact)
-        "media_features": q.q_media_features,
-        "media_resize": q.q_media_resize,
-        "media_frames": q.q_media_frames,
-        "media_real": q.q_media_real,  # rows-only (real BMP/WAV kernels)
     }
 
 
