@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # dict (rounds 1-3 covered the trailing block; all entries pass the
     # identical local harness, tools/crosscheck.py).
     return {
+        "page_images": q.q_page_images,  # S8 artifact sink (r4)
         "ngram_counts": q.q_ngram_counts,
         "domain_stats": q.q_domain_stats,
         "clean_text": q.q_clean_text,
@@ -480,6 +481,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, page_idx, page_count, file_id, doc_id, img_path,
                    text, status
             FROM pages_full
+        """,
+        "page_images": f"""
+            {_INGEST_PREFIX}
+            SELECT f.doc_id, f.img_path,
+                   CAST(488 AS INT) AS width,
+                   CAST(least(64, l.n_lines) * 10 + 8 AS INT) AS height,
+                   'ok' AS status
+            FROM pages_full f,
+            LATERAL (
+              SELECT greatest(1, CAST(SUM(
+                       CASE WHEN length(p.para) = 0 THEN 1
+                            ELSE CAST(ceil(length(p.para) / 80.0) AS BIGINT)
+                       END) AS BIGINT)) AS n_lines
+              FROM unnest(string_split(f.text, chr(10))) AS p(para)
+            ) l
         """,
         "postings_tf": f"""
             {_POSTINGS_PREFIX}

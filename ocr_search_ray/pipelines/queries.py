@@ -762,6 +762,23 @@ def _media_from_documents(sf_dir: str):
     return docs.map_batches(to_media, batch_format="pyarrow")
 
 
+def q_page_images(sf_dir: str):
+    """S8 page-image artifact sink: every page renders to a real PNG under
+    a deterministic /tmp artifact dir (atomic, idempotent); the entry
+    returns the artifact metadata whose layout math the oracle replays
+    (width/height are exact functions of the page text's wrap)."""
+    import hashlib as _hashlib
+
+    from ..stages.raster import rasterize_pages
+
+    pages = ingest(read_webpages(sf_dir))["pages"]
+    art = "/tmp/osr_page_images_" + _hashlib.md5(
+        sf_dir.encode()).hexdigest()[:8]
+    out = rasterize_pages(pages, art)
+    return out.select_columns(
+        ["doc_id", "img_path", "width", "height", "status"])
+
+
 def q_media_features(sf_dir: str):
     """Multimodal feature stage over the synthesized media table. Decode
     itself is the documented stub — this entry exercises the real Ray
