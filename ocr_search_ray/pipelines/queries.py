@@ -597,12 +597,26 @@ def q_compact_delete(sf_dir: str):
 
 
 def _office_webpages(sf_dir: str):
-    """Office-kind webpages synthesized from documents: every doc becomes a
-    fake pptx (even id) / docx (odd id) container at its canonical url."""
-    from ..functions import fakeoffice
+    """Office-kind webpages synthesized from documents: even ids become
+    pptx, odd ids docx; half of each kind (id % 4 < 2) ships as a REAL OPC
+    zip+XML container (``functions/officetext.py`` — genuine .pptx/.docx
+    bytes), the other half as the hermetic ``fakeoffice`` stand-in, so the
+    normalize chain exercises both routes. Real pptx slides are packed as
+    the 256-char page chunks, matching the conversion's one-page-per-slide
+    rule — the SQL oracle's pagination is unchanged."""
+    from ..functions import fakeoffice, officetext
     from ..sources.webpages import doc_url, doc_warc_ts
+    from ..stages.normalize import _chunk_pages
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def payload_for(d: int, t: str) -> bytes:
+        kind = "pptx" if d % 2 == 0 else "docx"
+        if d % 4 >= 2:
+            return fakeoffice.pack(t, kind)
+        if kind == "pptx":
+            return officetext.pack_pptx(_chunk_pages(t))
+        return officetext.pack_docx(t)
 
     def to_office(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -614,11 +628,7 @@ def _office_webpages(sf_dir: str):
                 "warc_ts": pa.array([doc_warc_ts(d) for d in ids],
                                     pa.timestamp("us")),
                 "html": pa.array(
-                    [
-                        fakeoffice.pack(t or "",
-                                        "pptx" if d % 2 == 0 else "docx")
-                        for d, t in zip(ids, texts)
-                    ],
+                    [payload_for(d, t or "") for d, t in zip(ids, texts)],
                     pa.binary(),
                 ),
                 "text": pa.array([None] * len(ids), pa.string()),

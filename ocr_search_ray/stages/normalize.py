@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..functions import fakeoffice, fakepdf
+from ..functions import fakeoffice, fakepdf, officetext
 from ..functions.watchdog import BatchWatchdog, WatchdogTimeout
 from ..schemas import WEBPAGES
 
@@ -51,10 +51,37 @@ class FakeOfficeConverter:
 
     def convert(self, payload: bytes, kind: str) -> bytes:
         text = fakeoffice.unpack(payload)
-        n = max(1, -(-len(text) // PDF_PAGE_CHARS))  # ceil
-        pages = [text[i * PDF_PAGE_CHARS:(i + 1) * PDF_PAGE_CHARS]
-                 for i in range(n)]
-        return fakepdf.pack(pages)
+        return fakepdf.pack(_chunk_pages(text))
+
+
+def _chunk_pages(text: str) -> list[str]:
+    n = max(1, -(-len(text) // PDF_PAGE_CHARS))  # ceil
+    return [text[i * PDF_PAGE_CHARS:(i + 1) * PDF_PAGE_CHARS]
+            for i in range(n)]
+
+
+class OfficeXmlConverter(FakeOfficeConverter):
+    """DEFAULT converter backend — handles REAL office containers.
+
+    pptx/docx are OPC zip+XML packages, so genuine text extraction is
+    pure-stdlib (``functions/officetext.py`` — the same pattern that
+    closed O4 for real PDFs). Routing: a real .docx extracts its
+    WordprocessingML text and paginates on the deterministic 256-char
+    rule (LibreOffice's layout-dependent pagination has no hermetic
+    equivalent); a real .pptx maps ONE PAGE PER SLIDE — exactly what the
+    reference's pptx→pdf conversion produces
+    (``TypeConverter.class.js:24-67``). ``fakeoffice`` containers fall
+    through to the stand-in path; corrupt zips raise → quarantine row."""
+
+    def convert(self, payload: bytes, kind: str) -> bytes:
+        real_kind = officetext.kind_of(payload)
+        if real_kind == "docx":
+            return fakepdf.pack(
+                _chunk_pages(officetext.extract_docx_text(payload)))
+        if real_kind == "pptx":
+            return fakepdf.pack(officetext.extract_pptx_slides(payload)
+                                or [""])
+        return super().convert(payload, kind)
 
 
 class FormatNormalizer:
@@ -62,7 +89,7 @@ class FormatNormalizer:
 
     def __init__(self, backend_factory=None, *,
                  timeout_s: float | None = DEFAULT_CONVERT_TIMEOUT_S) -> None:
-        self.backend = (backend_factory or FakeOfficeConverter)()
+        self.backend = (backend_factory or OfficeXmlConverter)()
         self.timeout_s = timeout_s
         self.arm_min_hint = (0 if backend_factory is not None
                              else WATCHDOG_ARM_MIN_BYTES)
@@ -88,7 +115,8 @@ class FormatNormalizer:
         with BatchWatchdog(self.timeout_s,
                            arm_min_hint=self.arm_min_hint) as wd:
             for payload in payloads:
-                kind = fakeoffice.kind_of(payload)
+                kind = (fakeoffice.kind_of(payload)
+                        or officetext.kind_of(payload))
                 if kind is None:
                     out_payloads.append(payload)
                     kinds.append("other")
