@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # identical local harness, tools/crosscheck.py).
     return {
         "page_images": q.q_page_images,  # S8 artifact sink (r4)
+        "search_expanded": q.q_search_expanded,  # tcr*tf expansion (r4)
         "ngram_counts": q.q_ngram_counts,
         "domain_stats": q.q_domain_stats,
         "clean_text": q.q_clean_text,
@@ -1274,6 +1275,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT term1, term2, tcr FROM tcr0
             UNION ALL
             SELECT term2 AS term1, term1 AS term2, tcr FROM tcr0
+        """,
+        "search_expanded": f"""
+            {_CORR_SQL},
+            sym AS (
+              SELECT term1, term2, tcr FROM tcr0
+              UNION ALL
+              SELECT term2, term1, tcr FROM tcr0
+            ),
+            ranked AS (
+              SELECT term1, term2, tcr,
+                     row_number() OVER (
+                       PARTITION BY term1 ORDER BY tcr DESC, term2) AS rn
+              FROM sym
+            ),
+            expansion AS (
+              SELECT term, MAX(tcr) AS tcr FROM (
+                SELECT unnest(['spark', 'merge', 'datum']) AS term,
+                       CAST(1.0 AS DOUBLE) AS tcr
+                UNION ALL
+                SELECT term2 AS term, tcr FROM ranked
+                WHERE rn <= 5 AND term1 IN ('spark', 'merge', 'datum')
+              ) GROUP BY term
+            ),
+            hits AS (
+              SELECT p.doc_id,
+                     MAX(e.tcr * CAST(p.tf AS DOUBLE)) AS score
+              FROM postings p JOIN expansion e USING (term)
+              GROUP BY p.doc_id
+            ),
+            top AS (
+              SELECT doc_id, score FROM hits
+              ORDER BY score DESC, doc_id LIMIT 20
+            )
+            SELECT f.url, f.page_idx, f.img_path, t.doc_id, t.score
+            FROM top t JOIN pages_full f USING (doc_id)
         """,
         "closest_terms": f"""
             {_CORR_SQL},

@@ -152,6 +152,21 @@ def q_term_correlations(sf_dir: str):
     return term_correlations(_postings(sf_dir))
 
 
+def q_search_expanded(sf_dir: str):
+    """The reference's disabled tcr*tf query-expansion path
+    (TermMatcher.class.js:55-80), end to end: ingest → correlations →
+    expand each query term to its top-5 neighbors → score tcr·tf →
+    per-doc max-merge → top-k."""
+    from ..stages.search import expanded_search
+
+    stages = ingest(read_webpages(sf_dir))
+    corr = term_correlations(stages["postings"])
+    return expanded_search(
+        stages["postings"], stages["pages"], corr,
+        "Spark MERGE data!", max_return=20,
+    )
+
+
 def q_closest_terms(sf_dir: str):
     return closest_terms(term_correlations(_postings(sf_dir)), num=5)
 

@@ -77,7 +77,7 @@ def score_hits(postings, query_terms: list[str]):
     )
 
 
-def topk_hits(hits, k: int) -> pa.Table:
+def topk_hits(hits, k: int, score_type: "pa.DataType" = None) -> pa.Table:
     """Distributed top-k over the (doc_id, score) hit dataset BEFORE any
     driver collect → typed Arrow table of ≤ ``k`` rows.
 
@@ -110,7 +110,8 @@ def topk_hits(hits, k: int) -> pa.Table:
     return pa.table(
         {
             "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
-            "score": pa.array([r["score"] for r in rows], pa.int64()),
+            "score": pa.array([r["score"] for r in rows],
+                              score_type or pa.int64()),
         }
     )
 
@@ -155,6 +156,102 @@ def search(postings, pages, query: str, max_return: int = DEFAULT_MAX_RETURN,
     # locally with an Arrow sort; a Ray .sort() here would be a pointless
     # exchange barrier over k rows
     out = pa.Table.from_pandas(scored_pages.to_pandas(), preserve_index=False)
+    out = out.take(pc.sort_indices(
+        out, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+    )[:max_return])
+    return out.select(_RESULT_COLUMNS)
+
+
+def expanded_search(postings, pages, correlations, query: str,
+                    max_return: int = DEFAULT_MAX_RETURN,
+                    tokenizer: Tokenizer | None = None,
+                    *, num_neighbors: int = 5) -> pa.Table:
+    """Correlation-expanded search — the reference's DISABLED query path
+    (``src/TermMatcher/TermMatcher.class.js:55-80``, commented out behind
+    the "workaround: disable term-correlation computation" note), composed
+    from the engine's ``closest_terms`` + ``search`` ingredients:
+
+    1. each query term expands to its top-``num_neighbors`` correlated
+       terms (``findClosestTerms`` intent — tcr desc, deterministic term2
+       tiebreak);
+    2. the expansion set is the originals at weight 1 unioned with the
+       neighbors at their tcr (``{term, tcr: 1}`` + spread — reference
+       line 62);
+    3. a hit scores ``tcr * tf`` (line 72);
+    4. per-doc merge keeps the MAX score. The commented code concatenates
+       raw hit lists (one doc could appear once per expanded term — and
+       its `new Set` dedup is a no-op on objects); the engine applies the
+       enabled path's A3 max-merge, consistent with ``closest_terms``'s
+       documented intended-semantics treatment. Ranking/truncation as K1/K2.
+
+    ``correlations``: the symmetric (term1, term2, tcr) dataset from
+    ``stages.correlate.term_correlations``.
+
+    Scale shape: the anchor filter + per-anchor top-k runs distributed
+    (``grouped_topk`` — one exchange over the ≤ |query terms| anchor
+    slice); only the ≤ |query|×num_neighbors expansion weights reach the
+    driver (query-bounded, like the query terms themselves); scoring is a
+    broadcast ``index_in`` lookup over the posting stream, max-merge rides
+    the int-key exchange, distributed top-k before any collect.
+    """
+    from .relational import cluster_apply, grouped_topk
+
+    validate_query(query, max_return)
+    tok = tokenizer or Tokenizer()
+    query_terms = sorted(tok.term_freqs(query).keys())
+    if not query_terms:
+        return pa.table({c: [] for c in _RESULT_COLUMNS})
+
+    qt_arr = pa.array(query_terms, pa.string())
+
+    def _anchored(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("term1"),
+                                     value_set=qt_arr))
+
+    neighbors = grouped_topk(
+        correlations.map_batches(_anchored, batch_format="pyarrow"),
+        ["term1"],
+        [("tcr", "descending"), ("term2", "ascending")],
+        num_neighbors,
+    ).take_all()  # ≤ |query| × num_neighbors rows — query-bounded
+
+    weights: dict[str, float] = {t: 1.0 for t in query_terms}
+    for r in neighbors:
+        t, tcr = r["term2"], float(r["tcr"])
+        if tcr > weights.get(t, 0.0):
+            weights[t] = tcr
+    exp_terms = pa.array(sorted(weights), pa.string())
+    exp_tcr = pa.array([weights[t] for t in sorted(weights)], pa.float64())
+
+    def _score(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch.column("term"), value_set=exp_terms)
+        hits = batch.filter(pc.is_valid(idx))
+        tcr = pc.take(exp_tcr, pc.index_in(hits.column("term"),
+                                           value_set=exp_terms))
+        # one multiply per row; max-merge is order-free → float-exact
+        score = pc.multiply(tcr, pc.cast(hits.column("tf"), pa.float64()))
+        return pa.table({"doc_id": hits.column("doc_id"), "score": score})
+
+    def _block_max(block: pa.Table) -> pa.Table:
+        agg = block.group_by("doc_id").aggregate([("score", "max")])
+        return pa.table(
+            {
+                "doc_id": agg.column("doc_id"),
+                "score": agg.column("score_max").cast(pa.float64()),
+            }
+        )
+
+    doc_scores = cluster_apply(
+        postings.map_batches(_score, batch_format="pyarrow"),
+        ["doc_id"],
+        _block_max,
+    )
+    hits_table = topk_hits(doc_scores, max_return, score_type=pa.float64())
+    if hits_table.num_rows == 0:
+        return pa.table({c: [] for c in _RESULT_COLUMNS})
+    out = pa.Table.from_pandas(
+        join_pages(hits_table, pages).to_pandas(), preserve_index=False
+    )
     out = out.take(pc.sort_indices(
         out, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
     )[:max_return])

@@ -49,6 +49,39 @@ def test_rank_desc_and_topk_truncation():
     assert out.column("score").to_pylist() == [5, 4, 3]
 
 
+def test_expanded_search_scores_neighbor_docs_tcr_times_tf():
+    """The reference's disabled expansion path (TermMatcher.class.js:55-80):
+    a doc containing only a CORRELATED term scores tcr*tf; originals keep
+    weight 1; per-doc merge is max."""
+    from ocr_search_ray.stages.correlate import term_correlations
+    from ocr_search_ray.stages.search import expanded_search
+
+    pages = _pages([("d1", "u1", 1), ("d2", "u2", 1), ("d3", "u3", 1)])
+    # spark and flink co-occur in d1/d2 → high tcr; d3 has only flink
+    postings = _postings(
+        [("d1", "spark", 2), ("d1", "flink", 2),
+         ("d2", "spark", 3), ("d2", "flink", 3),
+         ("d3", "flink", 4)]
+    )
+    corr = term_correlations(postings, min_df=1).materialize()
+    tcr = {
+        (r["term1"], r["term2"]): r["tcr"] for r in corr.take_all()
+    }[("spark", "flink")]
+    assert 0.0 < tcr <= 1.0
+
+    out = expanded_search(postings, pages, corr, "spark", max_return=10)
+    scores = dict(zip(out.column("doc_id").to_pylist(),
+                      out.column("score").to_pylist()))
+    # originals at weight 1: d1=2, d2=3; neighbor-only doc d3 = tcr*4;
+    # d1/d2 ALSO match flink — max(1*tf, tcr*tf) = tf since tcr ≤ 1
+    assert scores["d1"] == 2.0 and scores["d2"] == 3.0
+    assert scores["d3"] == tcr * 4.0
+
+    # no-expansion corpus sanity: plain search never returns d3 for spark
+    plain = search(postings, pages, "spark", max_return=10)
+    assert "d3" not in plain.column("doc_id").to_pylist()
+
+
 def test_delete_cascade_removes_pages_and_postings():
     pages = _pages([("d1", "u1", 1), ("d2", "u2", 1), ("d3", "u2", 2)])
     postings = _postings([("d1", "x", 1), ("d2", "y", 2), ("d3", "z", 3)])
