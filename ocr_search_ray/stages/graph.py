@@ -7,19 +7,25 @@ problem. This is the iterative hash-min label propagation algorithm —
 the standard MapReduce/Pregel formulation:
 
 - labels start as ``node → node``;
-- each round, every node takes the min label over itself and its
-  neighbors (one ``cluster_join`` of the symmetric edge list against the
-  label table + one grouped min — both int-key exchanges, nothing on the
-  driver);
-- converged when the label sum stops decreasing (labels are monotone
-  non-increasing, so the int64 sum is a fixpoint witness — one cheap
-  aggregate per round, O(1) driver state).
+- each round, only nodes whose label CHANGED last round send it to their
+  neighbors (delta propagation — the ``pagerank_fixed`` partial-table
+  trick applied to label propagation: after round 1 the changed set
+  shrinks geometrically, so the per-round edge join touches a sliver of
+  the edge list instead of all of it);
+- every node takes the min over its current label and the incoming
+  messages (ONE keyed exchange: labels tagged old ∪ messages, block-local
+  min + old/new compare — which also yields next round's changed set for
+  free, replacing the old separate label-sum convergence pass);
+- converged when the changed set is empty (labels are monotone
+  non-increasing, so a label value propagates the round it first appears
+  — the delta scheme reaches the identical fixpoint).
 
 Rounds needed = max component diameter; near-dup clusters are shallow
 (pairs/stars), so 2-4 rounds in practice. Each round MATERIALIZES the
-label table — required for any iterative fixpoint on a lazy lineage
-(otherwise round k re-executes rounds 1..k-1); the table is two int
-columns, object-store-resident and spillable, never driver-resident.
+update table — required for any iterative fixpoint on a lazy lineage
+(otherwise round k re-executes rounds 1..k-1); the table is int columns,
+object-store-resident and spillable, never driver-resident (the driver
+holds one changed-count int per round).
 """
 
 from __future__ import annotations
@@ -54,6 +60,8 @@ def connected_components(edges, *, src_col: str = "src",
         edges_sym = edges_sym.repartition(n_blocks)
     edges_sym = edges_sym.materialize()
 
+    from .relational import cluster_apply
+
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.table(
             {"node": batch.column("u"), "lab": batch.column("u")}
@@ -63,46 +71,70 @@ def connected_components(edges, *, src_col: str = "src",
         edges_sym.map_batches(init_labels, batch_format="pyarrow"),
         ["node"], [("lab", "lab", "min")],
     ).materialize()
+    changed = labels  # round 0: every node announces its initial label
 
-    def label_sum(ds) -> int:
-        def partial(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {"s": pa.array([pc.sum(batch.column("lab")).as_py() or 0],
-                               pa.int64())}
-            )
-
-        return sum(
-            r["s"] for r in
-            ds.map_batches(partial, batch_format="pyarrow").take_all()
+    def block_update(block: pa.Table) -> pa.Table:
+        """Per node (co-located by the keyed exchange): new = min over the
+        old label + incoming messages; emit the old/new compare so the
+        changed set falls out of the same pass."""
+        agg = block.group_by("node").aggregate([("lab", "min")])
+        old = block.filter(
+            pc.equal(block.column("is_old"), 1)
+        ).select(["node", "lab"]).rename_columns(["node", "old_lab"])
+        j = pa.table(
+            {"node": agg.column("node"), "lab": agg.column("lab_min")}
+        ).join(old, keys=["node"], join_type="inner")
+        return pa.table(
+            {
+                "node": j.column("node"),
+                "lab": j.column("lab"),
+                "chg": pc.less(j.column("lab"), j.column("old_lab")),
+            }
         )
 
-    prev = label_sum(labels)
     for _ in range(max_iters):
+        # messages ONLY from last round's changed labels: after round 1
+        # this joins a shrinking sliver of the edge list, not all of it
         msgs = cluster_join(
-            edges_sym, labels.map_batches(
-                lambda b: b.rename_columns(["u", "lab"]),
+            edges_sym, changed.map_batches(
+                lambda b: pa.table(
+                    {"u": b.column("node"), "lab": b.column("lab")}
+                ),
                 batch_format="pyarrow",
             ),
             ["u"],
             left_types={"u": pa.int64(), "v": pa.int64()},
             right_types={"lab": pa.int64()},
         )
-
-        def msg_to_label(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {"node": batch.column("v"), "lab": batch.column("lab")}
+        tagged = labels.map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"), "lab": b.column("lab"),
+                 "is_old": pa.repeat(pa.scalar(1, pa.int8()), b.num_rows)}
+            ),
+            batch_format="pyarrow",
+        ).union(
+            msgs.map_batches(
+                lambda b: pa.table(
+                    {"node": b.column("v"), "lab": b.column("lab"),
+                     "is_old": pa.repeat(pa.scalar(0, pa.int8()),
+                                         b.num_rows)}
+                ),
+                batch_format="pyarrow",
             )
-
-        candidates = msgs.map_batches(
-            msg_to_label, batch_format="pyarrow"
-        ).union(labels)
-        labels = grouped_agg(
-            candidates, ["node"], [("lab", "lab", "min")]
+        )
+        upd = cluster_apply(tagged, ["node"], block_update).materialize()
+        # labels stays a LAZY one-map view over the materialized update
+        # table (each round's lineage is one select deep — no re-execution
+        # cascade, no extra per-round materialize pass)
+        labels = upd.map_batches(
+            lambda b: b.select(["node", "lab"]), batch_format="pyarrow"
+        )
+        changed = upd.map_batches(
+            lambda b: b.filter(b.column("chg")).select(["node", "lab"]),
+            batch_format="pyarrow",
         ).materialize()
-        cur = label_sum(labels)
-        if cur == prev:
+        if changed.count() == 0:
             break
-        prev = cur
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table(
