@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="only ingest; do not (re)build the posting index")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode CPU count (ignored on a cluster)")
+    ap.add_argument("--raster-dir", default=None,
+                    help="also write one <doc_id>.png page-image artifact "
+                         "per NEW page to this directory (S8 sink; atomic, "
+                         "idempotent — reruns converge to identical bytes)")
     ap.add_argument("--cycles", type=int, default=1,
                     help="micro-batch sync cycles (reference: the 15-min "
                          "poll loop); each cycle ingests NEW fragments and "
@@ -63,7 +67,41 @@ def main(argv: list[str] | None = None) -> int:
         if cycle > 0 and args.interval:
             time.sleep(args.interval)
         before = set(glob.glob(f"{args.out}/postings/part=*"))
+        before_pages = set(glob.glob(f"{args.out}/pages/part=*"))
         summary = ingest_resumable(args.input, args.out)
+        if args.raster_dir:
+            from ocr_search_ray.stages.raster import rasterize_pages
+
+            # only the NEW page partitions rasterize this cycle (the sink
+            # is idempotent, but skipping finished partitions is free)
+            new_pages = sorted(
+                set(glob.glob(f"{args.out}/pages/part=*")) - before_pages
+            )
+            # a LIST of paths is read verbatim (no directory expansion) —
+            # enumerate the partition dirs' files explicitly
+            page_files = [
+                f for d in new_pages
+                for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+            ]
+            if page_files:
+                written = rasterize_pages(
+                    rd.read_parquet(
+                        page_files, columns=["doc_id", "text", "status"]),
+                    args.raster_dir,
+                )
+                partials = written.map_batches(
+                    lambda b: b.group_by("status").aggregate(
+                        [("doc_id", "count")]),
+                    batch_format="pyarrow",
+                ).take_all()  # ≤ statuses × blocks rows
+                counts: dict[str, int] = {}
+                for r in partials:
+                    counts[r["status"]] = (
+                        counts.get(r["status"], 0) + r["doc_id_count"]
+                    )
+                summary["raster"] = counts
+            else:
+                summary["raster"] = "unchanged"
         if not args.skip_index:
             new_parts = sorted(
                 set(glob.glob(f"{args.out}/postings/part=*")) - before

@@ -9,11 +9,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def _run_job(input_dir, out_dir):
+def _run_job(input_dir, out_dir, *extra):
     proc = subprocess.run(
         [sys.executable, "/root/repo/jobs/ingest_job.py",
          "--input", str(input_dir), "--out", str(out_dir),
-         "--num-cpus", "4"],
+         "--num-cpus", "4", *extra],
         capture_output=True, text=True, timeout=240,
         env={**os.environ, "PYTHONPATH": "/root/repo",
              "RAY_ADDRESS": "local"},
@@ -41,15 +41,25 @@ def test_sync_cycle_ingests_new_fragments_and_merges_index(tmp_path):
         pq.write_table(pa.Table.from_pandas(sub.to_pandas(), preserve_index=False),
                        input_dir / f"frag-{i}.parquet")
 
-    s1 = _run_job(input_dir, out_dir)
+    raster_dir = str(tmp_path / "png")
+    s1 = _run_job(input_dir, out_dir, "--raster-dir", raster_dir)
     assert s1["processed"] == 2 and s1["index"] == "full_build"
+    import glob as _glob
+
+    n_png_1 = len(_glob.glob(f"{raster_dir}/*.png"))
+    assert s1["raster"].get("ok", 0) == n_png_1 > 0
 
     # the poll interval elapses; a new fragment lands
     pq.write_table(pa.Table.from_pandas(frags[2].to_pandas(), preserve_index=False),
                    input_dir / "frag-2.parquet")
-    s2 = _run_job(input_dir, out_dir)
+    s2 = _run_job(input_dir, out_dir, "--raster-dir", raster_dir)
     assert s2["skipped_done"] == 2 and s2["processed"] == 1
     assert isinstance(s2["index"], dict) and s2["index"]["buckets_affected"] > 0
+    # only the NEW fragment's pages rasterized this cycle, additively
+    assert s2["raster"].get("ok", 0) > 0
+    assert len(_glob.glob(f"{raster_dir}/*.png")) == (
+        n_png_1 + s2["raster"]["ok"]
+    )
 
     # merged index == full postings relation
     idx_rows = rd.read_parquet(str(out_dir / "postings_index")).count()
