@@ -81,6 +81,18 @@ class PageRasterizer:
         )
 
 
+def read_page_image(artifact_dir: str, img_path: str) -> bytes:
+    """Resolve a search hit's ``img_path`` to its PNG bytes — the engine's
+    equivalent of the reference's static file serving
+    (``src/ApiServer/ApiHandler.const.js:49-58``: ``GET /pageImg/<imgPath>``
+    over ``express.static('data/png')``). Raises ``FileNotFoundError`` when
+    the page was quarantined (never rasterized)."""
+    if os.path.basename(img_path) != img_path:
+        raise ValueError("img_path is a flat <doc_id>.png name")
+    with open(os.path.join(artifact_dir, img_path), "rb") as f:
+        return f.read()
+
+
 def rasterize_pages(pages, artifact_dir: str, *, backend_factory=None,
                     batch_size: int = 256):
     """PAGES dataset → artifact-row dataset; one ``<doc_id>.png`` written

@@ -100,14 +100,14 @@ def test_search_hit_img_path_resolves_to_page_image(tmp_path):
         r["doc_id"]: r["text"]
         for r in pages.take_all()
     }
+    from ocr_search_ray.stages.raster import read_page_image
+
     for i in range(hits.num_rows):
         img_path = hits.column("img_path")[i].as_py()
         did = hits.column("doc_id")[i].as_py()
         assert img_path == f"{did}.png"
-        full = os.path.join(art, img_path)
-        assert os.path.exists(full), "search hit must render"
-        with open(full, "rb") as f:
-            img = decode_png(f.read())
+        # the GET /pageImg/<imgPath> equivalent (ApiHandler.const.js:49-58)
+        img = decode_png(read_page_image(art, img_path))
         got = read_page_text(img)
         # exact pixel-level contract: the artifact decodes to precisely
         # what rendering this page's text produces (wrap/cap included)
