@@ -115,6 +115,42 @@ def test_search_hit_img_path_resolves_to_page_image(tmp_path):
         assert got == expect and got
 
 
+def test_packed_artifact_layout_point_lookup(tmp_path):
+    """The scale layout: PNGs packed as a binary parquet column in doc-id
+    hash buckets; a point lookup opens only its bucket and returns bytes
+    identical to the flat layout's file."""
+    from ocr_search_ray.stages.raster import (
+        rasterize_pages,
+        rasterize_pages_packed,
+        read_page_image,
+        read_page_image_packed,
+    )
+
+    flat = str(tmp_path / "flat")
+    packed = str(tmp_path / "packed")
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([f"doc{i}" for i in range(30)] + ["bad"]),
+                "text": pa.array([f"page text {i}" for i in range(30)]
+                                 + [""]),
+                "status": pa.array(["ok"] * 30 + ["error"]),
+            }
+        )
+    )
+    rasterize_pages(pages, flat).materialize()
+    rasterize_pages_packed(pages, packed, n_buckets=8)
+    assert len(glob.glob(f"{packed}/png_bucket=*")) > 1
+
+    for did in ("doc0", "doc7", "doc29"):
+        assert read_page_image_packed(packed, did, n_buckets=8) == \
+            read_page_image(flat, f"{did}.png")
+    with pytest.raises(FileNotFoundError):
+        read_page_image_packed(packed, "bad", n_buckets=8)  # quarantined
+    with pytest.raises(FileNotFoundError):
+        read_page_image_packed(packed, "missing", n_buckets=8)
+
+
 def test_pillow_backend_is_import_guarded():
     from ocr_search_ray.functions.raster import PillowRasterBackend
 
