@@ -172,12 +172,13 @@ def search_index_bm25(index_dir: str, pages_path: str, dl_path: str,
                       history_dir: str | None = None) -> pa.Table:
     """BM25 ranking over the ON-DISK layout: bucket-pruned posting read
     (only the query terms' ``term_bucket`` dirs, term predicate pushed
-    down), df per term from the filtered rows, per-doc lengths joined
-    from the :func:`write_doc_lengths` sidecar (a distributed
-    ``cluster_join`` — the dl table is corpus-sized and never collects),
-    integer-quantized scores, distributed top-k, pages point-lookup.
-    ``n_docs`` is the corpus page count (a build-time constant, like the
-    sidecar)."""
+    down), df per term as block partials reduced into a ≤|query|-entry
+    driver dict (query-bounded, so a grouped exchange + join would buy
+    nothing), per-doc lengths joined from the :func:`write_doc_lengths`
+    sidecar (a distributed ``cluster_join`` — the dl table is corpus-sized
+    and never collects), integer-quantized scores, distributed top-k,
+    pages point-lookup. ``n_docs`` is the corpus page count (a build-time
+    constant, like the sidecar)."""
     import glob as _glob
 
     import pyarrow.compute as pc
@@ -224,17 +225,22 @@ def search_index_bm25(index_dir: str, pages_path: str, dl_path: str,
     )
     avgdl = float(total_tf) / float(n_docs)
 
-    df_table = grouped_agg(hits_tf, ["term"], [("df", "tf", "count")])
-    with_df = cluster_join(
-        hits_tf, df_table, ["term"],
+    hits_tf = hits_tf.materialize()  # two consumers: df partials + dl join
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("term").aggregate([("tf", "count")])
+
+    df: dict[str, int] = {}
+    for r in hits_tf.map_batches(
+            df_partial, batch_format="pyarrow").take_all():
+        df[r["term"]] = df.get(r["term"], 0) + r["tf_count"]
+    terms_arr = pa.array(terms, pa.string())
+    df_arr = pa.array([float(df.get(t, 0)) for t in terms], pa.float64())
+
+    with_dl = cluster_join(
+        hits_tf, dl_ds, ["doc_id"],
         left_types={"doc_id": pa.string(), "term": pa.string(),
                     "tf": pa.int64()},
-        right_types={"df": pa.int64()},
-    )
-    with_dl = cluster_join(
-        with_df, dl_ds, ["doc_id"],
-        left_types={"doc_id": pa.string(), "term": pa.string(),
-                    "tf": pa.int64(), "df": pa.int64()},
         right_types={"dl": pa.int64()},
     )
 
@@ -243,7 +249,9 @@ def search_index_bm25(index_dir: str, pages_path: str, dl_path: str,
     one_minus_b = 1.0 - b
 
     def score_units(batch: pa.Table) -> pa.Table:
-        dfd = pc.cast(batch.column("df"), pa.float64())
+        dfd = pc.take(
+            df_arr, pc.index_in(batch.column("term"), value_set=terms_arr)
+        )
         tfd = pc.cast(batch.column("tf"), pa.float64())
         dld = pc.cast(batch.column("dl"), pa.float64())
         idf = pc.ln(

@@ -271,12 +271,15 @@ def bm25_search(postings, pages, query: str,
     oracle compares integers — float summation order never matters.
 
     Physical plan: postings filter to the query terms (df per term falls
-    out of the filtered rows — df(t) = that term's row count); per-doc
-    lengths come from the FULL posting stream via one grouped exchange
-    joined to the hit rows (at deployment scale dl is a precomputed
-    column; here it is derived); per-doc integer sums ride the int-key
-    exchange; distributed top-k BEFORE any collect; pages point-lookup
-    for ≤ ``max_return`` ids.
+    out of the filtered rows — df(t) = that term's row count, reduced as
+    per-block partials into a ≤|query|-entry driver dict and broadcast
+    back, NOT a grouped exchange + join: df's key space is query-bounded,
+    so two all-to-alls would buy nothing); per-doc lengths come from the
+    FULL posting stream via one grouped exchange joined to the hit rows
+    (dl's key space IS corpus-scaled — at deployment scale dl is a
+    precomputed column; here it is derived); per-doc integer sums ride
+    the int-key exchange; distributed top-k BEFORE any collect; pages
+    point-lookup for ≤ ``max_return`` ids.
     """
     from .relational import cluster_apply, cluster_join, grouped_agg
 
@@ -307,20 +310,28 @@ def bm25_search(postings, pages, query: str,
         return batch.filter(mask)
 
     hits_tf = postings.map_batches(_filter, batch_format="pyarrow")
+    # two consumers below (df partials, dl-join scoring) — materialize so
+    # the postings filter (a full corpus scan) runs once
+    hits_tf = hits_tf.materialize()
 
-    # df per query term from the filtered rows themselves (df = row count)
-    df_table = grouped_agg(hits_tf, ["term"], [("df", "tf", "count")])
-    with_df = cluster_join(
-        hits_tf, df_table, ["term"],
-        left_types={"doc_id": pa.string(), "term": pa.string(),
-                    "tf": pa.int64()},
-        right_types={"df": pa.int64()},
-    )
+    # df per query term: per-block partial counts → driver dict of
+    # ≤ |query_terms| entries (bounded by the QUERY, not the corpus — a
+    # hot term contributes one int per block, never its hit rows)
+    def df_partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("term").aggregate([("tf", "count")])
+
+    df: dict[str, int] = {}
+    for r in hits_tf.map_batches(
+            df_partial, batch_format="pyarrow").take_all():
+        df[r["term"]] = df.get(r["term"], 0) + r["tf_count"]
+    df_arr = pa.array([float(df.get(t, 0)) for t in query_terms],
+                      pa.float64())
+
     dl_table = grouped_agg(postings, ["doc_id"], [("dl", "tf", "sum")])
     with_dl = cluster_join(
-        with_df, dl_table, ["doc_id"],
+        hits_tf, dl_table, ["doc_id"],
         left_types={"doc_id": pa.string(), "term": pa.string(),
-                    "tf": pa.int64(), "df": pa.int64()},
+                    "tf": pa.int64()},
         right_types={"dl": pa.int64()},
     )
 
@@ -329,7 +340,9 @@ def bm25_search(postings, pages, query: str,
 
     def score_units(batch: pa.Table) -> pa.Table:
         nd = pa.scalar(n_docs, pa.float64())
-        dfd = pc.cast(batch.column("df"), pa.float64())
+        dfd = pc.take(
+            df_arr, pc.index_in(batch.column("term"), value_set=terms_arr)
+        )
         tfd = pc.cast(batch.column("tf"), pa.float64())
         dld = pc.cast(batch.column("dl"), pa.float64())
         idf = pc.ln(
