@@ -138,6 +138,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("search_bm25", q.q_search_bm25)
     timed("dedup_incremental", q.q_dedup_incremental)
     timed("pagerank", q.q_pagerank)
+    timed("search_expanded", q.q_search_expanded)  # r4: tcr*tf expansion
+    timed("page_images", q.q_page_images)  # r4: S8 artifact sink
     return timings
 
 
