@@ -171,7 +171,14 @@ def rasterize_pages_packed(pages, artifact_dir: str, *,
     """The SCALE artifact sink: PNG bytes packed as a binary parquet
     column, bucketed ``png_bucket=crc32(doc_id)%n_buckets`` dirs — few
     large files per bucket instead of one file per page. One point lookup
-    opens one bucket dir (:func:`read_page_image_packed`)."""
+    opens one bucket dir (:func:`read_page_image_packed`).
+
+    Write ONCE per corpus snapshot into a fresh ``artifact_dir``: a rerun
+    into a populated dir appends part files (duplicate doc_id rows —
+    reads stay deterministic since every copy carries identical bytes,
+    but storage grows). Incremental per-cycle artifact writes should use
+    the flat layout (:func:`rasterize_pages`, per-file ``os.replace``
+    idempotency) or write each micro-batch to its own subdir."""
     pages.select_columns(["doc_id", "text", "status"]).map_batches(
         PackedPageRasterizer(backend_factory, n_buckets),
         batch_format="pyarrow",
