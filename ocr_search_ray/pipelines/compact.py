@@ -49,6 +49,9 @@ def delete_from_index(index_dir: str, doomed_postings: pa.Table,
 
     from ..stages.index import N_BUCKETS_DEFAULT, term_bucket
 
+    from ..state.atomic import recover_all
+
+    recover_all(index_dir, "term_bucket=*")
     n_buckets = n_buckets or N_BUCKETS_DEFAULT
     if doomed_postings.num_rows == 0:
         return {"buckets_affected": 0, "postings_removed": 0}
@@ -67,6 +70,9 @@ def delete_from_index(index_dir: str, doomed_postings: pa.Table,
 
         import pyarrow.parquet as pq2
 
+        from ocr_search_ray.state.atomic import recover_aside, swap_dir_in
+
+        recover_aside(bucket_dir)
         if not os.path.isdir(bucket_dir):
             return 0
         table = pq2.read_table(bucket_dir)
@@ -80,8 +86,7 @@ def delete_from_index(index_dir: str, doomed_postings: pa.Table,
         os.makedirs(tmp)
         pq2.write_table(kept, os.path.join(tmp, "part-0.parquet"),
                         compression="zstd")
-        shutil.rmtree(bucket_dir)
-        os.rename(tmp, bucket_dir)
+        swap_dir_in(tmp, bucket_dir)  # crash-safe: bucket never missing
         return removed
 
     futures = [
@@ -129,6 +134,13 @@ def compact_delete_on_disk(out_dir: str, deleted_urls: set[str],
 
     from ..state import manifest as manifest_mod
 
+    from ..state.atomic import recover_all
+
+    # heal any partition left aside by a crashed previous compaction —
+    # including partitions today's delete set would never touch
+    recover_all(os.path.join(out_dir, "pages"), "part=*")
+    recover_all(os.path.join(out_dir, "postings"), "part=*")
+
     deleted = sorted(deleted_urls)
     deleted_arr = pa.array(deleted, pa.string())
     manifest_dir = os.path.join(out_dir, "_manifest")
@@ -154,8 +166,12 @@ def compact_delete_on_disk(out_dir: str, deleted_urls: set[str],
 
         import pyarrow.parquet as pq2
 
+        from ocr_search_ray.state.atomic import recover_aside, swap_dir_in
+
         t0 = _time.monotonic()
         del_arr = deleted_ref  # ObjectRef args arrive dereferenced
+        recover_aside(pages_dir)
+        recover_aside(postings_dir)
         pages = pq2.read_table(pages_dir)
         doomed_mask = pc.is_in(pages.column("url"), value_set=del_arr)
         n_doomed = pc.sum(doomed_mask).as_py() or 0
@@ -180,8 +196,10 @@ def compact_delete_on_disk(out_dir: str, deleted_urls: set[str],
             os.makedirs(tmp)
             pq2.write_table(table, os.path.join(tmp, "part-0.parquet"),
                             compression="zstd")
-            shutil.rmtree(src_dir)
-            os.rename(tmp, src_dir)
+            # crash-safe: a crash can no longer leave the partition
+            # missing — may_contain() on a vanished dir returns False and
+            # would silently skip the partition forever
+            swap_dir_in(tmp, src_dir)
         manifest_mod.append_row(
             manifest_dir,
             partition_id=pid,

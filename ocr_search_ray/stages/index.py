@@ -209,6 +209,13 @@ def merge_into_index(new_postings, index_dir: str,
 
     import ray
 
+    from ..state.atomic import recover_all
+
+    # heal buckets left aside by a crashed previous merge — including
+    # buckets this merge won't touch (their per-bucket recovery would
+    # otherwise wait for the next merge that happens to hit them)
+    recover_all(index_dir, "term_bucket=*")
+
     staging = tempfile.mkdtemp(prefix="osr-merge-", dir="/tmp")
     try:
         add_term_bucket(new_postings, n_buckets).write_parquet(
@@ -222,6 +229,14 @@ def merge_into_index(new_postings, index_dir: str,
 
             import pyarrow.parquet as pq2
 
+            from ocr_search_ray.state.atomic import (
+                recover_aside,
+                swap_dir_in,
+            )
+
+            # heal a crashed predecessor BEFORE reading the bucket as
+            # merge input (else its rows would silently vanish)
+            recover_aside(bucket_dir)
             new_rows = pq2.read_table(
                 new_dir, columns=["doc_id", "term", "tf"])
             # staging was written from the dictionary-encoded exchange
@@ -246,8 +261,10 @@ def merge_into_index(new_postings, index_dir: str,
             os.makedirs(tmp)
             pq2.write_table(merged, os.path.join(tmp, "part-0.parquet"),
                             compression="zstd")
-            shutil.rmtree(bucket_dir, ignore_errors=True)
-            os.rename(tmp, bucket_dir)
+            # crash-safe swap (aside + recovery): the bucket is never
+            # simply missing, and readers never see old+new mixed
+            # (duplicate posting rows would double-count tf)
+            swap_dir_in(tmp, bucket_dir)
             return new_rows.num_rows
 
         futures = []
