@@ -160,10 +160,13 @@ def q_search_expanded(sf_dir: str):
     from ..stages.search import expanded_search
 
     stages = ingest(read_webpages(sf_dir))
-    corr = term_correlations(stages["postings"])
+    # three consumers of the ingest lineage (correlations, scoring, page
+    # join) — pin once instead of re-running extract+tokenize per consumer
+    postings = stages["postings"].materialize()
+    pages = stages["pages"].materialize()
+    corr = term_correlations(postings)
     return expanded_search(
-        stages["postings"], stages["pages"], corr,
-        "Spark MERGE data!", max_return=20,
+        postings, pages, corr, "Spark MERGE data!", max_return=20,
     )
 
 

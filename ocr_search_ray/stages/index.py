@@ -335,6 +335,9 @@ def tfidf_weights(postings, pages):
     """
     from .relational import cluster_join
 
+    # postings feeds two scans (df stats, join left) — pin once so a lazy
+    # fresh-ingest input doesn't re-run its whole chain per consumer
+    postings = postings.materialize()
     n_docs = float(pages.count())
     df_table = term_stats(postings).map_batches(
         lambda t: t.select(["term", "df"]), batch_format="pyarrow"
@@ -383,6 +386,9 @@ def bm25_weights(postings, pages, *, k1: float = 1.2, b: float = 0.75):
 
     from .relational import cluster_join, grouped_agg
 
+    # postings feeds FOUR scans (total_tf, df stats, join left, dl agg) —
+    # pin once (same rationale as tfidf_weights/bm25_search)
+    postings = postings.materialize()
     n_docs = float(pages.count())
 
     def tf_partial(batch: pa.Table) -> pa.Table:

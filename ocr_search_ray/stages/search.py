@@ -289,6 +289,14 @@ def bm25_search(postings, pages, query: str,
     if not query_terms:
         return pa.table({c: [] for c in _RESULT_COLUMNS})
 
+    # postings feeds THREE scans (total_tf, term filter, dl aggregate) and
+    # pages two (count, hit join). Ray re-executes a lazy lineage per
+    # consumer — with a fresh-ingest input that multiplies the whole
+    # extract+tokenize chain — so pin both once (object-store-resident,
+    # spillable; a parquet-backed input pins only its read).
+    postings = postings.materialize()
+    pages = pages.materialize()
+
     n_docs = float(pages.count())
 
     def tf_partial(batch: pa.Table) -> pa.Table:
