@@ -610,7 +610,9 @@ def q_compact_delete(sf_dir: str):
         for r in read_webpages(sf_dir).select_columns(["url"])
         .map_batches(doomed, batch_format="pyarrow").take_all()
     }
-    pages2, postings2 = delete_urls(stages["pages"], stages["postings"], deleted)
+    # pages feeds two scans inside delete_urls (doomed ids + anti filter)
+    pages2, postings2 = delete_urls(
+        stages["pages"].materialize(), stages["postings"], deleted)
     return postings2.select_columns(["doc_id", "term", "tf"])
 
 
