@@ -177,6 +177,10 @@ def pagerank_fixed(edges, *, iters: int = 3, scale: int = 10**12,
 
     from .relational import cluster_apply
 
+    # edges feeds FOUR scans (src nodes, dst nodes, outdeg, join left) —
+    # pin once (CLAUDE.md: Ray re-executes lineage per consumer)
+    edges = edges.materialize()
+
     def srcs(b: pa.Table) -> pa.Table:
         return pa.table({"node": b.column(src_col).cast(pa.int64())})
 
