@@ -107,6 +107,47 @@ def test_topk_customers_driver_collect_bounded(monkeypatch):
     assert max(collected) <= 10, collected
 
 
+def test_expanded_search_driver_collect_bounded(monkeypatch):
+    """The tcr*tf expansion path: driver collects are bounded by the QUERY
+    (expansion weights ≤ |terms|×num_neighbors) and by max_return — never
+    by a hot term's hit set or the correlation table."""
+    from ocr_search_ray.stages.search import expanded_search
+
+    n, k = 4000, 10
+    postings, pages, _ = _hot_corpus(n)
+    # a corpus-scaled correlation table: the anchor term vs thousands of
+    # neighbors — only the top-5 may ever reach the driver
+    from ocr_search_ray.functions.tokenizer import Tokenizer
+
+    anchor = list(Tokenizer().term_freqs("zebra").keys())[0]
+    corr = rd.from_arrow(
+        pa.table(
+            {
+                "term1": pa.array([anchor] * 2000),
+                "term2": pa.array([f"n{i:05d}" for i in range(2000)]),
+                "tcr": pa.array([(i % 83) / 100.0 for i in range(2000)]),
+            }
+        )
+    ).repartition(8)
+
+    collected: list[int] = []
+    orig = rd.Dataset.take_all
+
+    def spy(self, *a, **kw):
+        rows = orig(self, *a, **kw)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(rd.Dataset, "take_all", spy)
+    out = expanded_search(
+        rd.from_arrow(postings).repartition(8),
+        rd.from_arrow(pages).repartition(8),
+        corr, "zebra", max_return=k,
+    )
+    assert out.num_rows == k
+    assert collected and max(collected) <= k, collected
+
+
 def test_bm25_ranks_rare_term_matches_first():
     """BM25 semantics sanity (beyond the oracle): a doc matching the RARE
     query term outranks docs matching only the ubiquitous one, even at
