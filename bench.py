@@ -266,6 +266,24 @@ def main() -> int:
         }))
         return 0
 
+    if "--profile" in sys.argv:
+        # per-stage ds.stats() for the flagship — the tuning feedback loop
+        # (wall/cpu/rows per operator, straight from Ray's instrumentation)
+        import ray
+        import ray.data as rd
+
+        from ocr_search_ray.pipelines.ingest import ingest
+        from ocr_search_ray.sources.webpages import read_webpages
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        rd.DataContext.get_current().enable_progress_bars = False
+        pages = ingest(read_webpages(sf_dir))["pages"].materialize()
+        print(pages.stats())
+        ray.shutdown()
+        return 0
+
     with_queries = "--single-level" not in sys.argv
     r = _bench_once(sf_dir, num_cpus, with_queries=with_queries)
     print(json.dumps({
