@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "page_images": q.q_page_images,  # S8 artifact sink (r4)
         "search_expanded": q.q_search_expanded,  # tcr*tf expansion (r4)
+        "ann_ivf_add": q.q_ann_ivf_add,  # incremental IVF adds (r4)
         "ngram_counts": q.q_ngram_counts,
         "domain_stats": q.q_domain_stats,
         "clean_text": q.q_clean_text,
@@ -1767,6 +1768,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE pf.url NOT IN (SELECT url FROM web WHERE doc_id % 50 = 0)
         """,
         "ann_ivf_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 5
+            ),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                       AS score
+              FROM embeddings e, q
+            ),
+            r AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+              FROM s
+            )
+            SELECT query_id, vec_id, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 10
+        """,
+        "ann_ivf_add": """
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
               FROM embeddings WHERE vec_id < 5

@@ -1046,6 +1046,44 @@ def q_ann_ivf_disk(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_ann_ivf_add(sf_dir: str):
+    """Incremental IVF adds under the oracle: build the on-disk index from
+    the EVEN-id half of the vectors, add the odd half incrementally
+    (assign-to-existing-centroids, crash-safe cell merges), re-add it once
+    more to prove idempotency, then a full-probe search must equal exact
+    brute-force cosine top-k over the WHOLE table."""
+    import shutil
+    import tempfile
+
+    from ..stages.similarity import (
+        add_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def half(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            rem = pc.subtract(
+                b.column("vec_id"),
+                pc.multiply(pc.divide(b.column("vec_id"), 2), 2),
+            )
+            return b.filter(pc.equal(rem, parity))
+
+        return emb.map_batches(f, batch_format="pyarrow")
+
+    tmp = tempfile.mkdtemp(prefix="osr-ivfadd-", dir="/tmp")
+    try:
+        build_ivf_index(half(0), tmp, n_centroids=16)
+        add_to_ivf_index(half(1), tmp)
+        add_to_ivf_index(half(1), tmp)  # idempotent re-add: no duplicates
+        out = search_ivf_index(tmp, _query_vectors(sf_dir), k=10, nprobe=16)
+        return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_heavy_terms(sf_dir: str):
     """Exact heavy hitters (cf ≥ 900) via the Misra-Gries sketch+verify plan."""
     from ..stages.index import heavy_terms

@@ -367,6 +367,96 @@ def build_ivf_index(embeddings, out_dir: str, *, n_centroids=16,
     )
 
 
+def add_to_ivf_index(new_embeddings, index_dir: str, *,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> dict:
+    """Incremental vector adds to an on-disk IVF index — the ANN member of
+    the micro-batch lifecycle family (``index.merge_into_index``,
+    ``dedup_disk``, ``neardup_disk``): arriving vectors assign to the
+    EXISTING centroids (the tiny centroid table broadcasts; no retrain —
+    the standard IVF add posture; retrain when cell-size skew says the
+    coarse quantizer drifted) and merge into ONLY their cells, one
+    crash-safe aside swap per affected cell. Idempotent: each cell merge
+    dedups on ``id_col`` keeping the existing row first, so a crash-rerun
+    cannot double-insert a vector (duplicate rows would duplicate search
+    candidates). Returns counters; newly added vectors are immediately
+    visible to ``search_ivf_index``."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    from ..state.atomic import recover_all
+
+    recover_all(os.path.join(index_dir, "cells"), "cell=*")
+    cen_table = _pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    centroids = np.array(cen_table.column("vector").to_pylist(),
+                         dtype=np.float64)
+    c_ref = ray.put(centroids)
+
+    def assign_cells(batch: pa.Table) -> pa.Table:
+        cen = ray.get(c_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        assign = np.argmax(m @ cen.T, axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(assign, pa.int32()))
+
+    staging = tempfile.mkdtemp(prefix="osr-ivfadd-", dir="/tmp")
+    try:
+        new_embeddings.select_columns([id_col, vec_col]).map_batches(
+            assign_cells, batch_format="pyarrow"
+        ).write_parquet(staging, partition_cols=["cell"],
+                        compression="zstd")
+
+        @ray.remote
+        def merge_cell(cell_dir: str, new_dir: str) -> int:
+            import os
+            import shutil as _sh
+
+            import pyarrow.parquet as pq2
+
+            from ocr_search_ray.state.atomic import (
+                recover_aside,
+                swap_dir_in,
+            )
+
+            recover_aside(cell_dir)
+            new_rows = pq2.read_table(new_dir, columns=[id_col, vec_col])
+            parts = []
+            if os.path.isdir(cell_dir):
+                parts.append(pq2.read_table(
+                    cell_dir, columns=[id_col, vec_col]))
+            parts.append(new_rows)
+            both = pa.concat_tables(parts, promote_options="permissive")
+            # keep-first per id: existing rows precede new ones → rerun
+            # of the same add is a no-op on content
+            import numpy as _np
+
+            ids = both.column(id_col).to_numpy(zero_copy_only=False)
+            _, first_idx = _np.unique(ids, return_index=True)
+            merged = both.take(pa.array(sorted(first_idx), pa.int64()))
+            tmp = cell_dir + ".tmp"
+            _sh.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            pq2.write_table(merged, os.path.join(tmp, "part-0.parquet"),
+                            compression="zstd")
+            swap_dir_in(tmp, cell_dir)
+            return new_rows.num_rows
+
+        futures = []
+        affected = sorted(_glob.glob(os.path.join(staging, "cell=*")))
+        for new_dir in affected:
+            part = os.path.basename(new_dir)
+            futures.append(merge_cell.remote(
+                os.path.join(index_dir, "cells", part), new_dir))
+        added = sum(ray.get(futures))
+        return {"cells_affected": len(affected), "rows_added": added}
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def search_ivf_index(index_dir: str, queries: dict[int, list[float]], *,
                      k: int = 10, nprobe: int = 4, id_col: str = "vec_id",
                      vec_col: str = "embedding"):

@@ -231,6 +231,45 @@ def test_on_disk_ivf_index_full_probe_equals_brute(tmp_path):
         assert (q, q) in narrow
 
 
+def test_ivf_incremental_add_lifecycle(tmp_path):
+    """add_to_ivf_index: a vector added AFTER the build is immediately
+    searchable, a re-add is a content no-op (idempotent cell merges), and
+    full-probe results equal brute force over the union."""
+    from ocr_search_ray.stages.similarity import (
+        add_to_ivf_index,
+        ann_brute_topk,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    ds, vecs = _embeddings()
+    idx = str(tmp_path / "ivf")
+    base = ds.filter(lambda r: r["vec_id"] < 150)  # excludes the planted dup
+    build_ivf_index(base, idx, n_centroids=8)
+
+    queries = {0: list(map(float, vecs[0]))}
+    before = search_ivf_index(idx, queries, k=3, nprobe=8).take_all()
+    assert 150 not in [r["vec_id"] for r in before]
+
+    tail = ds.filter(lambda r: r["vec_id"] >= 150)
+    stats = add_to_ivf_index(tail, idx)
+    assert stats["rows_added"] == 50 and stats["cells_affected"] >= 1
+    again = add_to_ivf_index(tail, idx)
+    assert again["rows_added"] == 50  # same input, merge dedups on id
+
+    after = search_ivf_index(idx, queries, k=3, nprobe=8).take_all()
+    # the planted near-dup (vec 150 ≈ vec 0) now ranks right behind vec 0
+    assert [r["vec_id"] for r in sorted(after, key=lambda r: r["rank"])][:2] \
+        == [0, 150]
+    # full probe over the union == brute force over everything
+    brute = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in ann_brute_topk(ds, queries, k=5).take_all()}
+    disk = {(r["query_id"], r["rank"]): r["vec_id"]
+            for r in search_ivf_index(idx, queries, k=5,
+                                      nprobe=8).take_all()}
+    assert disk == brute
+
+
 def test_ivf_hash_seed_unbiased_and_auto_sizing():
     """Seeds come from a content-hash sample, not the n smallest ids — at a
     sequential id layout the smallest-id rule would pick one contiguous
