@@ -457,6 +457,64 @@ def add_to_ivf_index(new_embeddings, index_dir: str, *,
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def delete_from_ivf_index(index_dir: str, doomed_ids, *,
+                          id_col: str = "vec_id") -> dict:
+    """Delete vectors from the on-disk IVF index WITHOUT a rebuild — the
+    ANN analogue of ``compact.delete_from_index``. A deleted vector's cell
+    is unknown (only its id survives deletion upstream), so every cell is
+    anti-filtered in a parallel Ray task; cells holding none of the doomed
+    ids are read once and left byte-untouched, affected cells rewrite
+    under the aside swap. The doomed id set is delete-cohort-sized driver
+    state (broadcast via ``ray.put``), matching the posting cascade's
+    convention. Returns counters."""
+    import glob as _glob
+    import os
+
+    import pyarrow.compute as pc
+    import ray
+
+    from ..state.atomic import recover_all
+
+    cells_root = os.path.join(index_dir, "cells")
+    recover_all(cells_root, "cell=*")
+    ids_arr = pa.array(sorted(set(
+        doomed_ids.to_pylist() if hasattr(doomed_ids, "to_pylist")
+        else doomed_ids
+    )))
+    ids_ref = ray.put(ids_arr)
+
+    @ray.remote
+    def rewrite_cell(cell_dir: str, ids) -> int:
+        import os
+        import shutil as _sh
+
+        import pyarrow.parquet as pq2
+
+        from ocr_search_ray.state.atomic import swap_dir_in
+
+        table = pq2.read_table(cell_dir)
+        keep = pc.invert(pc.is_in(table.column(id_col), value_set=ids))
+        kept = table.filter(keep)
+        removed = table.num_rows - kept.num_rows
+        if removed == 0:
+            return 0  # untouched cell keeps its exact files
+        tmp = cell_dir + ".tmp"
+        _sh.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq2.write_table(kept, os.path.join(tmp, "part-0.parquet"),
+                        compression="zstd")
+        swap_dir_in(tmp, cell_dir)
+        return removed
+
+    futures = [
+        rewrite_cell.remote(d, ids_ref)
+        for d in sorted(_glob.glob(os.path.join(cells_root, "cell=*")))
+    ]
+    removed = [r for r in ray.get(futures)]
+    return {"cells_rewritten": sum(1 for r in removed if r),
+            "vectors_removed": sum(removed)}
+
+
 def search_ivf_index(index_dir: str, queries: dict[int, list[float]], *,
                      k: int = 10, nprobe: int = 4, id_col: str = "vec_id",
                      vec_col: str = "embedding"):

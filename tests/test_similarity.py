@@ -269,6 +269,26 @@ def test_ivf_incremental_add_lifecycle(tmp_path):
                                       nprobe=8).take_all()}
     assert disk == brute
 
+    # deletion cascade: remove the planted dup, no rebuild — it vanishes
+    # from results; untouched cells keep their exact files
+    import glob as _glob
+    import os
+
+    from ocr_search_ray.stages.similarity import delete_from_ivf_index
+
+    before_files = {
+        f: os.path.getmtime(f)
+        for f in _glob.glob(os.path.join(idx, "cells", "*", "*.parquet"))
+    }
+    stats = delete_from_ivf_index(idx, [150, 9999])
+    assert stats["vectors_removed"] == 1
+    assert stats["cells_rewritten"] == 1
+    gone = search_ivf_index(idx, queries, k=3, nprobe=8).take_all()
+    assert 150 not in [r["vec_id"] for r in gone]
+    unchanged = [f for f, m in before_files.items()
+                 if os.path.exists(f) and os.path.getmtime(f) == m]
+    assert len(unchanged) >= len(before_files) - 1
+
 
 def test_ivf_hash_seed_unbiased_and_auto_sizing():
     """Seeds come from a content-hash sample, not the n smallest ids — at a
