@@ -92,6 +92,19 @@ def _read_pages_for_hits(pages_path: str, hit_ids: list[str],
     )
 
 
+def _heal_index(index_dir: str) -> None:
+    """Best-effort read-side healing: a bucket left aside by a crashed
+    merge would otherwise be silently invisible to queries until the next
+    merge touches it. No-op on a read-only mount (healing is then the
+    writers' job)."""
+    from ..state.atomic import recover_all
+
+    try:
+        recover_all(index_dir, "term_bucket=*")
+    except OSError:
+        pass
+
+
 def search_index(index_dir: str, pages_path: str, query: str,
                  max_return: int = DEFAULT_MAX_RETURN,
                  *, n_buckets: int = N_BUCKETS_DEFAULT,
@@ -111,6 +124,7 @@ def search_index(index_dir: str, pages_path: str, query: str,
             {c: [] for c in ["url", "page_idx", "img_path", "doc_id", "score"]}
         )
 
+    _heal_index(index_dir)
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     # bucket pruning by partition path (only the buckets that can contain a
     # query term are opened) + row pruning via a term predicate pushed into
@@ -197,6 +211,7 @@ def search_index_bm25(index_dir: str, pages_path: str, dl_path: str,
     if not terms:
         return empty
 
+    _heal_index(index_dir)
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     paths = [
         f

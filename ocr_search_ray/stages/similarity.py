@@ -530,6 +530,12 @@ def search_ivf_index(index_dir: str, queries: dict[int, list[float]], *,
     import ray
     import ray.data as rd
 
+    from ..state.atomic import recover_all
+
+    try:  # read-side healing; no-op on a read-only mount
+        recover_all(os.path.join(index_dir, "cells"), "cell=*")
+    except OSError:
+        pass
     cen_table = _pq.read_table(os.path.join(index_dir, "centroids.parquet"))
     centroids = np.array(cen_table.column("vector").to_pylist(),
                          dtype=np.float64)

@@ -52,6 +52,35 @@ def test_swap_and_recovery_protocol(tmp_path):
         "part=0", "part=1", "part=2"]
 
 
+def test_query_path_heals_crashed_bucket(tmp_path):
+    """A search against an index whose bucket sits aside (mid-crash) must
+    heal it and return that bucket's hits — not silently miss them."""
+    from ocr_search_ray.functions.tokenizer import Tokenizer
+    from ocr_search_ray.pipelines.query import search_index
+    from ocr_search_ray.stages.index import build_index
+
+    idx = str(tmp_path / "idx")
+    term = next(iter(Tokenizer().term_freqs("zebra")))
+    build_index(
+        rd.from_arrow(pa.table({"doc_id": pa.array(["d1"]),
+                                "term": pa.array([term]),
+                                "tf": pa.array([2], pa.int64())})),
+        out_dir=idx,
+    )
+    (bucket,) = glob.glob(os.path.join(idx, "term_bucket=*"))
+    os.rename(bucket, bucket + ".old")
+
+    pages_dir = str(tmp_path / "pages")
+    rd.from_arrow(
+        pa.table({"doc_id": pa.array(["d1"]), "url": pa.array(["u1"]),
+                  "page_idx": pa.array([0], pa.int32()),
+                  "img_path": pa.array(["d1.png"])})
+    ).write_parquet(pages_dir)
+    res = search_index(idx, pages_dir, "zebra", max_return=5)
+    assert res.column("doc_id").to_pylist() == ["d1"]
+    assert os.path.isdir(bucket) and not os.path.isdir(bucket + ".old")
+
+
 def test_index_merge_heals_crashed_bucket(tmp_path):
     """A bucket left aside by a crashed merge must be restored BEFORE the
     next merge reads it — its postings survive into the merged output."""
