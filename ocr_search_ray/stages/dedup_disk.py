@@ -162,6 +162,67 @@ def dedup_against_index(new_docs, index_dir: str, *,
     ).materialize()
 
 
+def delete_reps_from_digest_index(index_dir: str, doomed_ids) -> dict:
+    """Delete docs from the digest index — the D3 cascade for exact dedup.
+
+    Semantics: a digest row whose REPRESENTATIVE is deleted must go, so
+    future identical content is re-admitted once its surviving copy is
+    gone (keeping the row would silently suppress a document that no
+    longer exists anywhere). ``rep_id`` is not the bucket key, so this is
+    a full parallel sweep over the bucket dirs (one anti-filter task per
+    bucket, aside swap) — the tombstone-wave operation, not the per-batch
+    path. Returns counters."""
+    import glob as _glob
+    import os
+
+    import pyarrow.compute as pc
+    import ray
+
+    from ..state.atomic import recover_all
+
+    recover_all(index_dir, "digest_bucket=*")
+    ids = sorted(set(
+        doomed_ids.to_pylist() if hasattr(doomed_ids, "to_pylist")
+        else doomed_ids
+    ))
+    ids_ref = ray.put(pa.array(ids))
+
+    @ray.remote
+    def rewrite(bucket_dir: str, ids_v) -> int:
+        import os as _os
+        import shutil as _sh
+
+        import pyarrow.parquet as pq2
+
+        from ocr_search_ray.state.atomic import swap_dir_in
+
+        table = pq2.read_table(bucket_dir)
+        keep = pc.invert(pc.is_in(
+            table.column("rep_id"),
+            value_set=ids_v.cast(table.column("rep_id").type),
+        ))
+        kept = table.filter(keep)
+        removed = table.num_rows - kept.num_rows
+        if removed == 0:
+            return 0
+        tmp = bucket_dir + ".tmp"
+        _sh.rmtree(tmp, ignore_errors=True)
+        _os.makedirs(tmp)
+        pq2.write_table(kept, _os.path.join(tmp, "part-0.parquet"),
+                        compression="zstd")
+        swap_dir_in(tmp, bucket_dir)
+        return removed
+
+    futures = [
+        rewrite.remote(d, ids_ref)
+        for d in sorted(_glob.glob(
+            os.path.join(index_dir, "digest_bucket=*")))
+    ]
+    removed = ray.get(futures)
+    return {"buckets_rewritten": sum(1 for r in removed if r),
+            "digests_removed": sum(removed)}
+
+
 def merge_new_into_digest_index(survivors, index_dir: str, *,
                                 n_buckets: int = N_BUCKETS_DEFAULT,
                                 id_col: str = "doc_id") -> dict:

@@ -277,6 +277,91 @@ def neardup_against_index(new_docs, index_dir: str, *, k: int = 3,
     return with_both.map_batches(verify, batch_format="pyarrow")
 
 
+def delete_docs_from_neardup_index(index_dir: str, doomed_ids, *,
+                                   n_buckets: int = N_BUCKETS_DEFAULT,
+                                   compact_bands: bool = False) -> dict:
+    """Delete docs from the near-dup index — the D3 cascade for this
+    index family.
+
+    Correctness needs only the SHINGLE side: the probe's exact verify
+    inner-joins candidates against the shingle table, so once a doc's
+    shingle row is gone it can never reach the output. Shingle rows live
+    in ``doc_bucket = crc32(str(id)) % n`` — derivable from the id alone —
+    so the delete is bucket-pruned: only the doomed ids' buckets rewrite
+    (aside swap).
+
+    Stale BAND rows are harmless (wasted candidate pairs the verify
+    drops); their buckets are content-derived and unknowable without the
+    deleted text, so reclaiming them is a full parallel sweep — opt in
+    with ``compact_bands=True`` on whatever cadence amortizes it (the
+    Lucene-style deferred-compaction posture). Returns counters."""
+    import glob as _glob
+    import os
+    import zlib
+
+    import pyarrow.compute as pc
+    import ray
+
+    from ..state.atomic import recover_all
+
+    ids = sorted(set(
+        doomed_ids.to_pylist() if hasattr(doomed_ids, "to_pylist")
+        else doomed_ids
+    ))
+    ids_arr = pa.array(ids)
+    ids_ref = ray.put(ids_arr)
+
+    @ray.remote
+    def rewrite(dir_path: str, ids_v, col: str) -> int:
+        import os as _os
+        import shutil as _sh
+
+        import pyarrow.parquet as pq2
+
+        from ocr_search_ray.state.atomic import recover_aside, swap_dir_in
+
+        recover_aside(dir_path)
+        if not _os.path.isdir(dir_path):
+            return 0
+        table = pq2.read_table(dir_path)
+        keep = pc.invert(pc.is_in(
+            table.column(col),
+            value_set=ids_v.cast(table.column(col).type),
+        ))
+        kept = table.filter(keep)
+        removed = table.num_rows - kept.num_rows
+        if removed == 0:
+            return 0
+        tmp = dir_path + ".tmp"
+        _sh.rmtree(tmp, ignore_errors=True)
+        _os.makedirs(tmp)
+        pq2.write_table(kept, _os.path.join(tmp, "part-0.parquet"),
+                        compression="zstd")
+        swap_dir_in(tmp, dir_path)
+        return removed
+
+    id_col = "doc_id"
+    sh_buckets = sorted({zlib.crc32(str(d).encode()) % n_buckets
+                         for d in ids})
+    futures = [
+        rewrite.remote(
+            os.path.join(index_dir, "shingles", f"doc_bucket={b}"),
+            ids_ref, id_col)
+        for b in sh_buckets
+    ]
+    stats = {"shingle_buckets_pruned_to": len(sh_buckets),
+             "shingle_rows_removed": sum(ray.get(futures))}
+    if compact_bands:
+        recover_all(os.path.join(index_dir, "bands"), "band_bucket=*")
+        band_futures = [
+            rewrite.remote(d, ids_ref, id_col)
+            for d in sorted(_glob.glob(
+                os.path.join(index_dir, "bands", "band_bucket=*")))
+        ]
+        stats["band_rows_removed"] = sum(ray.get(band_futures))
+    return stats
+
+
 def merge_new_into_neardup_index(new_docs, index_dir: str, *, k: int = 3,
                                  num_hashes: int = 16, band_rows: int = 4,
                                  n_buckets: int = N_BUCKETS_DEFAULT,

@@ -131,6 +131,84 @@ def test_neardup_index_all_short_texts_keeps_id_type(tmp_path):
     assert {(r["doc_id"], r["corpus_doc_id"]) for r in hits} == {(30, 21)}
 
 
+def test_digest_index_delete_readmits_future_identical_content(tmp_path):
+    """delete_reps_from_digest_index: once a digest's representative is
+    deleted, a future identical document is admitted again (keeping the
+    row would suppress content that no longer exists anywhere)."""
+    from ocr_search_ray.stages.dedup_disk import (
+        build_digest_index,
+        dedup_against_index,
+        delete_reps_from_digest_index,
+        merge_new_into_digest_index,
+    )
+
+    idx = str(tmp_path / "digests")
+    build_digest_index(
+        _docs([(1, "keep me"), (2, "delete me")]), idx, n_buckets=4)
+
+    # suppressed while doc 2 lives
+    probe = _docs([(10, "delete me"), (11, "keep me"), (12, "fresh")])
+    s = {r["doc_id"]
+         for r in dedup_against_index(probe, idx, n_buckets=4).take_all()}
+    assert s == {12}
+
+    stats = delete_reps_from_digest_index(idx, [2])
+    assert stats["digests_removed"] == 1
+
+    s2 = dedup_against_index(probe, idx, n_buckets=4).materialize()
+    assert {r["doc_id"] for r in s2.take_all()} == {10, 12}
+    # and re-merging restores suppression under the NEW representative
+    merge_new_into_digest_index(s2, idx, n_buckets=4)
+    s3 = {r["doc_id"]
+          for r in dedup_against_index(probe, idx, n_buckets=4).take_all()}
+    assert s3 == set()
+
+
+def test_neardup_index_delete_cascade(tmp_path):
+    """delete_docs_from_neardup_index: a deleted corpus doc stops matching
+    immediately (shingle side is the correctness gate, bucket-pruned);
+    compact_bands reclaims its stale band rows."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocr_search_ray.stages.neardup_disk import (
+        build_neardup_index,
+        delete_docs_from_neardup_index,
+        neardup_against_index,
+    )
+
+    idx = str(tmp_path / "nd")
+    text = "alpha beta gamma delta epsilon zeta"
+    build_neardup_index(
+        _docs([(1, text), (2, "totally different words here now")]),
+        idx, k=3, n_buckets=4)
+
+    probe = _docs([(10, text)])
+    hits = neardup_against_index(probe, idx, k=3, n_buckets=4).take_all()
+    assert {(r["doc_id"], r["corpus_doc_id"]) for r in hits} == {(10, 1)}
+
+    stats = delete_docs_from_neardup_index(idx, [1], n_buckets=4)
+    assert stats["shingle_rows_removed"] == 1
+    assert stats["shingle_buckets_pruned_to"] == 1  # bucket-pruned
+    assert neardup_against_index(probe, idx, k=3, n_buckets=4).count() == 0
+
+    # stale band rows still exist until the opt-in sweep reclaims them
+    def band_rows():
+        return sum(
+            pq.read_table(f).num_rows
+            for f in _glob.glob(
+                os.path.join(idx, "bands", "*", "*.parquet"))
+        )
+
+    before = band_rows()
+    stats2 = delete_docs_from_neardup_index(
+        idx, [1], n_buckets=4, compact_bands=True)
+    assert stats2["band_rows_removed"] > 0
+    assert band_rows() == before - stats2["band_rows_removed"]
+
+
 def test_minhash_lsh_pairs_rejects_nonpositive_threshold():
     from ocr_search_ray.stages.dedup import minhash_lsh_pairs
 
