@@ -33,6 +33,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="only ingest; do not (re)build the posting index")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode CPU count (ignored on a cluster)")
+    ap.add_argument("--deletions", default=None,
+                    help="newline-delimited url list; each cycle applies it "
+                         "as a delete-cascade compaction (pages/postings "
+                         "partitions + posting index, no rebuild) and then "
+                         "renames the file aside — the sync loop's deletion "
+                         "half (DropboxSynchronizer fullDeletion parity)")
     ap.add_argument("--raster-dir", default=None,
                     help="also write one <doc_id>.png page-image artifact "
                          "per NEW page to this directory (S8 sink; atomic, "
@@ -125,6 +131,23 @@ def main(argv: list[str] | None = None) -> int:
                 summary["index"] = stats
             else:
                 summary["index"] = "unchanged"
+        if args.deletions and os.path.exists(args.deletions):
+            from ocr_search_ray.pipelines.compact import (
+                compact_delete_on_disk,
+            )
+
+            with open(args.deletions) as fh:
+                doomed = {ln.strip() for ln in fh if ln.strip()}
+            if doomed:
+                summary["delete"] = compact_delete_on_disk(
+                    args.out, doomed,
+                    index_dir=(index_dir
+                               if os.path.isdir(index_dir) else None),
+                )
+            # consume the file so a rerun of the cycle is a no-op (the
+            # compaction itself is idempotent either way)
+            os.replace(args.deletions,
+                       f"{args.deletions}.done-{cycle}")
         summary["cycle"] = cycle
         summaries.append(summary)
     out = summaries[-1] if args.cycles == 1 else {"cycles": summaries}

@@ -76,3 +76,17 @@ def test_sync_cycle_ingests_new_fragments_and_merges_index(tmp_path):
     res = search_index(str(out_dir / "postings_index"),
                        str(out_dir / "pages"), term, max_return=5)
     assert res.num_rows > 0
+
+    # cycle 3: a deletions file lands (the sync loop's deletion half) —
+    # the doomed url leaves pages/postings AND the index, no rebuild
+    doomed_url = new_pages.column("url")[0].as_py()
+    dels = tmp_path / "deletions.txt"
+    dels.write_text(doomed_url + "\n")
+    s3 = _run_job(input_dir, out_dir, "--deletions", str(dels))
+    assert s3["delete"]["pages_removed"] >= 1
+    assert s3["delete"].get("index", {}).get("buckets_affected", 0) >= 1
+    assert not os.path.exists(dels)  # consumed (renamed aside)
+    assert os.path.exists(str(dels) + ".done-0")
+    survivors = search_index(str(out_dir / "postings_index"),
+                             str(out_dir / "pages"), term, max_return=20)
+    assert doomed_url not in survivors.column("url").to_pylist()
