@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # dict (rounds 1-3 covered the trailing block; all entries pass the
     # identical local harness, tools/crosscheck.py).
     return {
+        "semantic_dedup": q.q_semantic_dedup,  # SemDeDup cells (r4)
         "page_images": q.q_page_images,  # S8 artifact sink (r4)
         "search_expanded": q.q_search_expanded,  # tcr*tf expansion (r4)
         "ann_ivf_add": q.q_ann_ivf_add,  # incremental IVF adds (r4)
@@ -1826,6 +1827,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "semantic_dedup": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                     + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                     + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                     + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+                     + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+                     + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+                       AS bucket
+              FROM embeddings
+            )
+            SELECT a.vec_id
+            FROM e a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM e b
+              WHERE b.bucket = a.bucket AND b.vec_id < a.vec_id
+                AND list_cosine_similarity(a.v, b.v) >= 0.435
+            )
         """,
         "embedding_neardup": """
             WITH e AS (

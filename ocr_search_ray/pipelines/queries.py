@@ -755,6 +755,20 @@ def q_lsh_neardup(sf_dir: str):
     return lsh_neardup_pairs(aug, threshold=0.98)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup survivors at threshold 0.435 over sign-pattern cells.
+
+    Output is kept ids only (scores stay internal) so the oracle compare
+    is exact-integer; 0.435 sits in a ≥1.8e-3 gap of the within-cell
+    cosine distribution at sf0.001/0.01/0.1, far beyond cross-engine
+    float ulp drift (the q_embedding_neardup threshold convention).
+    """
+    from ..stages.similarity import semantic_dedup
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semantic_dedup(emb, threshold=0.435, bucket_bits=6)
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs over vec_id < 200 at threshold 0.39.
 

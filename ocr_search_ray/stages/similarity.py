@@ -790,3 +790,85 @@ def lsh_neardup_pairs(embeddings, *, threshold: float = 0.9,
         block_bucket_pairs,
     )
     return cluster_apply(candidates, ["vec_id1", "vec_id2"], block_dedup)
+
+
+def semantic_dedup(embeddings, *, threshold: float = 0.95,
+                   bucket_bits: int = 6,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, then within each cluster drop every vector that
+    has a LOWER-id neighbor at cosine >= ``threshold`` — the greedy
+    keep-one-representative policy, made deterministic by the id order.
+
+    Clustering here is the deterministic sign-pattern bucket of the first
+    ``bucket_bits`` dimensions (an axis-aligned random-hyperplane LSH cell
+    — SQL-replayable, so the whole operator has an exact DuckDB oracle).
+    At corpus scale the bucket key is pluggable: pass the assignment
+    column from ``build_ivf_index``'s trained centroids for the paper's
+    k-means cells; the drop rule and the exchange shape are identical.
+
+    Scale shape: ONE int-key exchange on the bucket id; each cell
+    verifies all-pairs cosine with a single numpy matmul. Per-cell cost
+    is O(n_cell^2) — ``bucket_bits`` must grow ~log2(N / target_cell) so
+    cells stay bounded (the same sizing rule as the paper's k ∝ N).
+    No driver state, nothing broadcast.
+
+    → kept rows (vec_id), the semantic-dedup survivors.
+    """
+    from .relational import cluster_apply
+
+    weights = 1 << np.arange(bucket_bits, dtype=np.int64)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col)
+        if m.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.column(id_col).type),
+                    "bucket": pa.array([], pa.int64()),
+                    vec_col: batch.column(vec_col).slice(0, 0),
+                }
+            )
+        b = (m[:, :bucket_bits] >= 0).astype(np.int64) @ weights
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "bucket": pa.array(b, pa.int64()),
+                vec_col: batch.column(vec_col),
+            }
+        )
+
+    def block_keep(block: pa.Table) -> pa.Table:
+        # a block may hold several buckets (hash-colliding cells share a
+        # range partition) — walk bucket runs after a (bucket, id) sort
+        block = block.sort_by(
+            [("bucket", "ascending"), (id_col, "ascending")]
+        )
+        buckets = block.column("bucket").to_numpy()
+        kept_ids: list[int] = []
+        i, n = 0, block.num_rows
+        while i < n:
+            j = i + int(np.searchsorted(buckets[i:], buckets[i], "right"))
+            sub = block.slice(i, j - i)
+            sub_ids = sub.column(id_col).to_pylist()
+            if j - i == 1:
+                kept_ids.append(sub_ids[0])
+            else:
+                m = _normalize(_batch_matrix(sub, vec_col))
+                sim = m @ m.T
+                # row r dropped iff any earlier (lower-id) row s has
+                # cos(r, s) >= threshold: strict lower triangle only
+                dropped = np.any(np.tril(sim >= threshold, k=-1), axis=1)
+                kept_ids.extend(
+                    v for v, d in zip(sub_ids, dropped) if not d
+                )
+            i = j
+        return pa.table({id_col: pa.array(kept_ids, pa.int64())})
+
+    return cluster_apply(
+        embeddings.select_columns([id_col, vec_col]).map_batches(
+            bucketize, batch_format="pyarrow"
+        ),
+        ["bucket"],
+        block_keep,
+    )

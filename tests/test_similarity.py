@@ -314,3 +314,46 @@ def test_ivf_hash_seed_unbiased_and_auto_sizing():
     assert set(hash_order) != set(range(8))  # not the smallest-id cohort
     expected = _normalize(vecs[hash_order].astype(np.float64))
     np.testing.assert_allclose(cen, expected, rtol=1e-6)
+
+
+def test_semantic_dedup_matches_brute_force_reference():
+    """semantic_dedup == the greedy min-id drop rule replayed in numpy."""
+    from ocr_search_ray.stages.similarity import semantic_dedup
+
+    ds, vecs = _embeddings()
+    t, bits = 0.6, 4
+    kept = sorted(r["vec_id"] for r in semantic_dedup(
+        ds, threshold=t, bucket_bits=bits).take_all())
+
+    norm = vecs.astype(np.float64)
+    norm = norm / np.linalg.norm(norm, axis=1, keepdims=True)
+    buckets = (norm[:, :bits] >= 0).astype(np.int64) @ (1 << np.arange(bits))
+    expect = []
+    for i in range(N):
+        sims = norm @ norm[i]
+        earlier = (np.arange(N) < i) & (buckets == buckets[i]) & (sims >= t)
+        if not earlier.any():
+            expect.append(i)
+    assert kept == expect
+    # the planted near-dup (150 ≈ 0) shares 0's sign bucket and must drop
+    assert 0 in kept and 150 not in kept
+
+
+def test_semantic_dedup_keeps_cross_bucket_neighbors():
+    """A near-identical pair split across cells is NOT merged — the
+    documented cell-locality contract (recall comes from cell sizing)."""
+    from ocr_search_ray.stages.similarity import semantic_dedup
+
+    base = RNG.standard_normal(DIM).astype(np.float32)
+    a = base.copy()
+    a[0] = 0.5
+    b = base.copy()
+    b[0] = -0.5  # flips sign bit 0 → different bucket
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([list(map(float, a)), list(map(float, b))],
+                              pa.list_(pa.float32())),
+    }))
+    kept = sorted(r["vec_id"] for r in semantic_dedup(
+        ds, threshold=0.5, bucket_bits=4).take_all())
+    assert kept == [1, 2]
