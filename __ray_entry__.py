@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # identical local harness, tools/crosscheck.py).
     return {
         "semantic_dedup": q.q_semantic_dedup,  # SemDeDup cells (r4)
+        "bigram_familiarity": q.q_bigram_familiarity,  # corpus-LM score (r4)
         "page_images": q.q_page_images,  # S8 artifact sink (r4)
         "search_expanded": q.q_search_expanded,  # tcr*tf expansion (r4)
         "ann_ivf_add": q.q_ann_ivf_add,  # incremental IVF adds (r4)
@@ -1827,6 +1828,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "bigram_familiarity": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> length(x) > 0) AS words
+              FROM documents
+            ),
+            big AS (
+              SELECT doc_id,
+                     list_extract(words, i) || ' ' || list_extract(words, i + 1)
+                       AS ngram
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(words) - 1, 0)))
+                  AS i) g
+            ),
+            cnt AS (SELECT ngram, COUNT(*) AS c FROM big GROUP BY ngram),
+            per AS (
+              SELECT b.doc_id, COUNT(*) AS n_bigrams, SUM(cnt.c) AS fam
+              FROM big b JOIN cnt USING (ngram) GROUP BY b.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(per.fam, 0) AS BIGINT) AS familiarity_sum
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "semantic_dedup": """
             WITH e AS (

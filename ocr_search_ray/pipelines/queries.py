@@ -755,6 +755,14 @@ def q_lsh_neardup(sf_dir: str):
     return lsh_neardup_pairs(aug, threshold=0.98)
 
 
+def q_bigram_familiarity(sf_dir: str):
+    """Corpus-LM familiarity score per doc (integer-exact bigram model
+    trained and applied in one pass — no broadcast model)."""
+    return textstats.bigram_familiarity(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup survivors at threshold 0.435 over sign-pattern cells.
 

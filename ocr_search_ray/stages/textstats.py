@@ -304,6 +304,100 @@ def vocab_stats(postings):
     )
 
 
+def bigram_familiarity(documents, *, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """→ (doc_id, n_bigrams, familiarity_sum): corpus-LM quality signal.
+
+    The CCNet-style "does this document look like the corpus" score,
+    integer-exact: train a bigram count model ON the corpus itself, then
+    score every document by the summed corpus frequency of its bigrams
+    (garbled / boilerplate-mangled docs sit in the rare-bigram tail;
+    consumers divide familiarity_sum / n_bigrams for the per-doc mean or
+    bucket on it for filtering). Tokens = single-space split, empties
+    excluded — the ``ngram_counts`` convention.
+
+    Scale shape: one tokenize pass emits per-(doc, bigram) occurrence
+    partials; ONE int-key exchange on the bigram string co-locates each
+    bigram's rows, so its corpus count is a block-local Arrow group_by
+    and joins back to the same block's rows with no second shuffle of
+    the model — the "train + score without broadcasting the model"
+    plan. A second exchange regroups per-doc partials. Hot bigrams (the
+    Zipf head) co-locate like hot terms in the postings index — the
+    same skew profile the index build already carries. Every doc emits
+    a sentinel row so zero-bigram docs (< 2 tokens) surface with exact
+    zeros. No driver state.
+    """
+    from .relational import cluster_apply
+
+    def doc_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        out_id: list = []
+        out_ng: list[str] = []
+        out_occ: list[int] = []
+        ids = batch.column(id_col).to_pylist()
+        for did, t in zip(ids, batch.column(text_col).to_pylist()):
+            toks = [w for w in (t or "").split(" ") if w]
+            counts: Counter = Counter(
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            )
+            # sentinel: every doc appears even with zero bigrams. The key
+            # is per-doc unique (no space → can't equal a real bigram, and
+            # even a pathological collision is harmless: occ=0 contributes
+            # 0 to the group's count and 0 to every sum) so sentinels
+            # hash-spread instead of piling into one hot "" partition.
+            out_id.append(did)
+            out_ng.append("\x00" + str(did))
+            out_occ.append(0)
+            out_id.extend([did] * len(counts))
+            out_ng.extend(counts.keys())
+            out_occ.extend(counts.values())
+        return pa.table(
+            {
+                id_col: pa.array(out_id, batch.column(id_col).type),
+                "ngram": pa.array(out_ng, pa.string()),
+                "occ": pa.array(out_occ, pa.int64()),
+            }
+        )
+
+    def block_score(block: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # all rows of each bigram are in this block: corpus count = local sum
+        cnt = block.group_by("ngram").aggregate([("occ", "sum")])
+        cnt = cnt.rename_columns(["ngram", "c"])
+        j = block.join(cnt, keys="ngram")
+        fam = pc.multiply(j.column("occ"), j.column("c"))
+        per = j.append_column("fam", fam).group_by(id_col).aggregate(
+            [("occ", "sum"), ("fam", "sum")]
+        )
+        return pa.table(
+            {
+                id_col: per.column(id_col),
+                "n_part": per.column("occ_sum").cast(pa.int64()),
+                "fam_part": per.column("fam_sum").cast(pa.int64()),
+            }
+        )
+
+    def block_total(block: pa.Table) -> pa.Table:
+        agg = block.group_by(id_col).aggregate(
+            [("n_part", "sum"), ("fam_part", "sum")]
+        )
+        return pa.table(
+            {
+                id_col: agg.column(id_col),
+                "n_bigrams": agg.column("n_part_sum").cast(pa.int64()),
+                "familiarity_sum": agg.column("fam_part_sum").cast(pa.int64()),
+            }
+        )
+
+    partials = documents.select_columns([id_col, text_col]).map_batches(
+        doc_partials, batch_format="pyarrow"
+    )
+    scored = cluster_apply(partials, ["ngram"], block_score)
+    return cluster_apply(scored, [id_col], block_total)
+
+
 def ngram_counts(documents, *, n: int = 2, min_count: int = 1,
                  id_col: str = "doc_id", text_col: str = "text"):
     """→ (ngram, count): corpus-wide word n-gram frequencies.

@@ -217,3 +217,33 @@ def test_substring_search_matches_python_in():
     got2 = sorted(r["doc_id"] for r in
                   substring_search(ds, "xm").take_all())
     assert got2 == [i for i, t in enumerate(texts) if "xm" in t]
+
+
+def test_bigram_familiarity_exact_counts():
+    """Hand-checkable corpus: familiarity = sum of corpus bigram counts
+    over each doc's bigram occurrences; zero-bigram docs emit exact 0s."""
+    from ocr_search_ray.stages.textstats import bigram_familiarity
+
+    texts = [
+        "a b a b",        # bigrams: (a b)x2, (b a)x1
+        "a b c",          # (a b), (b c)
+        "solo",           # 0 bigrams
+        "",               # 0 bigrams
+        "a  b",           # double space → tokens [a, b] → (a b)
+    ]
+    # corpus counts: "a b"=4, "b a"=1, "b c"=1
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts)}
+        )
+    ).repartition(3)
+    got = {r["doc_id"]: (r["n_bigrams"], r["familiarity_sum"])
+           for r in bigram_familiarity(ds).take_all()}
+    assert got == {
+        0: (3, 2 * 4 + 1),   # two (a b) worth 4 each + one (b a) worth 1
+        1: (2, 4 + 1),
+        2: (0, 0),
+        3: (0, 0),
+        4: (1, 4),
+    }
