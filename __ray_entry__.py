@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "semantic_dedup": q.q_semantic_dedup,  # SemDeDup cells (r4)
         "bigram_familiarity": q.q_bigram_familiarity,  # corpus-LM score (r4)
+        "approx_percentiles": q.q_approx_percentiles,  # rows-only (DDSketch)
         "page_images": q.q_page_images,  # S8 artifact sink (r4)
         "search_expanded": q.q_search_expanded,  # tcr*tf expansion (r4)
         "ann_ivf_add": q.q_ann_ivf_add,  # incremental IVF adds (r4)

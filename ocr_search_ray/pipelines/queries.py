@@ -755,6 +755,17 @@ def q_lsh_neardup(sf_dir: str):
     return lsh_neardup_pairs(aug, threshold=0.98)
 
 
+def q_approx_percentiles(sf_dir: str):
+    """DDSketch relative-error percentiles over l_extendedprice (rows-only:
+    deterministic but not SQL-derivable; the α bound, determinism and merge
+    invariance are pytest-locked — the heavy-tail companion to the exact
+    value_percentiles)."""
+    from ..stages.relational import dd_percentiles
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return dd_percentiles(li, "l_extendedprice", [0.5, 0.95, 0.99])
+
+
 def q_bigram_familiarity(sf_dir: str):
     """Corpus-LM familiarity score per doc (integer-exact bigram model
     trained and applied in one pass — no broadcast model)."""

@@ -361,6 +361,89 @@ def grouped_percentiles(ds, key_cols: list[str], value_col: str,
     return cluster_apply(partials, key_cols, block_percentiles)
 
 
+def dd_percentiles(ds, value_col: str, qs: list[float], *,
+                   alpha: float = 0.01):
+    """DDSketch approximate percentiles with a RELATIVE-error guarantee
+    (Masson et al., VLDB 2019): every estimate is within ``alpha`` of the
+    true value at rank ceil(q*n), at ANY data scale, with a sketch of
+    O(log(max/min)/alpha) buckets.
+
+    The scale story ``grouped_percentiles`` can't tell: its exact
+    histogram is bounded by the quantized VALUE DOMAIN, which works for
+    bounded business values but not for heavy-tailed corpus measures
+    (doc lengths, latencies spanning 9 decades). DDSketch buckets are
+    log-spaced — bucket k covers (γ^(k-1), γ^k], γ = (1+α)/(1-α) — so
+    the sketch stays tiny no matter the tail.
+
+    Shape: per-batch partial bucket counts (np.unique — one row per
+    distinct bucket per batch, ≲1k rows for α=0.01 over 9 decades), one
+    single-block reduce (the sketch, not the corpus, crosses the wire),
+    cumulative scan reads each quantile off the merged histogram.
+    Deterministic and merge-order invariant: bucket assignment is
+    per-value, sums commute — identical output under any partitioning.
+    Values ≤ 0 take the reserved zero bucket (estimate 0.0), the paper's
+    zero-bucket convention.
+
+    → (quantile, estimate, n_values) — declared rows-only for the driver
+    (the estimate is deterministic but not SQL-derivable); the α bound,
+    determinism and merge invariance are pytest-locked.
+    """
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    log_gamma = math.log(gamma)
+    ZERO_BUCKET = np.iinfo(np.int64).min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64, copy=False)
+        idx = np.full(len(v), ZERO_BUCKET, dtype=np.int64)
+        pos = v > 0
+        idx[pos] = np.ceil(np.log(v[pos]) / log_gamma).astype(np.int64)
+        bkt, cnt = np.unique(idx, return_counts=True)
+        return pa.table(
+            {"bkt": pa.array(bkt, pa.int64()),
+             "c_part": pa.array(cnt, pa.int64())}
+        )
+
+    def merge_and_read(block: pa.Table) -> pa.Table:
+        agg = block.group_by("bkt").aggregate([("c_part", "sum")])
+        agg = agg.sort_by([("bkt", "ascending")])
+        bkt = agg.column("bkt").to_numpy()
+        cnt = agg.column("c_part_sum").to_numpy()
+        cum = np.cumsum(cnt)
+        n = int(cum[-1]) if len(cum) else 0
+        out_q, out_e = [], []
+        for q in qs:
+            if n == 0:
+                out_q.append(float(q))
+                out_e.append(float("nan"))
+                continue
+            rank = max(1, math.ceil(q * n))
+            k = int(bkt[np.searchsorted(cum, rank)])
+            est = 0.0 if k == ZERO_BUCKET else 2.0 * gamma**k / (gamma + 1.0)
+            out_q.append(float(q))
+            out_e.append(est)
+        return pa.table(
+            {"quantile": pa.array(out_q, pa.float64()),
+             "estimate": pa.array(out_e, pa.float64()),
+             "n_values": pa.array([n] * len(qs), pa.int64())}
+        )
+
+    return (
+        ds.select_columns([value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge_and_read, batch_format="pyarrow",
+                     batch_size=None)
+    )
+
+
 def hash_sample(ds, key_col: str, *, threshold: int, modulus: int = 256):
     """Deterministic content-hash sampling: keep rows whose
     ``md5(str(key))`` first byte < ``threshold`` (expected fraction

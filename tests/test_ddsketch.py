@@ -1,0 +1,48 @@
+"""DDSketch percentiles: α relative-error bound, merge invariance, zeros."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ocr_search_ray.stages.relational import dd_percentiles
+
+RNG = np.random.default_rng(11)
+
+
+def _run(values, qs, alpha, parts):
+    ds = rd.from_arrow(
+        pa.table({"v": pa.array(values, pa.float64())})
+    ).repartition(parts)
+    return {r["quantile"]: (r["estimate"], r["n_values"])
+            for r in dd_percentiles(ds, "v", qs, alpha=alpha).take_all()}
+
+
+def test_relative_error_bound_heavy_tail():
+    """|est - true| <= alpha * true at rank ceil(q*n), 6-decade lognormal."""
+    alpha = 0.01
+    vals = np.exp(RNG.standard_normal(20_000) * 3.0 + 2.0)
+    qs = [0.01, 0.25, 0.5, 0.9, 0.95, 0.99, 0.999]
+    got = _run(vals.tolist(), qs, alpha, parts=8)
+    s = np.sort(vals)
+    for q in qs:
+        true = s[max(1, math.ceil(q * len(s))) - 1]
+        est, n = got[q]
+        assert n == len(s)
+        assert abs(est - true) <= alpha * true * (1 + 1e-12), (q, est, true)
+
+
+def test_merge_order_invariance_and_determinism():
+    vals = np.exp(RNG.standard_normal(5_000)).tolist()
+    a = _run(vals, [0.5, 0.99], 0.02, parts=1)
+    b = _run(vals, [0.5, 0.99], 0.02, parts=13)
+    assert a == b  # bitwise-identical under any partitioning
+
+
+def test_zero_and_negative_take_zero_bucket():
+    vals = [-5.0, 0.0, 0.0, 1.0, 2.0, 4.0]
+    got = _run(vals, [0.25, 0.5, 0.9], 0.01, parts=2)
+    assert got[0.25][0] == 0.0            # rank 2 of 6 → zero bucket
+    assert abs(got[0.9][0] - 4.0) <= 0.01 * 4.0
+    assert got[0.5][1] == 6
