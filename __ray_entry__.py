@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q.q_semantic_dedup,  # SemDeDup cells (r4)
         "bigram_familiarity": q.q_bigram_familiarity,  # corpus-LM score (r4)
         "approx_percentiles": q.q_approx_percentiles,  # rows-only (DDSketch)
+        "domain_cap": q.q_domain_cap,  # per-host frequency cap (r4)
         "page_images": q.q_page_images,  # S8 artifact sink (r4)
         "search_expanded": q.q_search_expanded,  # tcr*tf expansion (r4)
         "ann_ivf_add": q.q_ann_ivf_add,  # incremental IVF adds (r4)
@@ -1829,6 +1830,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "domain_cap": f"""
+            {_INGEST_PREFIX},
+            docs AS (
+              SELECT split_part(split_part(url, '://', 2), '/', 1) AS domain,
+                     url, doc_id
+              FROM pages_full WHERE page_idx = 1
+            ),
+            r AS (
+              SELECT domain, url, doc_id,
+                     row_number() OVER (
+                       PARTITION BY domain ORDER BY url) AS rn
+              FROM docs
+            )
+            SELECT url, doc_id, domain FROM r WHERE rn <= 25
         """,
         "bigram_familiarity": """
             WITH w AS (

@@ -755,6 +755,18 @@ def q_lsh_neardup(sf_dir: str):
     return lsh_neardup_pairs(aug, threshold=0.98)
 
 
+def q_domain_cap(sf_dir: str):
+    """Per-domain frequency cap (25 docs/host) over the ingested corpus —
+    the crawl skew guard, exercising drops at every sf (50+ docs/host)."""
+    pages = ingest(read_webpages(sf_dir))["pages"]
+    docs = pages.map_batches(
+        lambda b: b.filter(pc.equal(b.column("page_idx"), 1))
+        .select(["url", "doc_id"]),
+        batch_format="pyarrow",
+    )
+    return textstats.domain_cap(docs, 25)
+
+
 def q_approx_percentiles(sf_dir: str):
     """DDSketch relative-error percentiles over l_extendedprice (rows-only:
     deterministic but not SQL-derivable; the α bound, determinism and merge

@@ -439,6 +439,33 @@ def ngram_counts(documents, *, n: int = 2, min_count: int = 1,
     return cluster_apply(partials, ["ngram"], block_sum)
 
 
+def domain_cap(docs, cap: int, *, url_col: str = "url"):
+    """→ input rows, at most ``cap`` per registrable host — per-domain
+    frequency capping, the standard web-corpus skew guard (a handful of
+    hot hosts otherwise dominate a crawl-derived training set).
+
+    Deterministic keep rule: the first ``cap`` rows per domain under url
+    ascending (SQL: row_number() OVER (PARTITION BY domain ORDER BY url)
+    <= cap). One int-key exchange on the domain via ``grouped_topk`` —
+    a hot domain's rows co-locate, but only ``cap`` survive the block
+    walk, so nothing downstream sees the skew. Input should be one row
+    per document (e.g. pages filtered to page_idx = 0); rows pass
+    through unchanged plus a ``domain`` column.
+    """
+    from urllib.parse import urlsplit
+
+    from .relational import grouped_topk
+
+    def add_domain(batch: pa.Table) -> pa.Table:
+        domains = [urlsplit(u).netloc
+                   for u in batch.column(url_col).to_pylist()]
+        return batch.append_column("domain", pa.array(domains, pa.string()))
+
+    with_domain = docs.map_batches(add_domain, batch_format="pyarrow")
+    return grouped_topk(with_domain, ["domain"], [(url_col, "ascending")],
+                        cap)
+
+
 def domain_stats(pages, *, url_col: str = "url", n_salts: int = 64):
     """→ (domain, n_pages, n_urls): per-domain volume — the skew monitor for
     hot domains (SURVEY.md §4).

@@ -247,3 +247,21 @@ def test_bigram_familiarity_exact_counts():
         3: (0, 0),
         4: (1, 4),
     }
+
+
+def test_domain_cap_truncates_hot_hosts():
+    from ocr_search_ray.stages.textstats import domain_cap
+
+    urls = [f"https://hot.example.com/p{i:03d}" for i in range(40)] + \
+           [f"https://cold.example.org/p{i:03d}" for i in range(3)]
+    ds = rd.from_arrow(
+        pa.table({"url": pa.array(urls),
+                  "doc_id": pa.array(range(len(urls)), pa.int64())})
+    ).repartition(4)
+    got = domain_cap(ds, 5).take_all()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r["domain"], []).append(r["url"])
+    assert sorted(by_dom["hot.example.com"]) == [
+        f"https://hot.example.com/p{i:03d}" for i in range(5)]  # first 5 by url
+    assert len(by_dom["cold.example.org"]) == 3  # under the cap: untouched
