@@ -140,6 +140,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("pagerank", q.q_pagerank)
     timed("search_expanded", q.q_search_expanded)  # r4: tcr*tf expansion
     timed("page_images", q.q_page_images)  # r4: S8 artifact sink
+    timed("semantic_dedup", q.q_semantic_dedup)  # r4: SemDeDup cells
+    timed("bigram_familiarity", q.q_bigram_familiarity)  # r4: corpus-LM score
+    timed("domain_cap", q.q_domain_cap)  # r4: per-host cap
     return timings
 
 

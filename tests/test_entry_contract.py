@@ -11,11 +11,12 @@ def test_oracle_keys_subset_of_queries():
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     assert set(sqls) <= set(qs), set(sqls) - set(qs)
-    # rows-only ops are the documented five (simhash and lang_id got
-    # exact SQL oracles in round 2)
+    # rows-only ops are the documented six (simhash and lang_id got
+    # exact SQL oracles in round 2; approx_percentiles is the DDSketch —
+    # deterministic but not SQL-derivable, error-bound pytest-locked)
     assert set(qs) - set(sqls) == {
         "ann_lsh_topk", "lsh_neardup", "media_real", "approx_distinct",
-        "grouped_approx_distinct",
+        "grouped_approx_distinct", "approx_percentiles",
     }
 
 
