@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_familiarity": q.q_bigram_familiarity,  # corpus-LM score (r4)
         "approx_percentiles": q.q_approx_percentiles,  # rows-only (DDSketch)
         "domain_cap": q.q_domain_cap,  # per-host frequency cap (r4)
+        "quality_filter": q.q_quality_filter,  # Gopher composite gate (r4)
         "page_images": q.q_page_images,  # S8 artifact sink (r4)
         "search_expanded": q.q_search_expanded,  # tcr*tf expansion (r4)
         "ann_ivf_add": q.q_ann_ivf_add,  # incremental IVF adds (r4)
@@ -1830,6 +1831,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "quality_filter": f"""
+            WITH toks AS (
+              SELECT doc_id, t.w
+              FROM documents,
+              LATERAL (SELECT unnest(string_split(text, ' ')) AS w) t
+              WHERE length(t.w) > 0
+            ),
+            s AS (
+              SELECT d.doc_id,
+                     COUNT(t.w) AS nt,
+                     COALESCE(SUM(CASE WHEN t.w IN ({_STOPLIST_SQL})
+                          THEN 1 ELSE 0 END), 0) AS ns,
+                     COUNT(DISTINCT t.w) AS ty,
+                     COALESCE(SUM(length(t.w)), 0) AS sl
+              FROM documents d LEFT JOIN toks t USING (doc_id)
+              GROUP BY d.doc_id
+            ),
+            v AS (
+              SELECT doc_id,
+                     nt < 25 AS too_short,
+                     nt > 10000 AS too_long,
+                     (sl < nt * 3 OR sl > nt * 10) AS mean_len_bad,
+                     ns * 25 < nt * 1 AS stop_bad,
+                     ty * 10 < nt * 3 AS ttr_bad
+              FROM s
+            )
+            SELECT doc_id,
+                   NOT (too_short OR too_long OR mean_len_bad
+                        OR stop_bad OR ttr_bad) AS keep,
+                   concat_ws(',',
+                     CASE WHEN too_short THEN 'too_short' END,
+                     CASE WHEN too_long THEN 'too_long' END,
+                     CASE WHEN mean_len_bad THEN 'mean_len' END,
+                     CASE WHEN stop_bad THEN 'stopword_ratio' END,
+                     CASE WHEN ttr_bad THEN 'ttr' END) AS reasons
+            FROM v
         """,
         "domain_cap": f"""
             {_INGEST_PREFIX},

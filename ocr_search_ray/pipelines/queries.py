@@ -755,6 +755,14 @@ def q_lsh_neardup(sf_dir: str):
     return lsh_neardup_pairs(aug, threshold=0.98)
 
 
+def q_quality_filter(sf_dir: str):
+    """Gopher-style composite quality gate — integer-exact verdicts and
+    reason strings (several rules exercise real drops at every sf)."""
+    return textstats.quality_filter(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_domain_cap(sf_dir: str):
     """Per-domain frequency cap (25 docs/host) over the ingested corpus —
     the crawl skew guard, exercising drops at every sf (50+ docs/host)."""

@@ -100,6 +100,85 @@ def quality_stats(documents, *, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def quality_filter(documents, *, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_tokens: int = 25, max_tokens: int = 10_000,
+                   mean_len_bounds: tuple[int, int] = (3, 10),
+                   stop_ratio_min: tuple[int, int] = (1, 25),
+                   ttr_min: tuple[int, int] = (3, 10)):
+    """→ (doc_id, keep, reasons): the Gopher-style composite quality gate
+    (Rae et al. 2021 §A1.1), integer-exact.
+
+    Every ratio rule is evaluated as a cross-multiplied integer
+    comparison (``n_stopwords * den >= n_tokens * num`` etc.) so the
+    verdicts — and the deterministic comma-joined ``reasons`` string —
+    are bit-reproducible and SQL-replayable with no float boundary risk.
+    Rules, in reasons order: too_short, too_long, mean_len (mean token
+    length outside [lo, hi]), stopword_ratio (< num/den), ttr
+    (type-token ratio < num/den — the repetition guard).
+
+    Zero exchanges: a vectorized verdict map over the ``quality_stats``
+    counters. Consumers filter on ``keep`` or audit the drop mix by
+    grouping ``reasons``.
+    """
+
+    ml_lo, ml_hi = mean_len_bounds
+    sr_num, sr_den = stop_ratio_min
+    ttr_num, ttr_den = ttr_min
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nt = batch.column("n_tokens")
+        sl = batch.column("sum_token_len")
+        ns = batch.column("n_stopwords")
+        ty = batch.column("n_types")
+        too_short = pc.less(nt, min_tokens)
+        too_long = pc.greater(nt, max_tokens)
+        mean_len_bad = pc.or_(
+            pc.less(sl, pc.multiply(nt, ml_lo)),
+            pc.greater(sl, pc.multiply(nt, ml_hi)),
+        )
+        stop_bad = pc.less(pc.multiply(ns, sr_den), pc.multiply(nt, sr_num))
+        ttr_bad = pc.less(pc.multiply(ty, ttr_den), pc.multiply(nt, ttr_num))
+        fails = [
+            ("too_short", too_short), ("too_long", too_long),
+            ("mean_len", mean_len_bad), ("stopword_ratio", stop_bad),
+            ("ttr", ttr_bad),
+        ]
+        keep = pc.invert(
+            pc.or_(pc.or_(pc.or_(too_short, too_long), mean_len_bad),
+                   pc.or_(stop_bad, ttr_bad))
+        )
+        # null-free accumulation: pyarrow's binary_join_element_wise with
+        # null_handling="skip" DROPS all-null rows (length changes! —
+        # observed on 16.1), so the reasons string is built by pairwise
+        # concat of empty-string-filled parts instead
+        empty = pa.scalar("", pa.string())
+        reasons = None
+        for label, flag in fails:
+            lbl = pc.if_else(flag, pa.scalar(label, pa.string()), empty)
+            if reasons is None:
+                reasons = lbl
+                continue
+            sep = pc.if_else(
+                pc.and_(pc.not_equal(reasons, ""), flag),
+                pa.scalar(",", pa.string()), empty,
+            )
+            reasons = pc.binary_join_element_wise(reasons, sep, lbl, "")
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "keep": keep,
+                "reasons": reasons,
+            }
+        )
+
+    return quality_stats(
+        documents, id_col=id_col, text_col=text_col
+    ).map_batches(verdict, batch_format="pyarrow")
+
+
 def token_counts(documents, *, id_col: str = "doc_id", text_col: str = "text"):
     """→ (doc_id, n_ws_tokens, n_re_tokens): whitespace tokens and
     regex-tokenizer tokens ([a-z]+|[0-9]+ runs — the BPE-ish pre-split)."""

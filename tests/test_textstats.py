@@ -265,3 +265,30 @@ def test_domain_cap_truncates_hot_hosts():
     assert sorted(by_dom["hot.example.com"]) == [
         f"https://hot.example.com/p{i:03d}" for i in range(5)]  # first 5 by url
     assert len(by_dom["cold.example.org"]) == 3  # under the cap: untouched
+
+
+def test_quality_filter_rules_and_reasons():
+    from ocr_search_ray.stages.textstats import quality_filter
+
+    texts = {
+        0: " ".join(["informative"] * 15 + ["the a of to in is was for on"]
+                    * 3),                     # long enough, stopwordy, typed?
+        1: "tiny doc",                        # too_short
+        2: " ".join("word%02d" % i for i in range(40)),   # no stopwords
+        3: " ".join(["dup"] * 40),            # repetitive → ttr fails (+stop)
+        4: " ".join(["ab"] * 30 + ["the"] * 10),  # mean token len < 3
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)]),
+    })).repartition(2)
+    got = {r["doc_id"]: (r["keep"], r["reasons"])
+           for r in quality_filter(ds).take_all()}
+    assert len(got) == len(texts)             # one verdict per doc, always
+    assert got[1] == (False, "too_short,stopword_ratio")  # 0 stopwords too
+    assert got[2] == (False, "stopword_ratio")
+    assert got[3][0] is False and "ttr" in got[3][1]
+    assert got[4][0] is False and "mean_len" in got[4][1]
+    # doc 0: 42 tokens, 9/42 stopwords >= 1/25, ttr 10/42 < 3/10 → ttr fail?
+    # types: informative + 9 distinct stopwords = 10; 10*10 < 42*3 → fails ttr
+    assert got[0] == (False, "ttr")
