@@ -793,19 +793,21 @@ def lsh_neardup_pairs(embeddings, *, threshold: float = 0.9,
 
 
 def semantic_dedup(embeddings, *, threshold: float = 0.95,
-                   bucket_bits: int = 6,
+                   bucket_bits: int = 6, centroids: "np.ndarray | None" = None,
                    id_col: str = "vec_id", vec_col: str = "embedding"):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding space, then within each cluster drop every vector that
     has a LOWER-id neighbor at cosine >= ``threshold`` — the greedy
     keep-one-representative policy, made deterministic by the id order.
 
-    Clustering here is the deterministic sign-pattern bucket of the first
-    ``bucket_bits`` dimensions (an axis-aligned random-hyperplane LSH cell
-    — SQL-replayable, so the whole operator has an exact DuckDB oracle).
-    At corpus scale the bucket key is pluggable: pass the assignment
-    column from ``build_ivf_index``'s trained centroids for the paper's
-    k-means cells; the drop rule and the exchange shape are identical.
+    Clustering: by default the deterministic sign-pattern bucket of the
+    first ``bucket_bits`` dimensions (an axis-aligned random-hyperplane
+    LSH cell — SQL-replayable, so the operator has an exact DuckDB
+    oracle). Pass ``centroids`` (an (k × dim) matrix, e.g. from
+    ``_train_centroids`` / ``build_ivf_index``) for the paper's k-means
+    cells: vectors assign to their nearest centroid by cosine (one
+    ``ray.put`` broadcast, a matmul-argmax per batch) and the drop rule
+    and exchange shape are identical.
 
     Scale shape: ONE int-key exchange on the bucket id; each cell
     verifies all-pairs cosine with a single numpy matmul. Per-cell cost
@@ -815,9 +817,14 @@ def semantic_dedup(embeddings, *, threshold: float = 0.95,
 
     → kept rows (vec_id), the semantic-dedup survivors.
     """
+    import ray
+
     from .relational import cluster_apply
 
     weights = 1 << np.arange(bucket_bits, dtype=np.int64)
+    cent_ref = None
+    if centroids is not None:
+        cent_ref = ray.put(_normalize(np.asarray(centroids, np.float64)))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, vec_col)
@@ -829,7 +836,11 @@ def semantic_dedup(embeddings, *, threshold: float = 0.95,
                     vec_col: batch.column(vec_col).slice(0, 0),
                 }
             )
-        b = (m[:, :bucket_bits] >= 0).astype(np.int64) @ weights
+        if cent_ref is not None:
+            cents = ray.get(cent_ref)
+            b = np.argmax(_normalize(m) @ cents.T, axis=1).astype(np.int64)
+        else:
+            b = (m[:, :bucket_bits] >= 0).astype(np.int64) @ weights
         return pa.table(
             {
                 id_col: batch.column(id_col),

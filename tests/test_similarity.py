@@ -357,3 +357,30 @@ def test_semantic_dedup_keeps_cross_bucket_neighbors():
     kept = sorted(r["vec_id"] for r in semantic_dedup(
         ds, threshold=0.5, bucket_bits=4).take_all())
     assert kept == [1, 2]
+
+
+def test_semantic_dedup_with_kmeans_cells():
+    """The SemDeDup paper path: cells = trained IVF centroids (broadcast
+    once), same drop rule — verified against a numpy replay."""
+    from ocr_search_ray.stages.similarity import (
+        _train_centroids,
+        semantic_dedup,
+    )
+
+    ds, vecs = _embeddings()
+    cents = _train_centroids(ds, 8, 3, "vec_id", "embedding")
+    kept = sorted(r["vec_id"] for r in semantic_dedup(
+        ds, threshold=0.6, centroids=cents).take_all())
+
+    norm = vecs.astype(np.float64)
+    norm = norm / np.linalg.norm(norm, axis=1, keepdims=True)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    assign = np.argmax(norm @ cn.T, axis=1)
+    expect = []
+    for i in range(N):
+        sims = norm @ norm[i]
+        earlier = (np.arange(N) < i) & (assign == assign[i]) & (sims >= 0.6)
+        if not earlier.any():
+            expect.append(i)
+    assert kept == expect
+    assert 150 not in kept  # the planted near-dup lands in 0's cell
