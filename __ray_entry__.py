@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_percentiles": q.q_approx_percentiles,  # rows-only (DDSketch)
         "domain_cap": q.q_domain_cap,  # per-host frequency cap (r4)
         "quality_filter": q.q_quality_filter,  # Gopher composite gate (r4)
+        "deterministic_shuffle": q.q_deterministic_shuffle,  # stable perm (r4)
         "page_images": q.q_page_images,  # S8 artifact sink (r4)
         "search_expanded": q.q_search_expanded,  # tcr*tf expansion (r4)
         "ann_ivf_add": q.q_ann_ivf_add,  # incremental IVF adds (r4)
@@ -1831,6 +1832,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "deterministic_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT)
+                     AS shuffle_rank
+            FROM documents
         """,
         "quality_filter": f"""
             WITH toks AS (

@@ -755,6 +755,15 @@ def q_lsh_neardup(sf_dir: str):
     return lsh_neardup_pairs(aug, threshold=0.98)
 
 
+def q_deterministic_shuffle(sf_dir: str):
+    """Reproducible global training-order permutation (md5 order)."""
+    from ..stages.relational import deterministic_shuffle
+
+    return deterministic_shuffle(
+        _read(sf_dir, "documents", columns=["doc_id"])
+    )
+
+
 def q_quality_filter(sf_dir: str):
     """Gopher-style composite quality gate — integer-exact verdicts and
     reason strings (several rules exercise real drops at every sf)."""

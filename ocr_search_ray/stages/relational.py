@@ -861,6 +861,49 @@ def global_rank(ds, value_col: str, tiebreak_col: str, *,
     return cluster_apply(parted, ["__rank_part"], block_rank)
 
 
+def deterministic_shuffle(ds, id_col: str = "doc_id", *,
+                          rank_col: str = "shuffle_rank", n_parts: int = 64):
+    """→ (id_col, rank_col): a REPRODUCIBLE global corpus shuffle — the
+    training-order permutation, stable across runs / scales /
+    partitionings (unlike ``ds.random_shuffle``).
+
+    Rank = 1-based position under ``md5(str(id))`` ascending — i.e.
+    SQL ``row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)))`` — via
+    the ``global_rank`` prefix-sum plan: the 63-bit digest prefix is the
+    int range-partition key (never a string boundary search), the full
+    hex digest breaks prefix ties block-locally, so the order is exactly
+    hex-ascending at any scale. Distinct ids with colliding full digests
+    would tie arbitrarily on both engines — no such md5 collision is
+    constructible from id strings.
+    """
+    import numpy as np
+
+    from ..functions.hashing import md5_digest_matrix
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        d = md5_digest_matrix(batch.column(id_col))
+        pref = np.ascontiguousarray(d[:, :8]).view(">u8").ravel()
+        val = -((pref >> np.uint64(1)).astype(np.int64))
+        hexes = [row.tobytes().hex() for row in d]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "__sh_val": pa.array(val, pa.int64()),
+                "__sh_hex": pa.array(hexes, pa.string()),
+            }
+        )
+
+    ranked = global_rank(
+        ds.select_columns([id_col]).map_batches(
+            add_keys, batch_format="pyarrow"
+        ),
+        "__sh_val", "__sh_hex", rank_col=rank_col, n_parts=n_parts,
+    )
+    return ranked.map_batches(
+        lambda b: b.select([id_col, rank_col]), batch_format="pyarrow"
+    )
+
+
 def grouped_count_distinct(ds, keys: list[str], col: str, *,
                            out_name: str = "n_distinct"):
     """Exact COUNT(DISTINCT col) per key group at scale → keys + out_name.

@@ -568,3 +568,26 @@ def test_chunk_documents_matches_naive(docs, shape):
     assert got == expected
     # every doc emits at least one chunk; overlap windows cover all words
     assert {k[0] for k in got} == set(range(len(docs)))
+
+
+def test_deterministic_shuffle_is_partitioning_invariant():
+    """Same permutation whatever the block layout — the reproducibility
+    contract random_shuffle can't give; ranks are a 1..n bijection in
+    md5-hex order."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.relational import deterministic_shuffle
+
+    ids = list(range(137))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    runs = []
+    for parts in (1, 7):
+        got = {r["doc_id"]: r["shuffle_rank"] for r in deterministic_shuffle(
+            rd.from_arrow(tbl).repartition(parts)).take_all()}
+        runs.append(got)
+    assert runs[0] == runs[1]
+    order = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    assert [runs[0][i] for i in order] == list(range(1, len(ids) + 1))
