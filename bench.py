@@ -143,6 +143,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("semantic_dedup", q.q_semantic_dedup)  # r4: SemDeDup cells
     timed("bigram_familiarity", q.q_bigram_familiarity)  # r4: corpus-LM score
     timed("domain_cap", q.q_domain_cap)  # r4: per-host cap
+    timed("quality_filter", q.q_quality_filter)  # r4: Gopher gate
+    timed("deterministic_shuffle", q.q_deterministic_shuffle)  # r4: stable perm
     return timings
 
 
