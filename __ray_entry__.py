@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": q.q_domain_cap,  # per-host frequency cap (r4)
         "quality_filter": q.q_quality_filter,  # Gopher composite gate (r4)
         "deterministic_shuffle": q.q_deterministic_shuffle,  # stable perm (r4)
+        "neardup_clusters": q.q_neardup_clusters,  # pairs→CC→reps (r4)
         "page_images": q.q_page_images,  # S8 artifact sink (r4)
         "search_expanded": q.q_search_expanded,  # tcr*tf expansion (r4)
         "ann_ivf_add": q.q_ann_ivf_add,  # incremental IVF adds (r4)
@@ -1832,6 +1833,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "neardup_clusters": f"""
+            WITH RECURSIVE {_SHINGLE_CTE.strip()},
+            inter AS (
+              SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS inter
+              FROM sh s1 JOIN sh s2
+                ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT i.d1, i.d2
+              FROM inter i
+              JOIN sizes z1 ON z1.doc_id = i.d1
+              JOIN sizes z2 ON z2.doc_id = i.d2
+              WHERE 100 * i.inter >= 30 * (z1.n + z2.n - i.inter)
+            ),
+            edges AS (
+              SELECT d1 AS u, d2 AS v FROM pairs
+              UNION ALL SELECT d2, d1 FROM pairs
+            ),
+            reach AS (
+              SELECT u AS n, v AS m FROM edges
+              UNION
+              SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+            ),
+            lbl AS (
+              SELECT n, LEAST(n, MIN(m)) AS component FROM reach GROUP BY n
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(l.component, d.doc_id) AS BIGINT) AS rep_id
+            FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id
         """,
         "deterministic_shuffle": """
             SELECT doc_id,

@@ -755,6 +755,44 @@ def q_lsh_neardup(sf_dir: str):
     return lsh_neardup_pairs(aug, threshold=0.98)
 
 
+def q_neardup_clusters(sf_dir: str):
+    """End-to-end fuzzy-dedup clustering: n-gram Jaccard pairs (≥30%) →
+    connected components (TRANSITIVE closure: A~B, B~C ⇒ one cluster
+    even when A≁C — the semantics the curate pipeline's greedy pair
+    drops don't give) → every doc labeled with its cluster rep (min
+    doc_id; singletons rep themselves). The MinHash-LSH pair generator
+    drops in for the pair stage at corpus scale (same pair schema)."""
+    from ..stages.graph import connected_components
+    from ..stages.relational import cluster_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = docs.materialize()  # two consumers: pair gen + the final join
+    pairs = dedup_stage.ngram_jaccard_pairs(docs, min_jaccard_pct=30)
+    labels = connected_components(
+        pairs, src_col="doc_id1", dst_col="doc_id2", n_blocks=8
+    )
+    joined = cluster_join(
+        docs.select_columns(["doc_id"]), labels.map_batches(
+            lambda b: b.rename_columns(["doc_id", "component"]),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"], how="left",
+        left_types={"doc_id": pa.int64()},
+        right_types={"component": pa.int64()},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rep = pc.coalesce(
+            batch.column("component").cast(pa.int64()),
+            batch.column("doc_id").cast(pa.int64()),
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "rep_id": rep}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_deterministic_shuffle(sf_dir: str):
     """Reproducible global training-order permutation (md5 order)."""
     from ..stages.relational import deterministic_shuffle

@@ -269,3 +269,28 @@ def test_bench_ngram_cap_raises():
     bench = _docs([BASE, FAR])
     with _pytest.raises(ValueError):
         bench_ngram_hashes(bench, max_ngrams=3)
+
+
+def test_neardup_clusters_transitive_chain(tmp_path):
+    """A~B and B~C at >=30% Jaccard with A!~C: the cluster is transitive
+    (all three share min-id rep) — the semantics greedy pair-dropping
+    can't give; untouched docs rep themselves."""
+    import pyarrow.parquet as pq
+
+    base = ["w%02d" % i for i in range(20)]
+    a = " ".join(base)
+    b = " ".join(base[5:] + ["x%02d" % i for i in range(5)])   # ~ a
+    c = " ".join(base[10:] + ["x%02d" % i for i in range(10)]) # ~ b, !~ a
+    lone = " ".join("z%02d" % i for i in range(20))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array([a, b, c, lone])}),
+        sf / "documents.parquet",
+    )
+    from ocr_search_ray.pipelines.queries import q_neardup_clusters
+
+    got = {r["doc_id"]: r["rep_id"]
+           for r in q_neardup_clusters(str(sf)).take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
