@@ -399,12 +399,19 @@ def dd_percentiles(ds, value_col: str, qs: list[float], *,
     log_gamma = math.log(gamma)
     ZERO_BUCKET = np.iinfo(np.int64).min
 
+    TOP_BUCKET = np.iinfo(np.int64).max
+
     def partial(batch: pa.Table) -> pa.Table:
         v = batch.column(value_col).combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.float64, copy=False)
         idx = np.full(len(v), ZERO_BUCKET, dtype=np.int64)
-        pos = v > 0
+        pos = np.isfinite(v) & (v > 0)
         idx[pos] = np.ceil(np.log(v[pos]) / log_gamma).astype(np.int64)
+        # +inf must NOT fall through float→int64 overflow (which lands on
+        # INT64_MIN — the zero bucket, i.e. the BOTTOM of the
+        # distribution); it takes the top sentinel and estimates as inf.
+        # NaN stays in the zero bucket like other non-positive garbage.
+        idx[np.isposinf(v)] = TOP_BUCKET
         bkt, cnt = np.unique(idx, return_counts=True)
         return pa.table(
             {"bkt": pa.array(bkt, pa.int64()),
@@ -426,7 +433,12 @@ def dd_percentiles(ds, value_col: str, qs: list[float], *,
                 continue
             rank = max(1, math.ceil(q * n))
             k = int(bkt[np.searchsorted(cum, rank)])
-            est = 0.0 if k == ZERO_BUCKET else 2.0 * gamma**k / (gamma + 1.0)
+            if k == ZERO_BUCKET:
+                est = 0.0
+            elif k == TOP_BUCKET:
+                est = float("inf")
+            else:
+                est = 2.0 * gamma**k / (gamma + 1.0)
             out_q.append(float(q))
             out_e.append(est)
         return pa.table(

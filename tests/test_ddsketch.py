@@ -46,3 +46,13 @@ def test_zero_and_negative_take_zero_bucket():
     assert got[0.25][0] == 0.0            # rank 2 of 6 → zero bucket
     assert abs(got[0.9][0] - 4.0) <= 0.01 * 4.0
     assert got[0.5][1] == 6
+
+
+def test_nonfinite_values_do_not_corrupt_the_tail():
+    """+inf sorts LAST (not into the zero bucket via int64 overflow);
+    NaN joins the zero bucket with other non-positive garbage."""
+    vals = [1.0, 2.0, 4.0, float("inf"), float("nan")]
+    got = _run(vals, [0.2, 0.5, 1.0], 0.01, parts=2)
+    assert got[0.2][0] == 0.0                     # rank 1 of 5 → NaN/zero bucket
+    assert abs(got[0.5][0] - 2.0) <= 0.01 * 2.0   # rank 3: real values in order
+    assert got[1.0][0] == float("inf")            # rank 5: inf at the top
