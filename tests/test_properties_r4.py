@@ -78,3 +78,64 @@ def test_page_raster_pixel_roundtrip_property(text):
     while lines and not lines[-1]:
         lines.pop()
     assert back == "\n".join(lines)
+
+
+def test_bigram_familiarity_partitioning_invariant_and_matches_brute():
+    """Exchange exactness: identical output under any block layout, equal
+    to a single-process brute-force replay."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.textstats import bigram_familiarity
+
+    rng = __import__("numpy").random.default_rng(5)
+    vocab = ["aa", "bb", "cc", "dd", "the"]
+    texts = [" ".join(rng.choice(vocab, size=int(n)))
+             for n in rng.integers(0, 12, size=60)]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+
+    corpus: Counter = Counter()
+    per_doc = []
+    for t in texts:
+        toks = [w for w in t.split(" ") if w]
+        bgs = [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+        per_doc.append(bgs)
+        corpus.update(bgs)
+    expect = {i: (len(bgs), sum(corpus[b] for b in bgs))
+              for i, bgs in enumerate(per_doc)}
+
+    outs = []
+    for parts in (1, 9):
+        got = {r["doc_id"]: (r["n_bigrams"], r["familiarity_sum"])
+               for r in bigram_familiarity(
+                   rd.from_arrow(tbl).repartition(parts)).take_all()}
+        outs.append(got)
+    assert outs[0] == outs[1] == expect
+
+
+def test_semantic_dedup_partitioning_invariant():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((120, 12)).astype(np.float32)
+    vecs[50] = vecs[3] * 2.0      # scaled copy: cos == 1, same sign cell
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    outs = []
+    for parts in (1, 11):
+        kept = sorted(r["vec_id"] for r in semantic_dedup(
+            rd.from_arrow(tbl).repartition(parts),
+            threshold=0.8, bucket_bits=3).take_all())
+        outs.append(kept)
+    assert outs[0] == outs[1]
+    assert 3 in outs[0] and 50 not in outs[0]
