@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q.q_quality_filter,  # Gopher composite gate (r4)
         "deterministic_shuffle": q.q_deterministic_shuffle,  # stable perm (r4)
         "neardup_clusters": q.q_neardup_clusters,  # pairs→CC→reps (r4)
+        "grouped_approx_percentiles": q.q_grouped_approx_percentiles,  # rows-only (DDSketch)
         "page_images": q.q_page_images,  # S8 artifact sink (r4)
         "search_expanded": q.q_search_expanded,  # tcr*tf expansion (r4)
         "ann_ivf_add": q.q_ann_ivf_add,  # incremental IVF adds (r4)

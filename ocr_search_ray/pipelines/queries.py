@@ -755,6 +755,17 @@ def q_lsh_neardup(sf_dir: str):
     return lsh_neardup_pairs(aug, threshold=0.98)
 
 
+def q_grouped_approx_percentiles(sf_dir: str):
+    """Per-event-type DDSketch percentiles (rows-only; α bound, grouping
+    exactness and merge invariance pytest-locked — the heavy-tail grouped
+    companion to the exact value_percentiles)."""
+    from ..stages.relational import grouped_dd_percentiles
+
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_dd_percentiles(events, ["event_type"], "value",
+                                  [0.5, 0.95])
+
+
 def q_neardup_clusters(sf_dir: str):
     """End-to-end fuzzy-dedup clustering: n-gram Jaccard pairs (≥30%) →
     connected components (TRANSITIVE closure: A~B, B~C ⇒ one cluster

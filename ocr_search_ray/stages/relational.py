@@ -456,6 +456,106 @@ def dd_percentiles(ds, value_col: str, qs: list[float], *,
     )
 
 
+def grouped_dd_percentiles(ds, key_cols: list[str], value_col: str,
+                           qs: list[float], *, alpha: float = 0.01):
+    """Per-group DDSketch percentiles — ``dd_percentiles``' grouped form
+    and ``grouped_percentiles``' heavy-tail companion: per-group sketches
+    stay O(log(max/min)/α) rows regardless of the group's value spread,
+    where the exact quantized histogram grows with the value domain.
+
+    Per-batch partial (keys, bucket, count) rows collapse each batch's
+    values before the ONE int-key exchange on the group key; each group's
+    merged sketch reads its quantiles off block-locally. Same estimate
+    guarantees, determinism and merge invariance as ``dd_percentiles``.
+
+    → keys + ``n_values`` + one float64 ``p{q*100}_est`` column per q.
+    """
+    import math
+
+    import numpy as np
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    log_gamma = math.log(gamma)
+    ZERO_BUCKET = np.iinfo(np.int64).min
+    TOP_BUCKET = np.iinfo(np.int64).max
+
+    qnames = []
+    for q in qs:
+        pct = q * 100
+        if abs(pct - round(pct)) > 1e-9:
+            raise ValueError(f"q={q}: use percentiles expressible as q*100 int")
+        qnames.append(f"p{int(round(pct))}_est")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64, copy=False)
+        idx = np.full(len(v), ZERO_BUCKET, dtype=np.int64)
+        pos = np.isfinite(v) & (v > 0)
+        idx[pos] = np.ceil(np.log(v[pos]) / log_gamma).astype(np.int64)
+        idx[np.isposinf(v)] = TOP_BUCKET
+        t = pa.table(
+            {**{k: batch.column(k) for k in key_cols},
+             "bkt": pa.array(idx, pa.int64()),
+             "one": pa.repeat(pa.scalar(1, pa.int64()), batch.num_rows)}
+        )
+        agg = t.group_by(key_cols + ["bkt"]).aggregate([("one", "sum")])
+        return agg.rename_columns(key_cols + ["bkt", "c_part"])
+
+    def estimate(k: int) -> float:
+        if k == ZERO_BUCKET:
+            return 0.0
+        if k == TOP_BUCKET:
+            return float("inf")
+        return 2.0 * gamma**k / (gamma + 1.0)
+
+    def block_read(block: pa.Table) -> pa.Table:
+        agg = block.group_by(key_cols + ["bkt"]).aggregate(
+            [("c_part", "sum")]
+        )
+        agg = agg.sort_by(
+            [(k, "ascending") for k in key_cols] + [("bkt", "ascending")]
+        )
+        keys_lists = [agg.column(k).to_pylist() for k in key_cols]
+        buckets = agg.column("bkt").to_pylist()
+        counts = agg.column("c_part_sum").to_pylist()
+        out_keys: list[list] = [[] for _ in key_cols]
+        out_n: list[int] = []
+        out_ps: list[list[float]] = [[] for _ in qs]
+        i, n_rows = 0, len(buckets)
+        while i < n_rows:
+            j = i
+            while j < n_rows and all(kl[j] == kl[i] for kl in keys_lists):
+                j += 1
+            total = sum(counts[i:j])
+            ranks = [max(1, math.ceil(q * total)) for q in qs]
+            cum = 0
+            found: list[float | None] = [None] * len(qs)
+            for r in range(i, j):
+                cum += counts[r]
+                for qi, rank in enumerate(ranks):
+                    if found[qi] is None and cum >= rank:
+                        found[qi] = estimate(buckets[r])
+            for ki, kl in enumerate(keys_lists):
+                out_keys[ki].append(kl[i])
+            out_n.append(total)
+            for qi in range(len(qs)):
+                out_ps[qi].append(found[qi])
+            i = j
+        cols = {
+            k: pa.array(out_keys[ki], agg.column(k).type)
+            for ki, k in enumerate(key_cols)
+        }
+        cols["n_values"] = pa.array(out_n, pa.int64())
+        for qi, name in enumerate(qnames):
+            cols[name] = pa.array(out_ps[qi], pa.float64())
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return cluster_apply(partials, key_cols, block_read)
+
+
 def hash_sample(ds, key_col: str, *, threshold: int, modulus: int = 256):
     """Deterministic content-hash sampling: keep rows whose
     ``md5(str(key))`` first byte < ``threshold`` (expected fraction

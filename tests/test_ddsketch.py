@@ -56,3 +56,37 @@ def test_nonfinite_values_do_not_corrupt_the_tail():
     assert got[0.2][0] == 0.0                     # rank 1 of 5 → NaN/zero bucket
     assert abs(got[0.5][0] - 2.0) <= 0.01 * 2.0   # rank 3: real values in order
     assert got[1.0][0] == float("inf")            # rank 5: inf at the top
+
+
+def test_grouped_dd_percentiles_alpha_bound_and_invariance():
+    """Per-group sketches: α bound per group vs numpy, identical under
+    any partitioning, n_values exact per group."""
+    import math
+
+    from ocr_search_ray.stages.relational import grouped_dd_percentiles
+
+    rng = np.random.default_rng(3)
+    keys, vals = [], []
+    for g, (mu, n) in enumerate([(0.0, 3000), (4.0, 800), (-2.0, 50)]):
+        keys += ["g%d" % g] * n
+        vals += np.exp(rng.standard_normal(n) + mu).tolist()
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.float64())})
+
+    outs = []
+    for parts in (1, 8):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        got = {r["k"]: (r["n_values"], r["p50_est"], r["p95_est"])
+               for r in grouped_dd_percentiles(
+                   ds, ["k"], "v", [0.5, 0.95], alpha=0.02).take_all()}
+        outs.append(got)
+    assert outs[0] == outs[1]
+    by_key = {}
+    for k, v in zip(keys, vals):
+        by_key.setdefault(k, []).append(v)
+    for k, xs in by_key.items():
+        s = np.sort(xs)
+        n, p50, p95 = outs[0][k]
+        assert n == len(xs)
+        for q, est in ((0.5, p50), (0.95, p95)):
+            true = s[max(1, math.ceil(q * len(s))) - 1]
+            assert abs(est - true) <= 0.02 * true * (1 + 1e-12), (k, q)

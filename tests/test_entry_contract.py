@@ -17,6 +17,7 @@ def test_oracle_keys_subset_of_queries():
     assert set(qs) - set(sqls) == {
         "ann_lsh_topk", "lsh_neardup", "media_real", "approx_distinct",
         "grouped_approx_distinct", "approx_percentiles",
+        "grouped_approx_percentiles",
     }
 
 
