@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_shuffle": q.q_deterministic_shuffle,  # stable perm (r4)
         "neardup_clusters": q.q_neardup_clusters,  # pairs→CC→reps (r4)
         "grouped_approx_percentiles": q.q_grouped_approx_percentiles,  # rows-only (DDSketch)
+        "curate_full": q.q_curate_full,  # quality→neardup-cluster→reps (r4)
         "page_images": q.q_page_images,  # S8 artifact sink (r4)
         "search_expanded": q.q_search_expanded,  # tcr*tf expansion (r4)
         "ann_ivf_add": q.q_ann_ivf_add,  # incremental IVF adds (r4)
@@ -1834,6 +1835,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "curate_full": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, t.w
+              FROM documents,
+              LATERAL (SELECT unnest(string_split(text, ' ')) AS w) t
+              WHERE length(t.w) > 0
+            ),
+            qs AS (
+              SELECT d.doc_id,
+                     COUNT(t.w) AS nt,
+                     COALESCE(SUM(CASE WHEN t.w IN ({_STOPLIST_SQL})
+                          THEN 1 ELSE 0 END), 0) AS ns,
+                     COUNT(DISTINCT t.w) AS ty,
+                     COALESCE(SUM(length(t.w)), 0) AS sl
+              FROM documents d LEFT JOIN toks t USING (doc_id)
+              GROUP BY d.doc_id
+            ),
+            qual AS (
+              SELECT doc_id FROM qs
+              WHERE NOT (nt < 25 OR nt > 10000
+                         OR sl < nt * 3 OR sl > nt * 10
+                         OR ns * 25 < nt * 1 OR ty * 10 < nt * 3)
+            ),
+            {_SHINGLE_CTE.strip()},
+            inter AS (
+              SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS inter
+              FROM sh s1 JOIN sh s2
+                ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT i.d1, i.d2
+              FROM inter i
+              JOIN sizes z1 ON z1.doc_id = i.d1
+              JOIN sizes z2 ON z2.doc_id = i.d2
+              WHERE 100 * i.inter >= 30 * (z1.n + z2.n - i.inter)
+                AND i.d1 IN (SELECT doc_id FROM qual)
+                AND i.d2 IN (SELECT doc_id FROM qual)
+            ),
+            edges AS (
+              SELECT d1 AS u, d2 AS v FROM pairs
+              UNION ALL SELECT d2, d1 FROM pairs
+            ),
+            reach AS (
+              SELECT u AS n, v AS m FROM edges
+              UNION
+              SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+            ),
+            lbl AS (
+              SELECT n, LEAST(n, MIN(m)) AS component FROM reach GROUP BY n
+            )
+            SELECT q.doc_id
+            FROM qual q LEFT JOIN lbl l ON l.n = q.doc_id
+            WHERE COALESCE(l.component, q.doc_id) = q.doc_id
         """,
         "neardup_clusters": f"""
             WITH RECURSIVE {_SHINGLE_CTE.strip()},

@@ -755,6 +755,53 @@ def q_lsh_neardup(sf_dir: str):
     return lsh_neardup_pairs(aug, threshold=0.98)
 
 
+def q_curate_full(sf_dir: str):
+    """The full training-data curation pass in one entry: Gopher quality
+    gate → transitive near-dup clustering over the survivors → keep only
+    cluster representatives. Standard web-pipeline order (filter before
+    dedup: garbage never pays for shingling); every stage is the
+    distributed plan (semi/left cluster_joins, CC delta propagation),
+    no driver state."""
+    from ..stages.graph import connected_components
+    from ..stages.relational import cluster_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = docs.materialize()  # consumers: verdicts + the semi-join left side
+    qual_ids = textstats.quality_filter(docs).map_batches(
+        lambda b: b.filter(b.column("keep")).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    qdocs = cluster_join(
+        docs, qual_ids, ["doc_id"], how="semi",
+        left_types={"doc_id": pa.int64(), "text": pa.string()},
+        right_types={},
+    ).materialize()  # consumers: pair gen + the final label join
+    pairs = dedup_stage.ngram_jaccard_pairs(qdocs, min_jaccard_pct=30)
+    labels = connected_components(
+        pairs, src_col="doc_id1", dst_col="doc_id2", n_blocks=8
+    )
+    joined = cluster_join(
+        qdocs.select_columns(["doc_id"]), labels.map_batches(
+            lambda b: b.rename_columns(["doc_id", "component"]),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"], how="left",
+        left_types={"doc_id": pa.int64()},
+        right_types={"component": pa.int64()},
+    )
+
+    def reps_only(batch: pa.Table) -> pa.Table:
+        rep = pc.coalesce(
+            batch.column("component").cast(pa.int64()),
+            batch.column("doc_id").cast(pa.int64()),
+        )
+        return batch.select(["doc_id"]).filter(
+            pc.equal(rep, batch.column("doc_id"))
+        )
+
+    return joined.map_batches(reps_only, batch_format="pyarrow")
+
+
 def q_grouped_approx_percentiles(sf_dir: str):
     """Per-event-type DDSketch percentiles (rows-only; α bound, grouping
     exactness and merge invariance pytest-locked — the heavy-tail grouped
