@@ -39,6 +39,12 @@ def main(argv: list[str] | None = None) -> int:
                          "partitions + posting index, no rebuild) and then "
                          "renames the file aside — the sync loop's deletion "
                          "half (DropboxSynchronizer fullDeletion parity)")
+    ap.add_argument("--quality-dir", default=None,
+                    help="also write per-page Gopher quality verdicts "
+                         "(doc_id, keep, reasons) to this directory, one "
+                         "partition per pages partition; resume is by "
+                         "output presence (a crashed cycle's missing "
+                         "partitions are picked up on any later cycle)")
     ap.add_argument("--raster-dir", default=None,
                     help="also write one <doc_id>.png page-image artifact "
                          "per NEW page to this directory (S8 sink; atomic, "
@@ -108,6 +114,34 @@ def main(argv: list[str] | None = None) -> int:
                 summary["raster"] = counts
             else:
                 summary["raster"] = "unchanged"
+        if args.quality_dir:
+            import shutil
+
+            from ocr_search_ray.stages.textstats import quality_filter
+
+            os.makedirs(args.quality_dir, exist_ok=True)
+            written = 0
+            # resume by OUTPUT presence, not by this cycle's delta: a cycle
+            # that crashed between ingest and quality leaves partitions the
+            # next cycle must still pick up
+            for d in sorted(glob.glob(f"{args.out}/pages/part=*")):
+                part = os.path.basename(d)
+                out_part = os.path.join(args.quality_dir, part)
+                if os.path.isdir(out_part):
+                    continue
+                files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+                if not files:
+                    continue
+                tmp = out_part + ".tmp"
+                shutil.rmtree(tmp, ignore_errors=True)
+                quality_filter(
+                    rd.read_parquet(files, columns=["doc_id", "text"])
+                ).write_parquet(tmp, compression="zstd")
+                os.rename(tmp, out_part)  # atomic publish per partition
+                written += 1
+            summary["quality"] = (
+                {"partitions_written": written} if written else "unchanged"
+            )
         if not args.skip_index:
             new_parts = sorted(
                 set(glob.glob(f"{args.out}/postings/part=*")) - before

@@ -90,3 +90,46 @@ def test_sync_cycle_ingests_new_fragments_and_merges_index(tmp_path):
     survivors = search_index(str(out_dir / "postings_index"),
                              str(out_dir / "pages"), term, max_return=20)
     assert doomed_url not in survivors.column("url").to_pylist()
+
+
+def test_quality_dir_writes_verdicts_and_resumes_by_output_presence(tmp_path):
+    """--quality-dir writes one verdict partition per pages partition
+    (atomic publish); a later cycle picks up partitions an earlier run
+    missed and reruns are no-ops."""
+    import glob as _glob
+
+    from ocr_search_ray.sources.webpages import read_webpages
+
+    input_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    os.makedirs(input_dir)
+    web = read_webpages("/root/testdata/sf0.001").materialize()
+    frags = list(web.split(3))
+    for i, sub in enumerate(frags[:2]):
+        pq.write_table(
+            pa.Table.from_pandas(sub.to_pandas(), preserve_index=False),
+            input_dir / f"frag-{i}.parquet")
+
+    qdir = str(tmp_path / "quality")
+    s1 = _run_job(input_dir, out_dir, "--quality-dir", qdir, "--skip-index")
+    assert s1["quality"]["partitions_written"] == 2
+    parts = sorted(_glob.glob(f"{qdir}/part=*"))
+    assert len(parts) == 2 and not _glob.glob(f"{qdir}/*.tmp")
+    t = pa.concat_tables(
+        pq.read_table(f) for p in parts
+        for f in _glob.glob(os.path.join(p, "*.parquet")))
+    assert set(t.column_names) == {"doc_id", "keep", "reasons"}
+    assert t.num_rows > 0 and t.column("keep").null_count == 0
+
+    # a partition's verdicts vanish (simulated crash before publish) +
+    # a new fragment lands: the next cycle writes BOTH
+    import shutil
+    shutil.rmtree(parts[0])
+    pq.write_table(
+        pa.Table.from_pandas(frags[2].to_pandas(), preserve_index=False),
+        input_dir / "frag-2.parquet")
+    s2 = _run_job(input_dir, out_dir, "--quality-dir", qdir, "--skip-index")
+    assert s2["quality"]["partitions_written"] == 2
+    assert len(_glob.glob(f"{qdir}/part=*")) == 3
+    s3 = _run_job(input_dir, out_dir, "--quality-dir", qdir, "--skip-index")
+    assert s3["quality"] == "unchanged"
