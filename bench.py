@@ -234,6 +234,7 @@ def main() -> int:
         ceiling_before = _hw_ceiling(lo, hi)
         per_rep = []
         best = {lo: 0.0, hi: 0.0}
+        legs = {lo: [], hi: []}
         last = {}
         for _rep in range(reps):
             results = {}
@@ -246,9 +247,15 @@ def main() -> int:
                 )
                 results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
                 best[cpus] = max(best[cpus], results[cpus]["docs_per_s"])
+                legs[cpus].append(results[cpus]["docs_per_s"])
             t_lo, t_hi = results[lo]["docs_per_s"], results[hi]["docs_per_s"]
             per_rep.append(round((t_hi / t_lo) / (hi / lo), 3))
             last = results
+
+        def _median(xs):
+            s = sorted(xs)
+            m = len(s) // 2
+            return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
         print(json.dumps({
             "metric": f"ingest-index scaling {lo}→{hi} cpus (N→4N)",
             "unit": "docs/s",
@@ -266,6 +273,14 @@ def main() -> int:
             # min-wall-time benchmarking convention)
             "best_pair_efficiency": round(
                 (best[hi] / best[lo]) / (hi / lo), 3),
+            # per-leg throughputs + the median-leg ratio: with
+            # GRAFT_SCALE_REPS >= 3 the median leg ignores a single host
+            # slow phase entirely (pre-registered robustness, not post-hoc
+            # exclusion)
+            f"legs_{lo}": legs[lo],
+            f"legs_{hi}": legs[hi],
+            "median_leg_efficiency": round(
+                (_median(legs[hi]) / _median(legs[lo])) / (hi / lo), 3),
             "hw_ceiling_before": ceiling_before,
             "hw_ceiling_after": _hw_ceiling(lo, hi),
         }))
