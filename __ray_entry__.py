@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": q.q_neardup_clusters,  # pairs→CC→reps (r4)
         "grouped_approx_percentiles": q.q_grouped_approx_percentiles,  # rows-only (DDSketch)
         "curate_full": q.q_curate_full,  # quality→neardup-cluster→reps (r4)
+        "media_gif": q.q_media_gif,  # rows-only (real LZW codec path, r4)
         "page_images": q.q_page_images,  # S8 artifact sink (r4)
         "search_expanded": q.q_search_expanded,  # tcr*tf expansion (r4)
         "ann_ivf_add": q.q_ann_ivf_add,  # incremental IVF adds (r4)

@@ -1017,6 +1017,61 @@ def q_media_frames(sf_dir: str):
     return frames.map_batches(project, batch_format="pyarrow")
 
 
+def q_media_gif(sf_dir: str):
+    """REAL compressed-format decode end-to-end (rows-only; codec locked by
+    pytest round-trips): a deterministic ≤256-color GIF per doc — real
+    LZW streams — decoded and feature-extracted through the same actor
+    pool as every other media kind; no digest stub on this path."""
+    import numpy as np
+
+    from ..functions.gif_codec import encode_gif
+    from ..stages.multimodal import extract_media_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            yy, xx = np.mgrid[0:12, 0:16]
+            img = np.stack(
+                [((xx * (1 + d % 7)) % 11) * 23,
+                 ((yy * (2 + d % 5)) % 7) * 36,
+                 ((xx + yy + d) % 13) * 19],
+                axis=2,
+            ).astype(np.uint8)
+            payloads.append(encode_gif(img))
+        n = len(ids)
+        return pa.table(
+            {
+                "media_id": pa.array([f"g-{d:06d}" for d in ids], pa.string()),
+                "kind": pa.array(["image"] * n, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array([16] * n, pa.int32()),
+                "height": pa.array([12] * n, pa.int32()),
+                "duration_ms": pa.array([-1] * n, pa.int32()),
+            }
+        )
+
+    media = docs.map_batches(synth, batch_format="pyarrow", batch_size=64)
+    feats = extract_media_features(media, concurrency=2, batch_size=64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "status": batch.column("status"),
+                "f0": pa.array(
+                    [round(f[0], 6) if f is not None else -1.0
+                     for f in batch.column("feature").to_pylist()],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
 def q_media_real(sf_dir: str):
     """REAL media decode end-to-end (rows-only; kernels locked by pytest):
     deterministic BMP images / WAV tones synthesized per doc, decoded and

@@ -50,11 +50,15 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
 
 
 def _features(payload: bytes, kind: str) -> np.ndarray:
-    """Magic-byte routing: REAL kernels for BMP/WAV, stub otherwise."""
+    """Magic-byte routing: REAL kernels for BMP/WAV/GIF, stub otherwise."""
     if payload is None:
         raise ValueError("null payload")
     if payload[:2] == b"BM":
         return media_codecs.image_features(media_codecs.decode_bmp24(payload))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ..functions.gif_codec import decode_gif
+
+        return media_codecs.image_features(decode_gif(payload))
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return media_codecs.audio_features(
             *media_codecs.decode_wav_pcm16(payload))
@@ -135,6 +139,14 @@ class ImageResizer:
             out_w, out_h = self._box_fit(img.shape[1], img.shape[0])
             resized = media_codecs.resize_nearest(img, out_w, out_h)
             return media_codecs.encode_bmp24(resized), out_w, out_h
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            # REAL compressed-format transform (from-scratch LZW codec)
+            from ..functions.gif_codec import decode_gif, encode_gif
+
+            img = decode_gif(payload)
+            out_w, out_h = self._box_fit(img.shape[1], img.shape[0])
+            resized = media_codecs.resize_nearest(img, out_w, out_h)
+            return encode_gif(resized), out_w, out_h
         # STUB for compressed formats: box math real, pixels digest-faked
         out_w, out_h = self._box_fit(w, h)
         fake = hashlib.sha256(

@@ -15,8 +15,8 @@ def test_oracle_keys_subset_of_queries():
     # exact SQL oracles in round 2; approx_percentiles is the DDSketch —
     # deterministic but not SQL-derivable, error-bound pytest-locked)
     assert set(qs) - set(sqls) == {
-        "ann_lsh_topk", "lsh_neardup", "media_real", "approx_distinct",
-        "grouped_approx_distinct", "approx_percentiles",
+        "ann_lsh_topk", "lsh_neardup", "media_real", "media_gif",
+        "approx_distinct", "grouped_approx_distinct", "approx_percentiles",
         "grouped_approx_percentiles",
     }
 

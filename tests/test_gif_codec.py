@@ -1,0 +1,69 @@
+"""From-scratch GIF89a LZW codec: round-trips, growth/reset, spec guards."""
+
+import numpy as np
+import pytest
+
+from ocr_search_ray.functions.gif_codec import decode_gif, encode_gif
+
+RNG = np.random.default_rng(21)
+
+
+@pytest.mark.parametrize("shape,ncolors", [
+    ((1, 1), 1), ((3, 5), 2), ((16, 16), 7), ((40, 60), 250),
+])
+def test_round_trip_exact(shape, ncolors):
+    h, w = shape
+    palette = RNG.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    img = palette[RNG.integers(0, ncolors, size=(h, w))]
+    out = decode_gif(encode_gif(img))
+    assert out.dtype == np.uint8 and out.shape == (h, w, 3)
+    assert (out == img).all()
+
+
+def test_round_trip_forces_dict_growth_and_reset():
+    """High-entropy 256-color image: the LZW dictionary walks every code
+    width up to 12 bits and resets mid-stream (>4096 entries)."""
+    palette = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    img = palette[RNG.integers(0, 256, size=(120, 120))]
+    payload = encode_gif(img)
+    assert (decode_gif(payload) == img).all()
+    assert len(payload) < img.size  # actually compressed vs raw RGB
+
+
+def test_flat_image_compresses_hard():
+    img = np.full((64, 64, 3), 7, np.uint8)
+    payload = encode_gif(img)
+    assert (decode_gif(payload) == img).all()
+    assert len(payload) < 200  # runs collapse into LZW chains
+
+
+def test_header_fields_are_spec_valid():
+    import struct
+
+    img = np.zeros((5, 9, 3), np.uint8)
+    img[0, 0] = (255, 0, 0)
+    p = encode_gif(img)
+    assert p[:6] == b"GIF89a"
+    assert struct.unpack_from("<HH", p, 6) == (9, 5)
+    assert p[10] & 0x80  # global color table present
+    assert p.endswith(b"\x00\x3B")
+
+
+def test_decoder_rejects_out_of_scope_features():
+    img = np.zeros((2, 2, 3), np.uint8)
+    p = bytearray(encode_gif(img))
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG" + bytes(p)[3:])
+    # flip the interlace bit in the image descriptor
+    idesc = bytes(p).index(0x2C, 13)
+    p2 = bytearray(p)
+    p2[idesc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlacing"):
+        decode_gif(bytes(p2))
+
+
+def test_truncated_stream_fails_loudly():
+    img = np.zeros((8, 8, 3), np.uint8)
+    p = encode_gif(img)
+    with pytest.raises(ValueError):
+        decode_gif(p[: len(p) // 2] + b"\x00\x3B")

@@ -105,3 +105,45 @@ def test_sample_frames_fan_out():
     rows2 = sample_frames(media, every_ms=1000, max_frames=8).take_all()
     assert {(r["media_id"], r["frame_idx"]): r["payload"] for r in rows} == \
            {(r["media_id"], r["frame_idx"]): r["payload"] for r in rows2}
+
+
+def test_gif_rows_route_through_the_real_codec():
+    """A GIF payload gets REAL features (pixel stats, not the digest
+    stub) and a GIF through ImageResizer comes back as a smaller,
+    decodable GIF with real resampled pixels."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.functions.gif_codec import decode_gif, encode_gif
+    from ocr_search_ray.functions.media_codecs import (
+        image_features,
+        resize_nearest,
+    )
+    from ocr_search_ray.stages.multimodal import (
+        ImageResizer,
+        extract_media_features,
+    )
+
+    img = np.zeros((300, 400, 3), np.uint8)
+    img[:150] = (200, 10, 10)
+    payload = encode_gif(img)
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array(["g-1"]), "kind": pa.array(["image"]),
+        "payload": pa.array([payload], pa.binary()),
+        "width": pa.array([400], pa.int32()),
+        "height": pa.array([300], pa.int32()),
+        "duration_ms": pa.array([-1], pa.int32()),
+    }))
+    row = extract_media_features(media).take_all()[0]
+    assert row["status"] == "ok"
+    expect = image_features(img)
+    assert np.allclose(row["feature"], expect, atol=1e-6)
+
+    out = media.map_batches(
+        ImageResizer, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"max_w": 100, "max_h": 100},
+    ).take_all()[0]
+    assert (out["width"], out["height"]) == (100, 75)
+    back = decode_gif(out["payload"])
+    assert (back == resize_nearest(img, 100, 75)).all()
