@@ -24,6 +24,44 @@ import sys
 import time
 
 
+def _quality_pass(quality_dir: str, out_dir: str) -> int:
+    """Write one Gopher-verdict partition per CANONICAL pages partition
+    that lacks one (resume by output presence). Heals crash-leftover
+    aside dirs first and skips ``.old``/``.tmp`` names so a crashed
+    compaction can never feed stale pages into verdicts. → written."""
+    import glob
+    import shutil
+
+    import ray.data as rd
+
+    from ocr_search_ray.stages.textstats import quality_filter
+    from ocr_search_ray.state.atomic import recover_all
+
+    os.makedirs(quality_dir, exist_ok=True)
+    # heal any pages partition a crashed compaction left aside (the
+    # CLAUDE.md rule: writers heal before reading a dir as input)
+    recover_all(os.path.join(out_dir, "pages"), "part=*")
+    written = 0
+    for d in sorted(glob.glob(f"{out_dir}/pages/part=*")):
+        part = os.path.basename(d)
+        if part.endswith(".old") or part.endswith(".tmp"):
+            continue  # non-canonical leftovers are never verdict input
+        out_part = os.path.join(quality_dir, part)
+        if os.path.isdir(out_part):
+            continue
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if not files:
+            continue
+        tmp = out_part + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        quality_filter(
+            rd.read_parquet(files, columns=["doc_id", "text"])
+        ).write_parquet(tmp, compression="zstd")
+        os.rename(tmp, out_part)  # atomic publish per partition
+        written += 1
+    return written
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True,
@@ -115,30 +153,7 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 summary["raster"] = "unchanged"
         if args.quality_dir:
-            import shutil
-
-            from ocr_search_ray.stages.textstats import quality_filter
-
-            os.makedirs(args.quality_dir, exist_ok=True)
-            written = 0
-            # resume by OUTPUT presence, not by this cycle's delta: a cycle
-            # that crashed between ingest and quality leaves partitions the
-            # next cycle must still pick up
-            for d in sorted(glob.glob(f"{args.out}/pages/part=*")):
-                part = os.path.basename(d)
-                out_part = os.path.join(args.quality_dir, part)
-                if os.path.isdir(out_part):
-                    continue
-                files = sorted(glob.glob(os.path.join(d, "*.parquet")))
-                if not files:
-                    continue
-                tmp = out_part + ".tmp"
-                shutil.rmtree(tmp, ignore_errors=True)
-                quality_filter(
-                    rd.read_parquet(files, columns=["doc_id", "text"])
-                ).write_parquet(tmp, compression="zstd")
-                os.rename(tmp, out_part)  # atomic publish per partition
-                written += 1
+            written = _quality_pass(args.quality_dir, args.out)
             summary["quality"] = (
                 {"partitions_written": written} if written else "unchanged"
             )
@@ -178,6 +193,21 @@ def main(argv: list[str] | None = None) -> int:
                     index_dir=(index_dir
                                if os.path.isdir(index_dir) else None),
                 )
+                if args.quality_dir:
+                    # verdicts of a rewritten pages partition are stale
+                    # (they still carry the deleted docs): drop and
+                    # recompute them now — verdicts are re-derivable, so
+                    # plain rmtree + rewrite is the right protocol here
+                    import shutil
+
+                    for part in summary["delete"].get(
+                            "rewritten_parts", []):
+                        shutil.rmtree(
+                            os.path.join(args.quality_dir, part),
+                            ignore_errors=True,
+                        )
+                    requality = _quality_pass(args.quality_dir, args.out)
+                    summary["quality_recomputed"] = requality
             # consume the file so a rerun of the cycle is a no-op (the
             # compaction itself is idempotent either way)
             os.replace(args.deletions,

@@ -220,6 +220,7 @@ def compact_delete_on_disk(out_dir: str, deleted_urls: set[str],
              "rewritten": 0, "pages_removed": 0, "postings_removed": 0}
     deleted_ref = ray.put(deleted_arr)
     futures = []
+    futures_parts = []
     for pages_dir in pages_parts:
         part = os.path.basename(pages_dir)
         if not may_contain(pages_dir):
@@ -229,10 +230,14 @@ def compact_delete_on_disk(out_dir: str, deleted_urls: set[str],
         postings_dir = os.path.join(out_dir, "postings", part)
         futures.append(rewrite_partition.remote(
             pid, pages_dir, postings_dir, manifest_dir, deleted_ref))
+        futures_parts.append(part)
     tombstones = []
-    for n_pages, n_postings, doomed in ray.get(futures):
+    stats["rewritten_parts"] = []
+    for part, (n_pages, n_postings, doomed) in zip(
+            futures_parts, ray.get(futures)):
         if n_pages:
             stats["rewritten"] += 1
+            stats["rewritten_parts"].append(part)
             stats["pages_removed"] += n_pages
             stats["postings_removed"] += n_postings
             tombstones.append(doomed)

@@ -361,6 +361,47 @@ def grouped_percentiles(ds, key_cols: list[str], value_col: str,
     return cluster_apply(partials, key_cols, block_percentiles)
 
 
+def _dd_params(alpha: float) -> tuple[float, float]:
+    """(gamma, log_gamma) for a DDSketch of relative accuracy ``alpha``."""
+    import math
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    return gamma, math.log(gamma)
+
+
+def _dd_sentinels():
+    import numpy as np
+
+    return np.iinfo(np.int64).min, np.iinfo(np.int64).max  # zero, top
+
+
+def _dd_bucketize(v, log_gamma: float):
+    """float64 values → int64 DDSketch bucket ids. Values ≤ 0 and NaN take
+    the zero sentinel; +inf takes the top sentinel — it must NOT fall
+    through float→int64 overflow, which lands on INT64_MIN (the zero
+    bucket, i.e. the BOTTOM of the distribution)."""
+    import numpy as np
+
+    zero_b, top_b = _dd_sentinels()
+    idx = np.full(len(v), zero_b, dtype=np.int64)
+    pos = np.isfinite(v) & (v > 0)
+    idx[pos] = np.ceil(np.log(v[pos]) / log_gamma).astype(np.int64)
+    idx[np.isposinf(v)] = top_b
+    return idx
+
+
+def _dd_estimate(k: int, gamma: float) -> float:
+    """Bucket id → the DDSketch midpoint estimate for that bucket."""
+    zero_b, top_b = _dd_sentinels()
+    if k == zero_b:
+        return 0.0
+    if k == top_b:
+        return float("inf")
+    return 2.0 * gamma**k / (gamma + 1.0)
+
+
 def dd_percentiles(ds, value_col: str, qs: list[float], *,
                    alpha: float = 0.01):
     """DDSketch approximate percentiles with a RELATIVE-error guarantee
@@ -391,28 +432,14 @@ def dd_percentiles(ds, value_col: str, qs: list[float], *,
     import math
 
     import numpy as np
-    import pyarrow.compute as pc
 
-    if not 0 < alpha < 1:
-        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
-    gamma = (1.0 + alpha) / (1.0 - alpha)
-    log_gamma = math.log(gamma)
-    ZERO_BUCKET = np.iinfo(np.int64).min
-
-    TOP_BUCKET = np.iinfo(np.int64).max
+    gamma, log_gamma = _dd_params(alpha)
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch.column(value_col).combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.float64, copy=False)
-        idx = np.full(len(v), ZERO_BUCKET, dtype=np.int64)
-        pos = np.isfinite(v) & (v > 0)
-        idx[pos] = np.ceil(np.log(v[pos]) / log_gamma).astype(np.int64)
-        # +inf must NOT fall through float→int64 overflow (which lands on
-        # INT64_MIN — the zero bucket, i.e. the BOTTOM of the
-        # distribution); it takes the top sentinel and estimates as inf.
-        # NaN stays in the zero bucket like other non-positive garbage.
-        idx[np.isposinf(v)] = TOP_BUCKET
-        bkt, cnt = np.unique(idx, return_counts=True)
+        bkt, cnt = np.unique(_dd_bucketize(v, log_gamma),
+                             return_counts=True)
         return pa.table(
             {"bkt": pa.array(bkt, pa.int64()),
              "c_part": pa.array(cnt, pa.int64())}
@@ -433,14 +460,8 @@ def dd_percentiles(ds, value_col: str, qs: list[float], *,
                 continue
             rank = max(1, math.ceil(q * n))
             k = int(bkt[np.searchsorted(cum, rank)])
-            if k == ZERO_BUCKET:
-                est = 0.0
-            elif k == TOP_BUCKET:
-                est = float("inf")
-            else:
-                est = 2.0 * gamma**k / (gamma + 1.0)
             out_q.append(float(q))
-            out_e.append(est)
+            out_e.append(_dd_estimate(k, gamma))
         return pa.table(
             {"quantile": pa.array(out_q, pa.float64()),
              "estimate": pa.array(out_e, pa.float64()),
@@ -472,14 +493,7 @@ def grouped_dd_percentiles(ds, key_cols: list[str], value_col: str,
     """
     import math
 
-    import numpy as np
-
-    if not 0 < alpha < 1:
-        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
-    gamma = (1.0 + alpha) / (1.0 - alpha)
-    log_gamma = math.log(gamma)
-    ZERO_BUCKET = np.iinfo(np.int64).min
-    TOP_BUCKET = np.iinfo(np.int64).max
+    gamma, log_gamma = _dd_params(alpha)
 
     qnames = []
     for q in qs:
@@ -489,12 +503,11 @@ def grouped_dd_percentiles(ds, key_cols: list[str], value_col: str,
         qnames.append(f"p{int(round(pct))}_est")
 
     def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         v = batch.column(value_col).combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.float64, copy=False)
-        idx = np.full(len(v), ZERO_BUCKET, dtype=np.int64)
-        pos = np.isfinite(v) & (v > 0)
-        idx[pos] = np.ceil(np.log(v[pos]) / log_gamma).astype(np.int64)
-        idx[np.isposinf(v)] = TOP_BUCKET
+        idx = _dd_bucketize(v, log_gamma)
         t = pa.table(
             {**{k: batch.column(k) for k in key_cols},
              "bkt": pa.array(idx, pa.int64()),
@@ -502,13 +515,6 @@ def grouped_dd_percentiles(ds, key_cols: list[str], value_col: str,
         )
         agg = t.group_by(key_cols + ["bkt"]).aggregate([("one", "sum")])
         return agg.rename_columns(key_cols + ["bkt", "c_part"])
-
-    def estimate(k: int) -> float:
-        if k == ZERO_BUCKET:
-            return 0.0
-        if k == TOP_BUCKET:
-            return float("inf")
-        return 2.0 * gamma**k / (gamma + 1.0)
 
     def block_read(block: pa.Table) -> pa.Table:
         agg = block.group_by(key_cols + ["bkt"]).aggregate(
@@ -536,7 +542,7 @@ def grouped_dd_percentiles(ds, key_cols: list[str], value_col: str,
                 cum += counts[r]
                 for qi, rank in enumerate(ranks):
                     if found[qi] is None and cum >= rank:
-                        found[qi] = estimate(buckets[r])
+                        found[qi] = _dd_estimate(buckets[r], gamma)
             for ki, kl in enumerate(keys_lists):
                 out_keys[ki].append(kl[i])
             out_n.append(total)

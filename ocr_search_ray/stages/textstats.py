@@ -528,8 +528,9 @@ def domain_cap(docs, cap: int, *, url_col: str = "url"):
     <= cap). One int-key exchange on the domain via ``grouped_topk`` —
     a hot domain's rows co-locate, but only ``cap`` survive the block
     walk, so nothing downstream sees the skew. Input should be one row
-    per document (e.g. pages filtered to page_idx = 0); rows pass
-    through unchanged plus a ``domain`` column.
+    per document (e.g. pages filtered to page_idx = 1 — page indices are
+    1-based, the reference convention); rows pass through unchanged plus
+    a ``domain`` column.
     """
     from urllib.parse import urlsplit
 

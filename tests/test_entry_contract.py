@@ -11,9 +11,10 @@ def test_oracle_keys_subset_of_queries():
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     assert set(sqls) <= set(qs), set(sqls) - set(qs)
-    # rows-only ops are the documented six (simhash and lang_id got
-    # exact SQL oracles in round 2; approx_percentiles is the DDSketch —
-    # deterministic but not SQL-derivable, error-bound pytest-locked)
+    # rows-only ops are the documented eight (simhash and lang_id got
+    # exact SQL oracles in round 2; the approx-percentile pair is the
+    # DDSketch — deterministic but not SQL-derivable, error-bound
+    # pytest-locked; media_gif's codec is locked by round-trip pytest)
     assert set(qs) - set(sqls) == {
         "ann_lsh_topk", "lsh_neardup", "media_real", "media_gif",
         "approx_distinct", "grouped_approx_distinct", "approx_percentiles",

@@ -133,3 +133,44 @@ def test_quality_dir_writes_verdicts_and_resumes_by_output_presence(tmp_path):
     assert len(_glob.glob(f"{qdir}/part=*")) == 3
     s3 = _run_job(input_dir, out_dir, "--quality-dir", qdir, "--skip-index")
     assert s3["quality"] == "unchanged"
+
+
+def test_deletions_invalidate_and_recompute_quality_verdicts(tmp_path):
+    """A deletion-compacted pages partition's verdicts are stale (they
+    still carry the deleted docs): the job drops and recomputes them in
+    the same cycle, so quality always joins 1:1 to pages."""
+    import glob as _glob
+
+    from ocr_search_ray.sources.webpages import read_webpages
+
+    input_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    os.makedirs(input_dir)
+    web = read_webpages("/root/testdata/sf0.001").materialize()
+    frag = list(web.split(5))[0].materialize()
+    pq.write_table(pa.Table.from_pandas(frag.to_pandas(),
+                                        preserve_index=False),
+                   input_dir / "frag-0.parquet")
+
+    qdir = str(tmp_path / "quality")
+    s1 = _run_job(input_dir, out_dir, "--quality-dir", qdir, "--skip-index")
+    assert s1["quality"]["partitions_written"] == 1
+
+    doomed_urls = [r["url"] for r in frag.take(3)]
+    delf = tmp_path / "deletions.txt"
+    delf.write_text("\n".join(doomed_urls) + "\n")
+    s2 = _run_job(input_dir, out_dir, "--quality-dir", qdir, "--skip-index",
+                  "--deletions", str(delf))
+    assert s2["delete"]["rewritten"] == 1
+    assert s2["delete"]["rewritten_parts"] == ["part=00000"]
+    assert s2["quality_recomputed"] == 1
+
+    verdicts = pa.concat_tables(
+        pq.read_table(f)
+        for f in _glob.glob(f"{qdir}/part=*/*.parquet"))
+    pages = pa.concat_tables(
+        pq.read_table(f, columns=["doc_id", "url"])
+        for f in _glob.glob(f"{out_dir}/pages/part=*/*.parquet"))
+    assert set(verdicts.column("doc_id").to_pylist()) == \
+        set(pages.column("doc_id").to_pylist())
+    assert not set(doomed_urls) & set(pages.column("url").to_pylist())
