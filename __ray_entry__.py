@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_approx_percentiles": q.q_grouped_approx_percentiles,  # rows-only (DDSketch)
         "curate_full": q.q_curate_full,  # quality→neardup-cluster→reps (r4)
         "media_gif": q.q_media_gif,  # rows-only (real LZW codec path, r4)
+        "ingest_warc": q.q_ingest_warc,  # real WARC container round trip (r4)
         "page_images": q.q_page_images,  # S8 artifact sink (r4)
         "search_expanded": q.q_search_expanded,  # tcr*tf expansion (r4)
         "ann_ivf_add": q.q_ann_ivf_add,  # incremental IVF adds (r4)
@@ -489,6 +490,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "ingest_pages": f"""
+            {_INGEST_PREFIX}
+            SELECT url, page_idx, page_count, file_id, doc_id, img_path,
+                   text, status
+            FROM pages_full
+        """,
+        "ingest_warc": f"""
             {_INGEST_PREFIX}
             SELECT url, page_idx, page_count, file_id, doc_id, img_path,
                    text, status

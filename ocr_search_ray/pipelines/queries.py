@@ -755,6 +755,24 @@ def q_lsh_neardup(sf_dir: str):
     return lsh_neardup_pairs(aug, threshold=0.98)
 
 
+def q_ingest_warc(sf_dir: str):
+    """The flagship ingest fed from REAL WARC container files (the
+    Common Crawl wire format): spec-valid .warc.gz files are synthesized
+    inside a Ray map, parsed back by ``read_warc`` (one task per file),
+    and the unmodified extract chain runs on them. The oracle is the
+    SAME pages CTE as ingest_pages — the whole WARC round trip must be
+    byte-identical per url for the value hashes to match."""
+    import hashlib
+
+    from ..sources.warc import read_warc, write_warc_from_documents
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    warc_dir = f"/tmp/ocr_search_warc/{tag}"
+    paths = write_warc_from_documents(sf_dir, warc_dir, compress=True)
+    pages = ingest(read_warc(paths))["pages"]
+    return pages.select_columns(PAGE_COLS)
+
+
 def q_curate_full(sf_dir: str):
     """The full training-data curation pass in one entry: Gopher quality
     gate → transitive near-dup clustering over the survivors → keep only
