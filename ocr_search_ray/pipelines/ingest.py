@@ -214,7 +214,20 @@ def ingest_resumable(
 
     manifest_dir = os.path.join(out_dir, "_manifest")
     done = manifest_mod.done_hashes(manifest_dir, stage="ingest")
-    fragments = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    fragments = sorted(
+        glob.glob(os.path.join(input_dir, "*.parquet"))
+        + glob.glob(os.path.join(input_dir, "*.warc"))
+        + glob.glob(os.path.join(input_dir, "*.warc.gz"))
+    )
+
+    def _frag_dataset(frag: str):
+        # WARC containers (the Common Crawl wire format) are first-class
+        # fragments: same manifest row, resume and quarantine semantics
+        if frag.endswith((".warc", ".warc.gz")):
+            from ..sources.warc import read_warc
+
+            return read_warc([frag])
+        return rd.read_parquet(frag)
 
     pending: list[tuple[int, str, str]] = []
     n_done_before = 0
@@ -236,7 +249,7 @@ def ingest_resumable(
     n_processed = 0
     if fail_after_partitions is not None:
         for pid, frag, frag_hash in pending:
-            _process_fragment(pid, rd.read_parquet(frag), frag_hash, out_dir,
+            _process_fragment(pid, _frag_dataset(frag), frag_hash, out_dir,
                               manifest_dir, tokenize_concurrency,
                               ingest_kwargs)
             n_processed += 1
@@ -269,7 +282,7 @@ def ingest_resumable(
                     # dataset CONSTRUCTION on the main thread (fs-probe
                     # race, see _stabilize_fs_probe); corrupt parquet
                     # metadata raises here
-                    ds = rd.read_parquet(frag)
+                    ds = _frag_dataset(frag)
                 except Exception:
                     if not continue_on_error:
                         raise

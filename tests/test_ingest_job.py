@@ -174,3 +174,26 @@ def test_deletions_invalidate_and_recompute_quality_verdicts(tmp_path):
     assert set(verdicts.column("doc_id").to_pylist()) == \
         set(pages.column("doc_id").to_pylist())
     assert not set(doomed_urls) & set(pages.column("url").to_pylist())
+
+
+def test_warc_fragments_are_first_class_job_inputs(tmp_path):
+    """A directory of .warc.gz containers runs through the SAME job entry:
+    manifest resume, index build, identical page rows to the parquet path."""
+    import glob as _glob
+
+    from ocr_search_ray.sources.warc import write_warc_from_documents
+
+    input_dir = str(tmp_path / "in")
+    out_dir = tmp_path / "out"
+    paths = write_warc_from_documents("/root/testdata/sf0.001", input_dir,
+                                      compress=True)
+
+    s1 = _run_job(input_dir, out_dir)
+    assert s1["processed"] == len(paths) and s1["failed"] == 0
+    assert s1["index"] == "full_build"
+    pages = pa.concat_tables(
+        pq.read_table(f, columns=["url", "doc_id"])
+        for f in _glob.glob(f"{out_dir}/pages/part=*/*.parquet"))
+    assert pages.num_rows == 571  # the sf0.001 page count, via WARC
+    s2 = _run_job(input_dir, out_dir)
+    assert s2["skipped_done"] == len(paths) and s2["processed"] == 0
