@@ -67,3 +67,18 @@ def test_truncated_stream_fails_loudly():
     p = encode_gif(img)
     with pytest.raises(ValueError):
         decode_gif(p[: len(p) // 2] + b"\x00\x3B")
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24), w=st.integers(1, 24),
+    ncolors=st.integers(1, 256), seed=st.integers(0, 2**31),
+)
+def test_round_trip_property(h, w, ncolors, seed):
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, ncolors, size=(h, w))]
+    assert (decode_gif(encode_gif(img)) == img).all()

@@ -69,3 +69,26 @@ def test_read_warc_reproduces_webpages_rows(tmp_path):
         w = via_warc[u]
         assert (w["html"], w["text"], w["lang"], w["warc_ts"]) == (
             d["html"], d["text"], d["lang"], d["warc_ts"]), u
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 2**20), st.binary(min_size=0, max_size=400),
+              st.sampled_from(["text/html", "application/pdf", "image/gif"])),
+    min_size=1, max_size=8,
+))
+def test_warc_round_trip_property(recs):
+    records = [
+        {"url": f"https://h.example/p{i}-{n}", "ts": TS, "body": body,
+         "content_type": ct, "lang": "en"}
+        for i, (n, body, ct) in enumerate(recs)
+    ]
+    got = list(iter_warc(build_warc(records)))
+    assert len(got) == len(records)
+    for rec, (headers, content) in zip(records, got):
+        assert headers["warc-target-uri"] == rec["url"]
+        _, body = split_http(content)
+        assert body == rec["body"]
