@@ -1090,6 +1090,56 @@ def q_media_gif(sf_dir: str):
     return feats.map_batches(project, batch_format="pyarrow")
 
 
+def q_media_adpcm(sf_dir: str):
+    """REAL compressed-AUDIO decode end-to-end (rows-only; codec locked by
+    pytest): a deterministic IMA-ADPCM WAV tone per doc, decoded and
+    feature-extracted through the media actor pool — the audio twin of
+    media_gif."""
+    import numpy as np
+
+    from ..functions.adpcm import encode_wav_adpcm
+    from ..stages.multimodal import extract_media_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        t = np.arange(512, dtype=np.float64)
+        for d in ids:
+            tone = (np.sin(t * (1 + d % 24) / 16.0) * 14000).astype(np.int16)
+            payloads.append(encode_wav_adpcm(tone, 8000))
+        n = len(ids)
+        return pa.table(
+            {
+                "media_id": pa.array([f"a-{d:06d}" for d in ids], pa.string()),
+                "kind": pa.array(["audio"] * n, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array([-1] * n, pa.int32()),
+                "height": pa.array([-1] * n, pa.int32()),
+                "duration_ms": pa.array([64] * n, pa.int32()),
+            }
+        )
+
+    media = docs.map_batches(synth, batch_format="pyarrow", batch_size=64)
+    feats = extract_media_features(media, concurrency=2, batch_size=64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "status": batch.column("status"),
+                "f0": pa.array(
+                    [round(f[0], 6) if f is not None else -1.0
+                     for f in batch.column("feature").to_pylist()],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
 def q_media_real(sf_dir: str):
     """REAL media decode end-to-end (rows-only; kernels locked by pytest):
     deterministic BMP images / WAV tones synthesized per doc, decoded and

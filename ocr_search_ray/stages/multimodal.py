@@ -60,6 +60,11 @@ def _features(payload: bytes, kind: str) -> np.ndarray:
 
         return media_codecs.image_features(decode_gif(payload))
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from ..functions import adpcm
+
+        if adpcm.wav_format_tag(payload) == 0x11:
+            rate, mono = adpcm.decode_wav_adpcm(payload)
+            return media_codecs.audio_features(rate, mono[:, None])
         return media_codecs.audio_features(
             *media_codecs.decode_wav_pcm16(payload))
     return _decode_stub(payload, kind)

@@ -17,8 +17,8 @@ def test_oracle_keys_subset_of_queries():
     # pytest-locked; media_gif's codec is locked by round-trip pytest)
     assert set(qs) - set(sqls) == {
         "ann_lsh_topk", "lsh_neardup", "media_real", "media_gif",
-        "approx_distinct", "grouped_approx_distinct", "approx_percentiles",
-        "grouped_approx_percentiles",
+        "media_adpcm", "approx_distinct", "grouped_approx_distinct",
+        "approx_percentiles", "grouped_approx_percentiles",
     }
 
 
