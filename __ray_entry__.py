@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_gif": q.q_media_gif,  # rows-only (real LZW codec path, r4)
         "ingest_warc": q.q_ingest_warc,  # real WARC container round trip (r4)
         "media_adpcm": q.q_media_adpcm,  # rows-only (real ADPCM path, r4)
+        "running_totals": q.q_running_totals,  # cumulative window frame (r4)
         "page_images": q.q_page_images,  # S8 artifact sink (r4)
         "search_expanded": q.q_search_expanded,  # tcr*tf expansion (r4)
         "ann_ivf_add": q.q_ann_ivf_add,  # incremental IVF adds (r4)
@@ -1747,6 +1748,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (event_type NOT IN
                      ('click', 'error', 'purchase')) AS BIGINT) AS other_cnt
             FROM events GROUP BY 1
+        """,
+        "running_totals": """
+            SELECT event_id, user_id,
+                   CAST(COUNT(*) OVER (
+                     w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_count,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                     w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum_cents,
+                   CAST(MAX(CAST(round(value * 100) AS BIGINT)) OVER (
+                     w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_max_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "event_lag_features": """
             SELECT event_id, user_id,

@@ -755,6 +755,17 @@ def q_lsh_neardup(sf_dir: str):
     return lsh_neardup_pairs(aug, threshold=0.98)
 
 
+def q_running_totals(sf_dir: str):
+    """Per-user cumulative COUNT/SUM/MAX in time order — the
+    UNBOUNDED-PRECEDING window frame, integer-cents exact."""
+    from ..stages.sessionize import running_totals
+
+    return running_totals(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "value"])
+    )
+
+
 def q_ingest_warc(sf_dir: str):
     """The flagship ingest fed from REAL WARC container files (the
     Common Crawl wire format): spec-valid .warc.gz files are synthesized

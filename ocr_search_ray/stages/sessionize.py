@@ -249,3 +249,73 @@ def event_lag_features(events, *, user_col: str = "user_id",
         [order_col, user_col, ts_col, value_col]
     )
     return cluster_apply(projected, [user_col], block_features)
+
+
+def running_totals(events, *, user_col: str = "user_id",
+                   ts_col: str = "ts", order_col: str = "event_id",
+                   value_col: str = "value"):
+    """Per-key cumulative window aggregates — the UNBOUNDED-PRECEDING frame
+    shape: → (order_col, user_col, run_count, run_sum_cents, run_max_cents).
+
+    SQL: ``COUNT(*)/SUM(cents)/MAX(cents) OVER (PARTITION BY user ORDER BY
+    (ts, order_col) ROWS UNBOUNDED PRECEDING)``. Same partitioning
+    assumption as :func:`event_lag_features` (one key's history per
+    block); the walk is one numpy cumsum / cummax per block with
+    group-start subtraction — no per-row Python.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def block_running(block: pa.Table) -> pa.Table:
+        block = block.sort_by(
+            [(user_col, "ascending"), (ts_col, "ascending"),
+             (order_col, "ascending")]
+        )
+        n = block.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    order_col: pa.array([], block.column(order_col).type),
+                    user_col: pa.array([], block.column(user_col).type),
+                    "run_count": pa.array([], pa.int64()),
+                    "run_sum_cents": pa.array([], pa.int64()),
+                    "run_max_cents": pa.array([], pa.int64()),
+                }
+            )
+        users = block.column(user_col).to_numpy(zero_copy_only=False)
+        away = pc.RoundOptions(round_mode="half_towards_infinity")
+        cents = pc.cast(
+            pc.round(pc.multiply(block.column(value_col), 100), options=away),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+
+        is_start = np.empty(n, dtype=bool)
+        is_start[0] = True
+        np.not_equal(users[1:], users[:-1], out=is_start[1:])
+        starts = np.flatnonzero(is_start)
+        group_start = np.repeat(starts, np.diff(np.append(starts, n)))
+
+        idx = np.arange(n)
+        run_count = idx - group_start + 1
+        cum = np.concatenate(([0], np.cumsum(cents, dtype=np.int64)))
+        run_sum = cum[idx + 1] - cum[group_start]
+        # segment cummax: one accumulate per group run (groups per block
+        # are few relative to rows; the inner op stays vectorized)
+        run_max = cents.copy()
+        for s, e in zip(starts, np.append(starts[1:], n)):
+            np.maximum.accumulate(cents[s:e], out=run_max[s:e])
+
+        return pa.table(
+            {
+                order_col: block.column(order_col),
+                user_col: block.column(user_col),
+                "run_count": pa.array(run_count, pa.int64()),
+                "run_sum_cents": pa.array(run_sum, pa.int64()),
+                "run_max_cents": pa.array(run_max, pa.int64()),
+            }
+        )
+
+    projected = events.select_columns(
+        [order_col, user_col, ts_col, value_col]
+    )
+    return cluster_apply(projected, [user_col], block_running)

@@ -109,3 +109,34 @@ def test_pivot_counts_listed_and_other():
     assert out["x_cnt"].tolist() == [1, 1]
     assert out["y_cnt"].tolist() == [1, 0]
     assert out["other_cnt"].tolist() == [1, 1]
+
+
+def test_running_totals_exact_per_key():
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.stages.sessionize import running_totals
+
+    base = dt.datetime(2025, 1, 1)
+    rows = [  # (event_id, user, minute, value)
+        (1, "u1", 0, 1.0), (2, "u1", 5, 3.5), (3, "u1", 6, 2.0),
+        (4, "u2", 1, 9.0), (5, "u2", 2, -4.0),
+        (6, "u3", 0, 0.005),  # rounds half away from zero → 1 cent
+    ]
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows]),
+        "ts": pa.array([base + dt.timedelta(minutes=r[2]) for r in rows],
+                       pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })).repartition(3)
+    got = {r["event_id"]: (r["run_count"], r["run_sum_cents"],
+                           r["run_max_cents"])
+           for r in running_totals(ds).take_all()}
+    assert got == {
+        1: (1, 100, 100), 2: (2, 450, 350), 3: (3, 650, 350),
+        4: (1, 900, 900), 5: (2, 500, 900),
+        6: (1, 1, 1),
+    }
