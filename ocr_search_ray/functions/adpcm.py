@@ -94,13 +94,15 @@ def adpcm_encode(samples: np.ndarray) -> tuple[bytes, int, np.ndarray]:
     return bytes(packed), int(recon[0]), recon
 
 
-def adpcm_decode(data: bytes, predictor: int, n_samples: int) -> np.ndarray:
-    """(nibble bytes, initial predictor, sample count) → (n,) int16."""
+def adpcm_decode(data: bytes, predictor: int, n_samples: int,
+                 index: int = 0) -> np.ndarray:
+    """(nibble bytes, initial predictor, sample count, initial step
+    index) → (n,) int16."""
     out = np.empty(n_samples, dtype=np.int16)
     if n_samples == 0:
         return out
     out[0] = predictor
-    index = 0
+    index = min(88, max(0, index))
     pos = 0
     for i in range(1, n_samples):
         byte = data[pos // 2]
@@ -121,7 +123,7 @@ def encode_wav_adpcm(samples: np.ndarray, sample_rate: int) -> bytes:
     block_align = len(block)
     fmt = struct.pack(
         "<HHIIHHHH", 0x11, 1, sample_rate,
-        (sample_rate + 1) // 2, max(1, block_align), 4, 2, n,
+        (sample_rate + 1) // 2, max(1, block_align), 4, 2, min(n, 0xFFFF),
     )
     fact = struct.pack("<I", n)
     body = (b"WAVE"
@@ -133,43 +135,47 @@ def encode_wav_adpcm(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_wav_adpcm(payload: bytes) -> tuple[int, np.ndarray]:
-    """WAV (format 0x0011, mono, single block) → (sample_rate, (n,) int16)."""
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a WAV")
-    pos = 12
+    """WAV (format 0x0011, mono, single block) → (sample_rate, (n,) int16).
+
+    The fmt chunk's samplesPerBlock lives at offset 18 (offset 16 is
+    cbSize — misreading it as the count truncates every clip to 2
+    samples); the fact chunk's uint32 count, when present, is the
+    authority (the fmt field is uint16-clamped for long clips). The block
+    header's step-index byte seeds the decoder state.
+    """
+    from .media_codecs import iter_riff_chunks
+
     sample_rate = None
-    n_samples = None
+    fmt_samples = None
+    fact_samples = None
     data = None
-    while pos + 8 <= len(payload):
-        cid = payload[pos:pos + 4]
-        size = struct.unpack_from("<I", payload, pos + 4)[0]
-        body = payload[pos + 8:pos + 8 + size]
+    for cid, body in iter_riff_chunks(payload):
         if cid == b"fmt ":
             tag, ch, sample_rate = struct.unpack_from("<HHI", body, 0)
             if tag != 0x11 or ch != 1:
                 raise ValueError("unsupported WAV variant (need IMA mono)")
-            n_samples = struct.unpack_from("<H", body, 16)[0]
+            if len(body) >= 20:
+                fmt_samples = struct.unpack_from("<H", body, 18)[0]
         elif cid == b"fact":
-            n_samples = struct.unpack_from("<I", body, 0)[0]
+            fact_samples = struct.unpack_from("<I", body, 0)[0]
         elif cid == b"data":
             data = body
-        pos += 8 + size + (size % 2)
+    n_samples = fact_samples if fact_samples is not None else fmt_samples
     if sample_rate is None or data is None or n_samples is None:
         raise ValueError("missing fmt/fact/data chunk")
-    predictor = struct.unpack_from("<h", data, 0)[0]
-    return sample_rate, adpcm_decode(data[4:], predictor, n_samples)
+    predictor, index = struct.unpack_from("<hB", data, 0)
+    return sample_rate, adpcm_decode(data[4:], predictor, n_samples, index)
 
 
 def wav_format_tag(payload: bytes) -> int | None:
     """Peek the fmt chunk's format tag of a RIFF/WAVE payload (None when
-    absent) — the media-routing dispatcher."""
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+    absent or not a WAV) — the media-routing dispatcher."""
+    from .media_codecs import iter_riff_chunks
+
+    try:
+        for cid, body in iter_riff_chunks(payload):
+            if cid == b"fmt ":
+                return struct.unpack_from("<H", body, 0)[0]
+    except ValueError:
         return None
-    pos = 12
-    while pos + 8 <= len(payload):
-        cid = payload[pos:pos + 4]
-        size = struct.unpack_from("<I", payload, pos + 4)[0]
-        if cid == b"fmt ":
-            return struct.unpack_from("<H", payload, pos + 8)[0]
-        pos += 8 + size + (size % 2)
     return None

@@ -88,18 +88,26 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
-    """WAV bytes → (sample_rate, (n, channels) int16). Raises on non-PCM16."""
+def iter_riff_chunks(payload: bytes):
+    """RIFF/WAVE bytes → yields (chunk_id, body) — THE chunk walk, shared
+    by the PCM16 and ADPCM decoders and the format-tag dispatcher (one
+    copy of the offset arithmetic to get right)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos = 12
-    sample_rate = None
-    ch = None
-    data = None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
-        body = payload[pos + 8:pos + 8 + size]
+        yield cid, payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size % 2)
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
+    """WAV bytes → (sample_rate, (n, channels) int16). Raises on non-PCM16."""
+    sample_rate = None
+    ch = None
+    data = None
+    for cid, body in iter_riff_chunks(payload):
         if cid == b"fmt ":
             audio_format, ch, sample_rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
@@ -107,7 +115,6 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
                 raise ValueError("unsupported WAV variant (need PCM16)")
         elif cid == b"data":
             data = body
-        pos += 8 + size + (size % 2)
     if sample_rate is None or data is None or not ch:
         raise ValueError("missing fmt/data chunk")
     samples = np.frombuffer(data, dtype="<i2")

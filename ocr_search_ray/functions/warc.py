@@ -20,6 +20,17 @@ import gzip
 _CRLF = b"\r\n"
 
 
+def _parse_headers(lines: list[bytes]) -> dict[str, str]:
+    """Key-lowercased header-line parse — shared by the WARC and HTTP
+    layers so folding/duplicate handling can only ever diverge in one
+    place."""
+    headers: dict[str, str] = {}
+    for line in lines:
+        k, _, v = line.decode("utf-8", "replace").partition(":")
+        headers[k.strip().lower()] = v.strip()
+    return headers
+
+
 def build_warc(records: list[dict]) -> bytes:
     """records: [{url, ts (datetime), body (bytes), content_type (str),
     lang (str|None)}] → uncompressed WARC/1.0 bytes (response records)."""
@@ -62,11 +73,7 @@ def iter_warc(payload: bytes):
         if not payload.startswith(b"WARC/", pos):
             raise ValueError(f"WARC: expected record header at byte {pos}")
         head_end = payload.index(_CRLF + _CRLF, pos)
-        head_lines = payload[pos:head_end].split(_CRLF)
-        headers: dict[str, str] = {}
-        for line in head_lines[1:]:
-            k, _, v = line.decode("utf-8", "replace").partition(":")
-            headers[k.strip().lower()] = v.strip()
+        headers = _parse_headers(payload[pos:head_end].split(_CRLF)[1:])
         length = int(headers["content-length"])
         body_start = head_end + 4
         content = payload[body_start:body_start + length]
@@ -81,12 +88,8 @@ def split_http(content: bytes) -> tuple[dict[str, str], bytes]:
     sep = content.find(_CRLF + _CRLF)
     if sep < 0:
         raise ValueError("WARC: HTTP content without header terminator")
-    lines = content[:sep].split(_CRLF)
-    headers: dict[str, str] = {}
-    for line in lines[1:]:
-        k, _, v = line.decode("utf-8", "replace").partition(":")
-        headers[k.strip().lower()] = v.strip()
-    return headers, content[sep + 4:]
+    return (_parse_headers(content[:sep].split(_CRLF)[1:]),
+            content[sep + 4:])
 
 
 def parse_warc_ts(value: str) -> _dt.datetime:

@@ -777,8 +777,13 @@ def q_ingest_warc(sf_dir: str):
 
     from ..sources.warc import read_warc, write_warc_from_documents
 
+    import os
+
+    # pid-keyed dir: file contents depend on this run's batch splits, so a
+    # shared path would let a concurrent run with a different parallelism
+    # os.replace() a file out from under this one mid-read
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    warc_dir = f"/tmp/ocr_search_warc/{tag}"
+    warc_dir = f"/tmp/ocr_search_warc/{tag}-{os.getpid()}"
     paths = write_warc_from_documents(sf_dir, warc_dir, compress=True)
     pages = ingest(read_warc(paths))["pages"]
     return pages.select_columns(PAGE_COLS)

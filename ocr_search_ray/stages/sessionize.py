@@ -173,6 +173,34 @@ def sliding_window_agg(events, *, window: "dt.timedelta",
     )
 
 
+def _sorted_cents_groups(block, user_col, ts_col, order_col, value_col):
+    """Shared window-frame prelude: sort by (user, ts, order), round the
+    value column to exact integer cents (half away from zero — MUST match
+    DuckDB ``round()``, the oracle contract), and locate per-user group
+    runs. → (sorted block, users, cents, is_start, starts, group_start).
+    One copy of the sort keys + rounding mode for every window op."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    block = block.sort_by(
+        [(user_col, "ascending"), (ts_col, "ascending"),
+         (order_col, "ascending")]
+    )
+    n = block.num_rows
+    users = block.column(user_col).to_numpy(zero_copy_only=False)
+    away = pc.RoundOptions(round_mode="half_towards_infinity")
+    cents = pc.cast(
+        pc.round(pc.multiply(block.column(value_col), 100), options=away),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    is_start = np.empty(n, dtype=bool)
+    is_start[0] = True
+    np.not_equal(users[1:], users[:-1], out=is_start[1:])
+    starts = np.flatnonzero(is_start)
+    group_start = np.repeat(starts, np.diff(np.append(starts, n)))
+    return block, users, cents, is_start, starts, group_start
+
+
 def event_lag_features(events, *, user_col: str = "user_id",
                        ts_col: str = "ts", order_col: str = "event_id",
                        value_col: str = "value", preceding: int = 3):
@@ -197,10 +225,6 @@ def event_lag_features(events, *, user_col: str = "user_id",
     import pyarrow.compute as pc
 
     def block_features(block: pa.Table) -> pa.Table:
-        block = block.sort_by(
-            [(user_col, "ascending"), (ts_col, "ascending"),
-             (order_col, "ascending")]
-        )
         n = block.num_rows
         if n == 0:
             return pa.table(
@@ -211,21 +235,12 @@ def event_lag_features(events, *, user_col: str = "user_id",
                     "roll_sum_cents": pa.array([], pa.int64()),
                 }
             )
-        users = block.column(user_col).to_numpy(zero_copy_only=False)
+        block, users, cents, is_start, starts, group_start = \
+            _sorted_cents_groups(block, user_col, ts_col, order_col,
+                                 value_col)
         ts_us = pc.cast(block.column(ts_col), pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        away = pc.RoundOptions(round_mode="half_towards_infinity")
-        cents = pc.cast(
-            pc.round(pc.multiply(block.column(value_col), 100), options=away),
-            pa.int64(),
-        ).to_numpy(zero_copy_only=False)
-
-        is_start = np.empty(n, dtype=bool)
-        is_start[0] = True
-        np.not_equal(users[1:], users[:-1], out=is_start[1:])
-        starts = np.flatnonzero(is_start)
-        group_start = np.repeat(starts, np.diff(np.append(starts, n)))
 
         gap = np.empty(n, dtype=np.int64)
         gap[0] = 0
@@ -267,10 +282,6 @@ def running_totals(events, *, user_col: str = "user_id",
     import pyarrow.compute as pc
 
     def block_running(block: pa.Table) -> pa.Table:
-        block = block.sort_by(
-            [(user_col, "ascending"), (ts_col, "ascending"),
-             (order_col, "ascending")]
-        )
         n = block.num_rows
         if n == 0:
             return pa.table(
@@ -282,18 +293,9 @@ def running_totals(events, *, user_col: str = "user_id",
                     "run_max_cents": pa.array([], pa.int64()),
                 }
             )
-        users = block.column(user_col).to_numpy(zero_copy_only=False)
-        away = pc.RoundOptions(round_mode="half_towards_infinity")
-        cents = pc.cast(
-            pc.round(pc.multiply(block.column(value_col), 100), options=away),
-            pa.int64(),
-        ).to_numpy(zero_copy_only=False)
-
-        is_start = np.empty(n, dtype=bool)
-        is_start[0] = True
-        np.not_equal(users[1:], users[:-1], out=is_start[1:])
-        starts = np.flatnonzero(is_start)
-        group_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        block, users, cents, is_start, starts, group_start = \
+            _sorted_cents_groups(block, user_col, ts_col, order_col,
+                                 value_col)
 
         idx = np.arange(n)
         run_count = idx - group_start + 1

@@ -69,3 +69,38 @@ def test_feature_stage_routes_adpcm_to_real_decoder():
     _, decoded = decode_wav_adpcm(payload)
     expect = audio_features(8000, decoded[:, None])
     assert np.allclose(row["feature"], expect, atol=1e-6)
+
+
+def test_long_clips_and_fact_free_files_decode_fully():
+    """Review regressions: (1) clips past 65535 samples encode (the fmt
+    samplesPerBlock uint16 is clamped; fact carries the real count);
+    (2) a spec-valid file WITHOUT a fact chunk still decodes every sample
+    (samplesPerBlock lives at fmt offset 18 — offset 16 is cbSize)."""
+    import struct
+
+    x = (RNG.standard_normal(70_000) * 8000).astype(np.int16)
+    rate, y = decode_wav_adpcm(encode_wav_adpcm(x, 8000))
+    assert len(y) == 70_000
+
+    short = (RNG.standard_normal(100) * 8000).astype(np.int16)
+    payload = encode_wav_adpcm(short, 8000)
+    # strip the fact chunk (8-byte header + 4-byte body)
+    i = payload.index(b"fact")
+    stripped = payload[:i] + payload[i + 12:]
+    stripped = stripped[:4] + struct.pack(
+        "<I", struct.unpack_from("<I", stripped, 4)[0] - 12) + stripped[8:]
+    rate, y2 = decode_wav_adpcm(stripped)
+    assert len(y2) == 100 and (y2 == decode_wav_adpcm(payload)[1]).all()
+
+
+def test_nonzero_block_header_index_seeds_the_decoder():
+    """A file whose block header carries a non-zero step index decodes
+    through that state, not a hardcoded zero."""
+    import struct
+
+    from ocr_search_ray.functions.adpcm import adpcm_decode
+
+    nibbles = bytes([0x21])  # two nibbles: 1, 2
+    a = adpcm_decode(nibbles, 0, 3, index=0)
+    b = adpcm_decode(nibbles, 0, 3, index=40)
+    assert (a != b).any()  # larger step table entry → larger deltas

@@ -11,7 +11,10 @@ def test_oracle_keys_subset_of_queries():
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     assert set(sqls) <= set(qs), set(sqls) - set(qs)
-    # rows-only ops are the documented eight (simhash and lang_id got
+    # pin the contract size: CLAUDE.md/SURVEY.md state these numbers and
+    # they have drifted twice — adding an entry must touch this line too
+    assert (len(qs), len(sqls)) == (106, 97), (len(qs), len(sqls))
+    # rows-only ops are the documented nine (simhash and lang_id got
     # exact SQL oracles in round 2; the approx-percentile pair is the
     # DDSketch — deterministic but not SQL-derivable, error-bound
     # pytest-locked; media_gif's codec is locked by round-trip pytest)
