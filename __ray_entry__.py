@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_warc": q.q_ingest_warc,  # real WARC container round trip (r4)
         "media_adpcm": q.q_media_adpcm,  # rows-only (real ADPCM path, r4)
         "running_totals": q.q_running_totals,  # cumulative window frame (r4)
+        "media_gif_frames": q.q_media_gif_frames,  # rows-only (real frames, r4)
         "page_images": q.q_page_images,  # S8 artifact sink (r4)
         "search_expanded": q.q_search_expanded,  # tcr*tf expansion (r4)
         "ann_ivf_add": q.q_ann_ivf_add,  # incremental IVF adds (r4)

@@ -8,9 +8,12 @@ and mid-stream resets — both directions, so the decoder is exercised on
 real LZW streams the encoder synthesizes (the ``officetext`` pack+extract
 pattern). No external codec library anywhere.
 
-Scope: single-frame, global-color-table GIFs with ≤256 distinct colors —
-the shape the media pipeline synthesizes. Interlacing, local palettes,
-transparency and animation are out of scope and rejected loudly.
+Scope: global-color-table GIFs with ≤256 distinct colors, single-frame
+(``encode_gif``/``decode_gif``) or ANIMATED full-frame-replacement
+(``encode_gif_frames``/``decode_gif_frames`` with per-frame Graphic
+Control delays) — the shapes the media pipeline synthesizes.
+Interlacing, local palettes, transparency and partial-frame disposal
+are out of scope and rejected loudly.
 """
 
 from __future__ import annotations
@@ -234,3 +237,124 @@ def decode_gif(payload: bytes) -> np.ndarray:
         pos += size
     indices = _lzw_decode(bytes(lzw), min_code_size, w * h)
     return palette[indices].reshape(h, w, 3)
+
+
+def encode_gif_frames(frames: "list[np.ndarray]", delay_ms: int = 100) -> bytes:
+    """list of (h, w, 3) uint8 frames → ANIMATED GIF89a bytes: one global
+    palette over all frames (≤256 colors total), a Graphic Control
+    Extension per frame carrying ``delay_ms`` (centisecond granularity),
+    full-frame replacement (no partial disposal). The multi-frame form of
+    ``encode_gif`` — real video-kind container bytes for the frame
+    sampler."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    for f in frames:
+        if f.shape != (h, w, 3):
+            raise ValueError("all frames must share one shape")
+    stacked = np.concatenate([f.reshape(-1, 3) for f in frames])
+    palette, inverse = np.unique(stacked, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs <= 256 colors, got {len(palette)}")
+    palette = palette.astype(np.uint8)
+    n = 0
+    while (2 << n) < len(palette):
+        n += 1
+    table_len = 2 << n
+    min_code_size = max(2, n + 1)
+    delay_cs = max(0, delay_ms // 10)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (7 << 4) | n)
+    out += b"\x00\x00"
+    out += palette.tobytes()
+    out += b"\x00\x00\x00" * (table_len - len(palette))
+    per_frame = h * w
+    for i in range(len(frames)):
+        # Graphic Control Extension: disposal=1 (leave), no transparency
+        out += b"\x21\xF9\x04" + struct.pack("<BHB", 0x04, delay_cs, 0) \
+            + b"\x00"
+        out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(min_code_size)
+        idx = inverse[i * per_frame:(i + 1) * per_frame].astype(np.int32)
+        lzw = _lzw_encode(idx, min_code_size)
+        for j in range(0, len(lzw), 255):
+            block = lzw[j:j + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> "tuple[list[int], list[np.ndarray]]":
+    """Animated (or single-frame) GIF bytes → (per-frame delay_ms list,
+    list of (h, w, 3) uint8 frames). Same scope guards as ``decode_gif``
+    (global palette, full-frame images, no interlace)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        table_len = 2 << (packed & 0x07)
+        palette = np.frombuffer(
+            payload, np.uint8, table_len * 3, pos).reshape(-1, 3)
+        pos += table_len * 3
+    if palette is None:
+        raise ValueError("GIF: no color table")
+    delays: list[int] = []
+    frames: list[np.ndarray] = []
+    pending_delay = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF: missing trailer")
+        block = payload[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:  # Graphic Control Extension
+                size = payload[pos]
+                pending_delay = struct.unpack_from(
+                    "<H", payload, pos + 2)[0] * 10
+                pos += 1 + size
+            else:
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                continue
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{block:02x}")
+        left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+        ipacked = payload[pos + 9]
+        pos += 10
+        if (left, top, iw, ih) != (0, 0, w, h):
+            raise ValueError("GIF: sub-rectangle frames out of scope")
+        if ipacked & 0x80:
+            raise ValueError("GIF: local color tables out of scope")
+        if ipacked & 0x40:
+            raise ValueError("GIF: interlacing out of scope")
+        min_code_size = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            size = payload[pos]
+            pos += 1
+            if size == 0:
+                break
+            lzw += payload[pos:pos + size]
+            pos += size
+        indices = _lzw_decode(bytes(lzw), min_code_size, w * h)
+        frames.append(palette[indices].reshape(h, w, 3))
+        delays.append(pending_delay)
+        pending_delay = 0
+    if not frames:
+        raise ValueError("GIF: no frames")
+    return delays, frames

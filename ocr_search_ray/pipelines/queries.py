@@ -1106,6 +1106,50 @@ def q_media_gif(sf_dir: str):
     return feats.map_batches(project, batch_format="pyarrow")
 
 
+def q_media_gif_frames(sf_dir: str):
+    """REAL video-kind frame sampling (rows-only; codec pytest-locked):
+    a deterministic 4-frame animated GIF per doc, decoded through the
+    from-scratch LZW codec; sampled frames re-encode as single-frame
+    GIFs — the third media kind off the digest stub."""
+    import numpy as np
+
+    from ..functions.gif_codec import encode_gif_frames
+    from ..stages.multimodal import sample_frames
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            base = np.full((8, 8, 3), (d * 13) % 200, np.uint8)
+            frames = []
+            for f in range(4):
+                img = base.copy()
+                img[:, : 2 * (f + 1)] = ((d + f * 37) % 251, 10, 200)
+                frames.append(img)
+            payloads.append(encode_gif_frames(frames, delay_ms=1000))
+        n = len(ids)
+        return pa.table(
+            {
+                "media_id": pa.array([f"v-{d:06d}" for d in ids], pa.string()),
+                "kind": pa.array(["video"] * n, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array([8] * n, pa.int32()),
+                "height": pa.array([8] * n, pa.int32()),
+                "duration_ms": pa.array([4000] * n, pa.int32()),
+            }
+        )
+
+    media = docs.map_batches(synth, batch_format="pyarrow", batch_size=64)
+    frames = sample_frames(media, every_ms=1000)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["media_id", "frame_idx", "ts_ms", "status"])
+
+    return frames.map_batches(project, batch_format="pyarrow")
+
+
 def q_media_adpcm(sf_dir: str):
     """REAL compressed-AUDIO decode end-to-end (rows-only; codec locked by
     pytest): a deterministic IMA-ADPCM WAV tone per doc, decoded and

@@ -200,27 +200,72 @@ def resize_images(media, *, max_w: int = 256, max_h: int = 256,
     )
 
 
+def _sample_gif_frames(payload: bytes, every_ms: int, max_frames: int):
+    """REAL frame sampling for animated-GIF payloads: decode all frames +
+    Graphic Control delays, pick the frame on screen at each every_ms
+    tick, re-encode each pick as a single-frame GIF. → (frame_idx list,
+    ts_ms list, payload list)."""
+    from ..functions.gif_codec import decode_gif_frames, encode_gif
+
+    delays, frames = decode_gif_frames(payload)
+    # cumulative display start time of each frame (delay precedes swap)
+    starts = [0]
+    for d in delays[1:]:
+        starts.append(starts[-1] + (d if d > 0 else every_ms))
+    total = starts[-1] + (delays[-1] if delays[-1] > 0 else every_ms)
+    out_idx, out_ts, out_payload = [], [], []
+    t = 0
+    while t < total and len(out_idx) < max_frames:
+        # the frame on screen at time t = last frame with start <= t
+        fi = max(i for i, s in enumerate(starts) if s <= t)
+        out_idx.append(len(out_idx))
+        out_ts.append(t)
+        out_payload.append(encode_gif(frames[fi]))
+        t += every_ms
+    return out_idx, out_ts, out_payload
+
+
 def sample_frames(media, *, every_ms: int = 1000, max_frames: int = 8):
     """Video rows → frame rows (1 → N fan-out, the multimodal analogue of
-    page fan-out): one row per sampled timestamp with a deterministic fake
-    frame digest as payload. Non-video rows are dropped; null payloads
-    quarantine as a single ``status='error'`` row. Real decode = a pinned
-    ffmpeg/pyav handle inside an actor class with this exact contract.
+    page fan-out). ANIMATED-GIF payloads decode for REAL (frames +
+    Graphic Control delays via the from-scratch LZW codec; each sampled
+    frame re-encodes as a single-frame GIF). Other containers emit a
+    deterministic fake frame digest — a pinned ffmpeg/pyav handle in an
+    actor class replaces that branch with this exact contract. Non-video
+    rows are dropped; null/corrupt payloads quarantine as one
+    ``status='error'`` row.
     """
 
     def fan_out(batch: pa.Table) -> pa.Table:
         cols = {n: batch.column(n).to_pylist() for n in batch.column_names}
         out_id, out_frame, out_ts, out_payload, out_status = [], [], [], [], []
+
+        def quarantine(i: int) -> None:
+            out_id.append(cols["media_id"][i])
+            out_frame.append(-1)
+            out_ts.append(-1)
+            out_payload.append(None)
+            out_status.append("error")
+
         for i in range(batch.num_rows):
             if cols["kind"][i] != "video":
                 continue
             payload = cols["payload"][i]
             if payload is None:
-                out_id.append(cols["media_id"][i])
-                out_frame.append(-1)
-                out_ts.append(-1)
-                out_payload.append(None)
-                out_status.append("error")
+                quarantine(i)
+                continue
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                try:
+                    idxs, tss, payloads = _sample_gif_frames(
+                        payload, every_ms, max_frames)
+                except ValueError:
+                    quarantine(i)
+                    continue
+                out_id.extend([cols["media_id"][i]] * len(idxs))
+                out_frame.extend(idxs)
+                out_ts.extend(tss)
+                out_payload.extend(payloads)
+                out_status.extend(["ok"] * len(idxs))
                 continue
             duration = max(cols["duration_ms"][i], 0)
             n = min(max_frames, max(1, duration // every_ms + 1))

@@ -13,15 +13,16 @@ def test_oracle_keys_subset_of_queries():
     assert set(sqls) <= set(qs), set(sqls) - set(qs)
     # pin the contract size: CLAUDE.md/SURVEY.md state these numbers and
     # they have drifted twice — adding an entry must touch this line too
-    assert (len(qs), len(sqls)) == (106, 97), (len(qs), len(sqls))
-    # rows-only ops are the documented nine (simhash and lang_id got
+    assert (len(qs), len(sqls)) == (107, 97), (len(qs), len(sqls))
+    # rows-only ops are the documented ten (simhash and lang_id got
     # exact SQL oracles in round 2; the approx-percentile pair is the
     # DDSketch — deterministic but not SQL-derivable, error-bound
     # pytest-locked; media_gif's codec is locked by round-trip pytest)
     assert set(qs) - set(sqls) == {
         "ann_lsh_topk", "lsh_neardup", "media_real", "media_gif",
-        "media_adpcm", "approx_distinct", "grouped_approx_distinct",
-        "approx_percentiles", "grouped_approx_percentiles",
+        "media_adpcm", "media_gif_frames", "approx_distinct",
+        "grouped_approx_distinct", "approx_percentiles",
+        "grouped_approx_percentiles",
     }
 
 

@@ -82,3 +82,52 @@ def test_round_trip_property(h, w, ncolors, seed):
     palette = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
     img = palette[rng.integers(0, ncolors, size=(h, w))]
     assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_animated_round_trip_with_delays():
+    from ocr_search_ray.functions.gif_codec import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    palette = RNG.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    frames = [palette[RNG.integers(0, 16, size=(10, 14))] for _ in range(5)]
+    payload = encode_gif_frames(frames, delay_ms=120)
+    delays, out = decode_gif_frames(payload)
+    assert delays == [120] * 5
+    assert len(out) == 5
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+    # the single-frame decoder still reads frame 0 of an animation
+    from ocr_search_ray.functions.gif_codec import decode_gif
+    assert (decode_gif(payload) == frames[0]).all()
+
+
+def test_real_frame_sampling_from_animated_gif():
+    """sample_frames decodes animated GIFs for real: ticks map to the
+    frame on screen, each sampled payload round-trips to exact pixels."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.functions.gif_codec import (
+        decode_gif,
+        encode_gif_frames,
+    )
+    from ocr_search_ray.stages.multimodal import sample_frames
+
+    palette = np.stack([np.arange(8)] * 3, axis=1).astype(np.uint8) * 30
+    frames = [palette[np.full((6, 6), i % 8, np.int64)] for i in range(4)]
+    payload = encode_gif_frames(frames, delay_ms=1000)
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array(["v-1"]), "kind": pa.array(["video"]),
+        "payload": pa.array([payload], pa.binary()),
+        "width": pa.array([6], pa.int32()),
+        "height": pa.array([6], pa.int32()),
+        "duration_ms": pa.array([4000], pa.int32()),
+    }))
+    rows = sorted(sample_frames(media, every_ms=1000).take_all(),
+                  key=lambda r: r["frame_idx"])
+    assert [r["ts_ms"] for r in rows] == [0, 1000, 2000, 3000]
+    assert all(r["status"] == "ok" for r in rows)
+    for i, r in enumerate(rows):
+        assert (decode_gif(r["payload"]) == frames[i]).all()
