@@ -188,24 +188,33 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.deletions) as fh:
                 doomed = {ln.strip() for ln in fh if ln.strip()}
             if doomed:
+                if args.quality_dir:
+                    # verdicts of a to-be-rewritten pages partition are
+                    # stale (they still carry the deleted docs). Drop
+                    # them BEFORE the compaction publishes: a crash after
+                    # publish would leave the rerun's compaction with
+                    # nothing to rewrite while presence-based resume
+                    # keeps the stale verdicts forever (ADVICE r5).
+                    # Dropped-then-crashed is safe the other way — the
+                    # next cycle's _quality_pass re-derives the missing
+                    # partitions from whatever pages state it finds.
+                    import shutil
+
+                    from ocr_search_ray.pipelines.compact import (
+                        may_contain_parts,
+                    )
+
+                    for part in may_contain_parts(args.out, doomed):
+                        shutil.rmtree(
+                            os.path.join(args.quality_dir, part),
+                            ignore_errors=True,
+                        )
                 summary["delete"] = compact_delete_on_disk(
                     args.out, doomed,
                     index_dir=(index_dir
                                if os.path.isdir(index_dir) else None),
                 )
                 if args.quality_dir:
-                    # verdicts of a rewritten pages partition are stale
-                    # (they still carry the deleted docs): drop and
-                    # recompute them now — verdicts are re-derivable, so
-                    # plain rmtree + rewrite is the right protocol here
-                    import shutil
-
-                    for part in summary["delete"].get(
-                            "rewritten_parts", []):
-                        shutil.rmtree(
-                            os.path.join(args.quality_dir, part),
-                            ignore_errors=True,
-                        )
                     requality = _quality_pass(args.quality_dir, args.out)
                     summary["quality_recomputed"] = requality
             # consume the file so a rerun of the cycle is a no-op (the

@@ -322,10 +322,9 @@ def decode_gif_frames(payload: bytes) -> "tuple[list[int], list[np.ndarray]]":
                 pending_delay = struct.unpack_from(
                     "<H", payload, pos + 2)[0] * 10
                 pos += 1 + size
-            else:
-                while payload[pos] != 0:
-                    pos += 1 + payload[pos]
-                continue
+            # Non-GCE extensions (NETSCAPE application, comment, plain-text)
+            # fall through to the common sub-block skip below, which also
+            # consumes the 0x00 block terminator — mirroring decode_gif.
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1

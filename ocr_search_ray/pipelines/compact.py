@@ -98,6 +98,48 @@ def delete_from_index(index_dir: str, doomed_postings: pa.Table,
     return {"buckets_affected": len(buckets), "postings_removed": removed}
 
 
+def _part_may_contain(part_dir: str, deleted: list[str]) -> bool:
+    """Row-group-statistics pruning: can this pages partition hold any of
+    the (sorted) deleted urls? False → the partition is never read."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    for f in sorted(_glob.glob(os.path.join(part_dir, "*.parquet"))):
+        md = _pq.ParquetFile(f).metadata
+        url_idx = md.schema.to_arrow_schema().get_field_index("url")
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(url_idx).statistics
+            if stats is None or not stats.has_min_max:
+                return True  # no stats → cannot prune
+            lo, hi = stats.min, stats.max
+            if any(lo <= u <= hi for u in deleted):
+                return True
+    return False
+
+
+def may_contain_parts(out_dir: str, deleted_urls: set[str]) -> list[str]:
+    """Partition basenames (``part=N``) whose pages MAY contain a deleted
+    url, by the same stats pruning ``compact_delete_on_disk`` uses. For
+    callers that must invalidate derived per-partition state (e.g. quality
+    verdicts) BEFORE the compaction publishes — a crash between publish
+    and invalidation would otherwise leave stale derivations forever
+    (ADVICE r5: the rerun's compaction rewrites nothing, and
+    presence-based resume skips the existing output)."""
+    import glob as _glob
+
+    from ..state.atomic import recover_all
+
+    recover_all(os.path.join(out_dir, "pages"), "part=*")
+    deleted = sorted(deleted_urls)
+    return [
+        os.path.basename(d)
+        for d in sorted(_glob.glob(os.path.join(out_dir, "pages", "part=*")))
+        if not (d.endswith(".old") or d.endswith(".tmp"))
+        and _part_may_contain(d, deleted)
+    ]
+
+
 def compact_delete_on_disk(out_dir: str, deleted_urls: set[str],
                            index_dir: str | None = None) -> dict:
     """Partition-pruned deletion compaction over an ingest output tree
@@ -146,17 +188,7 @@ def compact_delete_on_disk(out_dir: str, deleted_urls: set[str],
     manifest_dir = os.path.join(out_dir, "_manifest")
 
     def may_contain(part_dir: str) -> bool:
-        for f in sorted(_glob.glob(os.path.join(part_dir, "*.parquet"))):
-            md = _pq.ParquetFile(f).metadata
-            url_idx = md.schema.to_arrow_schema().get_field_index("url")
-            for rg in range(md.num_row_groups):
-                stats = md.row_group(rg).column(url_idx).statistics
-                if stats is None or not stats.has_min_max:
-                    return True  # no stats → cannot prune
-                lo, hi = stats.min, stats.max
-                if any(lo <= u <= hi for u in deleted):
-                    return True
-        return False
+        return _part_may_contain(part_dir, deleted)
 
     @ray.remote
     def rewrite_partition(pid: int, pages_dir: str, postings_dir: str,

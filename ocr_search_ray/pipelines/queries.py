@@ -779,13 +779,26 @@ def q_ingest_warc(sf_dir: str):
 
     import os
 
+    import shutil
+
     # pid-keyed dir: file contents depend on this run's batch splits, so a
     # shared path would let a concurrent run with a different parallelism
-    # os.replace() a file out from under this one mid-read
+    # os.replace() a file out from under this one mid-read. Sweep dirs
+    # whose owning pid is gone (crashed runs), and remove our own dir once
+    # the pages dataset is pinned — repeated invocations must not
+    # accumulate a compressed corpus copy per run in /tmp.
+    root = "/tmp/ocr_search_warc"
+    for name in os.listdir(root) if os.path.isdir(root) else []:
+        pid = name.rsplit("-", 1)[-1]
+        if not pid.isdigit() or not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    warc_dir = f"/tmp/ocr_search_warc/{tag}-{os.getpid()}"
+    warc_dir = f"{root}/{tag}-{os.getpid()}"
     paths = write_warc_from_documents(sf_dir, warc_dir, compress=True)
-    pages = ingest(read_warc(paths))["pages"]
+    try:
+        pages = ingest(read_warc(paths))["pages"].materialize()
+    finally:
+        shutil.rmtree(warc_dir, ignore_errors=True)
     return pages.select_columns(PAGE_COLS)
 
 

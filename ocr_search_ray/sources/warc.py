@@ -45,8 +45,11 @@ def _records_to_rows(payload: bytes) -> pa.Table:
         langs.append(headers.get("warc-identified-content-language"))
         ctype = http_headers.get("content-type", "")
         if ctype.startswith("text/plain"):
+            # Real crawls carry mislabeled charsets; a bad record must
+            # degrade (errors="replace", matching _parse_headers), never
+            # fail the whole file-level read task.
             htmls.append(None)
-            texts.append(body.decode("utf-8"))
+            texts.append(body.decode("utf-8", errors="replace"))
         else:
             htmls.append(body)
             texts.append(None)

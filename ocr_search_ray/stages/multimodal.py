@@ -208,9 +208,11 @@ def _sample_gif_frames(payload: bytes, every_ms: int, max_frames: int):
     from ..functions.gif_codec import decode_gif_frames, encode_gif
 
     delays, frames = decode_gif_frames(payload)
-    # cumulative display start time of each frame (delay precedes swap)
+    # A GCE delay is the display DURATION of the frame it precedes, so
+    # frame i is on screen starting at sum(delays[:i]); total runtime is
+    # sum(delays) (zero delays fall back to every_ms).
     starts = [0]
-    for d in delays[1:]:
+    for d in delays[:-1]:
         starts.append(starts[-1] + (d if d > 0 else every_ms))
     total = starts[-1] + (delays[-1] if delays[-1] > 0 else every_ms)
     out_idx, out_ts, out_payload = [], [], []

@@ -131,3 +131,94 @@ def test_real_frame_sampling_from_animated_gif():
     assert all(r["status"] == "ok" for r in rows)
     for i, r in enumerate(rows):
         assert (decode_gif(r["payload"]) == frames[i]).all()
+
+
+def _splice_netscape(payload: bytes) -> bytes:
+    """Insert a NETSCAPE2.0 looping application extension right after the
+    global color table — the extension virtually every real-world animated
+    GIF carries."""
+    import struct
+
+    table_len = 2 << (payload[10] & 0x07)
+    cut = 13 + table_len * 3
+    ext = (b"\x21\xFF\x0BNETSCAPE2.0"
+           + b"\x03\x01" + struct.pack("<H", 0) + b"\x00")
+    return payload[:cut] + ext + payload[cut:]
+
+
+def test_decode_frames_skips_netscape_extension():
+    """ADVICE r5: the non-GCE extension branch must consume the 0x00 block
+    terminator, or every looping GIF fails with 'unexpected block 0x00'."""
+    from ocr_search_ray.functions.gif_codec import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    palette = RNG.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    frames = [palette[RNG.integers(0, 4, size=(5, 7))] for _ in range(3)]
+    payload = _splice_netscape(encode_gif_frames(frames, delay_ms=90))
+    delays, out = decode_gif_frames(payload)
+    assert delays == [90] * 3 and len(out) == 3
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+    # the single-frame decoder already handled this; keep it locked
+    assert (decode_gif(payload) == frames[0]).all()
+
+
+def test_comment_extension_is_skipped_too():
+    from ocr_search_ray.functions.gif_codec import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    img = np.zeros((3, 3, 3), np.uint8)
+    payload = encode_gif_frames([img, img], delay_ms=50)
+    table_len = 2 << (payload[10] & 0x07)
+    cut = 13 + table_len * 3
+    comment = b"\x21\xFE\x05hello\x00"
+    delays, out = decode_gif_frames(payload[:cut] + comment + payload[cut:])
+    assert delays == [50, 50] and len(out) == 2
+
+
+def test_variable_delay_frame_sampling():
+    """ADVICE r5: a GCE delay is the duration of the frame it PRECEDES.
+    delays [300,100,500] sampled every 100ms: frame 0 is on screen for
+    ticks 0-200, frame 1 at 300, frame 2 for 400-800; total runtime 900ms."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.functions.gif_codec import (
+        decode_gif,
+        encode_gif_frames,
+    )
+    from ocr_search_ray.stages.multimodal import sample_frames
+
+    palette = np.stack([np.arange(3)] * 3, axis=1).astype(np.uint8) * 80
+    frames = [palette[np.full((4, 4), i, np.int64)] for i in range(3)]
+    # encode_gif_frames writes one shared delay; patch each GCE by hand
+    payload = bytearray(encode_gif_frames(frames, delay_ms=100))
+    import struct
+
+    wanted_cs = [30, 10, 50]  # centiseconds: 300/100/500 ms
+    pos, k = 0, 0
+    while k < 3:
+        pos = payload.index(0xF9, pos)
+        if payload[pos - 1] == 0x21 and payload[pos + 1] == 0x04:
+            struct.pack_into("<H", payload, pos + 3, wanted_cs[k])
+            k += 1
+        pos += 1
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array(["v-var"]), "kind": pa.array(["video"]),
+        "payload": pa.array([bytes(payload)], pa.binary()),
+        "width": pa.array([4], pa.int32()),
+        "height": pa.array([4], pa.int32()),
+        "duration_ms": pa.array([900], pa.int32()),
+    }))
+    rows = sorted(
+        sample_frames(media, every_ms=100, max_frames=16).take_all(),
+        key=lambda r: r["ts_ms"])
+    assert [r["ts_ms"] for r in rows] == [i * 100 for i in range(9)]
+    expect_frame = [0, 0, 0, 1, 2, 2, 2, 2, 2]
+    for r, want in zip(rows, expect_frame):
+        assert (decode_gif(r["payload"]) == frames[want]).all(), r["ts_ms"]

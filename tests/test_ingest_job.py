@@ -197,3 +197,67 @@ def test_warc_fragments_are_first_class_job_inputs(tmp_path):
     assert pages.num_rows == 571  # the sf0.001 page count, via WARC
     s2 = _run_job(input_dir, out_dir)
     assert s2["skipped_done"] == len(paths) and s2["processed"] == 0
+
+
+def test_crash_after_compaction_publish_still_heals_verdicts(tmp_path):
+    """ADVICE r5 crash window: the job drops stale verdicts BEFORE the
+    compaction publishes, so a crash between publish and recompute leaves
+    verdict partitions MISSING (re-derived next cycle), never STALE
+    (skipped-forever by presence-based resume). Simulate the worst-case
+    crash point — compaction applied, verdicts dropped, deletions file
+    unconsumed — and assert the rerun converges to 1:1 quality↔pages."""
+    import glob as _glob
+    import shutil
+
+    from ocr_search_ray.pipelines.compact import (
+        compact_delete_on_disk,
+        may_contain_parts,
+    )
+    from ocr_search_ray.sources.webpages import read_webpages
+
+    input_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    os.makedirs(input_dir)
+    web = read_webpages("/root/testdata/sf0.001").materialize()
+    frag = list(web.split(5))[0].materialize()
+    pq.write_table(pa.Table.from_pandas(frag.to_pandas(),
+                                        preserve_index=False),
+                   input_dir / "frag-0.parquet")
+    qdir = str(tmp_path / "quality")
+    s1 = _run_job(input_dir, out_dir, "--quality-dir", qdir, "--skip-index")
+    assert s1["quality"]["partitions_written"] == 1
+
+    # --- crashed cycle, replayed in the job's (fixed) order ---
+    doomed_urls = [r["url"] for r in frag.take(3)]
+    pages0 = pa.concat_tables(
+        pq.read_table(f, columns=["doc_id", "url"])
+        for f in _glob.glob(f"{out_dir}/pages/part=*/*.parquet"))
+    doomed_ids = {
+        r["doc_id"] for r in pages0.to_pylist() if r["url"] in doomed_urls
+    }
+    affected = may_contain_parts(str(out_dir), set(doomed_urls))
+    assert affected == ["part=00000"]
+    for part in affected:
+        shutil.rmtree(os.path.join(qdir, part), ignore_errors=True)
+    stats = compact_delete_on_disk(str(out_dir), set(doomed_urls))
+    assert stats["rewritten"] == 1
+    # CRASH here: no quality recompute, deletions file never consumed
+    assert not _glob.glob(f"{qdir}/part=*")  # missing, not stale
+
+    delf = tmp_path / "deletions.txt"
+    delf.write_text("\n".join(doomed_urls) + "\n")
+    s2 = _run_job(input_dir, out_dir, "--quality-dir", qdir, "--skip-index",
+                  "--deletions", str(delf))
+    # rerun's compaction rewrites nothing (urls already gone) — the old
+    # post-hoc drop keyed on rewritten_parts would have left verdicts stale
+    assert s2["delete"]["rewritten"] == 0
+    assert not os.path.exists(delf)
+
+    verdicts = pa.concat_tables(
+        pq.read_table(f) for f in _glob.glob(f"{qdir}/part=*/*.parquet"))
+    pages = pa.concat_tables(
+        pq.read_table(f, columns=["doc_id"])
+        for f in _glob.glob(f"{out_dir}/pages/part=*/*.parquet"))
+    assert set(verdicts.column("doc_id").to_pylist()) == \
+        set(pages.column("doc_id").to_pylist())
+    assert not doomed_ids & set(verdicts.column("doc_id").to_pylist())

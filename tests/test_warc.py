@@ -92,3 +92,17 @@ def test_warc_round_trip_property(recs):
         assert headers["warc-target-uri"] == rec["url"]
         _, body = split_http(content)
         assert body == rec["body"]
+
+
+def test_non_utf8_text_plain_degrades_instead_of_failing_the_file(tmp_path):
+    """ADVICE r5: a latin-1 (or otherwise mislabeled) text/plain record
+    must decode with replacement, not raise UnicodeDecodeError and kill
+    the whole file-level read task."""
+    recs = _records()
+    recs[1] = dict(recs[1], body="caf\xe9 über".encode("latin-1"))
+    f = tmp_path / "latin.warc"
+    f.write_bytes(build_warc(recs))
+    rows = sorted(read_warc([str(f)]).take_all(), key=lambda r: r["url"])
+    assert len(rows) == 3
+    txt = rows[1]["text"]
+    assert txt is not None and "caf" in txt and "�" in txt
