@@ -373,20 +373,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # dict (rounds 1-3 covered the trailing block; all entries pass the
     # identical local harness, tools/crosscheck.py).
     return {
+        # --- never driver-checked in r1-r4 + entries whose oracle is new
+        # this round (r5) lead; the window covers the first 50 ---
+        "media_real": q.q_media_real,  # BMP/WAV/PNG decode evidence (exact, r5)
+        "ann_ivf_disk": q.q_ann_ivf_disk,  # never driver-checked (r5)
+        "lsh_neardup": q.q_lsh_neardup,  # rows-only (LSH buckets; never checked)
+        "media_gif": q.q_media_gif,  # real LZW decode evidence (exact, r5)
+        "media_adpcm": q.q_media_adpcm,  # real ADPCM decode evidence (exact, r5)
+        "media_gif_frames": q.q_media_gif_frames,  # frame fan-out (exact, r5)
+        "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only (recall pytest-pinned)
+        "approx_percentiles": q.q_approx_percentiles,  # rows-only (DDSketch)
+        "grouped_approx_percentiles": q.q_grouped_approx_percentiles,  # rows-only (DDSketch)
+        "grouped_approx_distinct": q.q_grouped_approx_distinct,  # rows-only (HLL)
+        "approx_distinct": q.q_approx_distinct,  # rows-only (HLL sketch)
+        # --- driver-verified in round 4 ---
         "semantic_dedup": q.q_semantic_dedup,  # SemDeDup cells (r4)
         "bigram_familiarity": q.q_bigram_familiarity,  # corpus-LM score (r4)
-        "approx_percentiles": q.q_approx_percentiles,  # rows-only (DDSketch)
         "domain_cap": q.q_domain_cap,  # per-host frequency cap (r4)
         "quality_filter": q.q_quality_filter,  # Gopher composite gate (r4)
         "deterministic_shuffle": q.q_deterministic_shuffle,  # stable perm (r4)
         "neardup_clusters": q.q_neardup_clusters,  # pairs→CC→reps (r4)
-        "grouped_approx_percentiles": q.q_grouped_approx_percentiles,  # rows-only (DDSketch)
         "curate_full": q.q_curate_full,  # quality→neardup-cluster→reps (r4)
-        "media_gif": q.q_media_gif,  # rows-only (real LZW codec path, r4)
         "ingest_warc": q.q_ingest_warc,  # real WARC container round trip (r4)
-        "media_adpcm": q.q_media_adpcm,  # rows-only (real ADPCM path, r4)
         "running_totals": q.q_running_totals,  # cumulative window frame (r4)
-        "media_gif_frames": q.q_media_gif_frames,  # rows-only (real frames, r4)
         "page_images": q.q_page_images,  # S8 artifact sink (r4)
         "search_expanded": q.q_search_expanded,  # tcr*tf expansion (r4)
         "ann_ivf_add": q.q_ann_ivf_add,  # incremental IVF adds (r4)
@@ -407,7 +416,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_search": q.q_substring_search,
         "profile_table": q.q_profile_table,
         "grouped_distinct": q.q_grouped_distinct,
-        "grouped_approx_distinct": q.q_grouped_approx_distinct,  # rows-only (HLL)
         "sliding_windows": q.q_sliding_windows,
         "full_outer_join": q.q_full_outer_join,
         "anti_join": q.q_anti_join,
@@ -421,17 +429,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": q.q_extract_links,
         "link_degrees": q.q_link_degrees,
         "ann_cosine_topk": q.q_ann_cosine_topk,
-        "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only
         # IVF with full probes == exact cosine top-k → reuse the brute oracle
         "ann_ivf_topk": q.q_ann_ivf_topk,
-        "ann_ivf_disk": q.q_ann_ivf_disk,
-        "lsh_neardup": q.q_lsh_neardup,  # rows-only (LSH buckets)
         "embedding_neardup": q.q_embedding_neardup,
-        # multimodal plumbing (decode stubbed; layout/status are exact)
+        # multimodal plumbing (JPEG/MP3 decode stubbed; layout/status exact)
         "media_features": q.q_media_features,
         "media_resize": q.q_media_resize,
         "media_frames": q.q_media_frames,
-        "media_real": q.q_media_real,  # rows-only (real BMP/WAV kernels)
         # --- driver-verified in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         # ingest / index / search (reference parity)
         "ingest_pages": q.q_ingest_pages,
@@ -484,7 +488,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q.q_token_counts,
         "fingerprints": q.q_fingerprints,
         "winnowing": q.q_winnowing,
-        "approx_distinct": q.q_approx_distinct,  # rows-only (HLL sketch)
         "vocab_stats": q.q_vocab_stats,
         "lang_id": q.q_lang_id,
     }
@@ -2082,5 +2085,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INT) AS ts_ms,
                    'ok' AS status
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        # the media decode evidence columns (width/height/n_samples/
+        # sample_rate) are read from the DECODED arrays, so these hashes
+        # only match if the real GIF-LZW / IMA-ADPCM / BMP / PNG codecs ran
+        "media_gif": """
+            SELECT 'g-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+                   'ok' AS status,
+                   CAST(8 + doc_id % 9 AS INT) AS width,
+                   CAST(6 + doc_id % 7 AS INT) AS height
+            FROM documents
+        """,
+        "media_adpcm": """
+            SELECT 'a-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+                   'ok' AS status,
+                   CAST(256 + (doc_id % 7) * 64 AS BIGINT) AS n_samples,
+                   CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate
+            FROM documents
+        """,
+        "media_gif_frames": """
+            SELECT 'v-' || lpad(CAST(d.doc_id AS VARCHAR), 6, '0')
+                       AS media_id,
+                   CAST(s.g AS INT) AS frame_idx,
+                   CAST(s.g * 1000 AS INT) AS ts_ms,
+                   'ok' AS status
+            FROM documents d
+            JOIN generate_series(0, 5) s(g) ON s.g < 2 + d.doc_id % 4
+        """,
+        "media_real": """
+            SELECT 'm-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+                   CASE WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'image' END AS kind,
+                   'ok' AS status,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 13
+                                        WHEN 2 THEN 5 + doc_id % 9
+                                        ELSE -1 END AS INT) AS width,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 3 + doc_id % 11
+                                        WHEN 2 THEN 4 + doc_id % 6
+                                        ELSE -1 END AS INT) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 1
+                             THEN 128 + (doc_id % 5) * 32
+                             ELSE -1 END AS BIGINT) AS n_samples,
+                   CAST(CASE WHEN doc_id % 3 = 1 THEN 8000
+                             ELSE -1 END AS INT) AS sample_rate
+            FROM documents
         """,
     }

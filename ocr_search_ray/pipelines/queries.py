@@ -1065,10 +1065,12 @@ def q_media_frames(sf_dir: str):
 
 
 def q_media_gif(sf_dir: str):
-    """REAL compressed-format decode end-to-end (rows-only; codec locked by
-    pytest round-trips): a deterministic ≤256-color GIF per doc — real
-    LZW streams — decoded and feature-extracted through the same actor
-    pool as every other media kind; no digest stub on this path."""
+    """REAL compressed-format decode end-to-end, EXACT oracle: a
+    deterministic ≤256-color GIF per doc — real LZW streams, dims varying
+    per doc_id — decoded through the media actor pool. The projected
+    width/height come from the DECODED pixel array's shape, so the value
+    hash only matches if the codec actually ran (the metadata columns are
+    set to -1 on purpose); feature values stay pytest-locked."""
     import numpy as np
 
     from ..functions.gif_codec import encode_gif
@@ -1080,7 +1082,8 @@ def q_media_gif(sf_dir: str):
         ids = batch.column("doc_id").to_pylist()
         payloads = []
         for d in ids:
-            yy, xx = np.mgrid[0:12, 0:16]
+            w, h = 8 + d % 9, 6 + d % 7
+            yy, xx = np.mgrid[0:h, 0:w]
             img = np.stack(
                 [((xx * (1 + d % 7)) % 11) * 23,
                  ((yy * (2 + d % 5)) % 7) * 36,
@@ -1094,8 +1097,9 @@ def q_media_gif(sf_dir: str):
                 "media_id": pa.array([f"g-{d:06d}" for d in ids], pa.string()),
                 "kind": pa.array(["image"] * n, pa.string()),
                 "payload": pa.array(payloads, pa.binary()),
-                "width": pa.array([16] * n, pa.int32()),
-                "height": pa.array([12] * n, pa.int32()),
+                # dims deliberately unknown: decode must recover them
+                "width": pa.array([-1] * n, pa.int32()),
+                "height": pa.array([-1] * n, pa.int32()),
                 "duration_ms": pa.array([-1] * n, pa.int32()),
             }
         )
@@ -1104,26 +1108,17 @@ def q_media_gif(sf_dir: str):
     feats = extract_media_features(media, concurrency=2, batch_size=64)
 
     def project(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "media_id": batch.column("media_id"),
-                "status": batch.column("status"),
-                "f0": pa.array(
-                    [round(f[0], 6) if f is not None else -1.0
-                     for f in batch.column("feature").to_pylist()],
-                    pa.float64(),
-                ),
-            }
-        )
+        return batch.select(["media_id", "status", "width", "height"])
 
     return feats.map_batches(project, batch_format="pyarrow")
 
 
 def q_media_gif_frames(sf_dir: str):
-    """REAL video-kind frame sampling (rows-only; codec pytest-locked):
-    a deterministic 4-frame animated GIF per doc, decoded through the
-    from-scratch LZW codec; sampled frames re-encode as single-frame
-    GIFs — the third media kind off the digest stub."""
+    """REAL video-kind frame sampling, EXACT oracle: a deterministic
+    animated GIF per doc with 2 + doc_id % 4 frames (1000 ms GCE delays),
+    decoded through the from-scratch LZW codec and sampled every 1000 ms
+    — the fan-out width and tick times are pure functions of doc_id the
+    SQL replays; the sampled pixel payloads stay pytest-locked."""
     import numpy as np
 
     from ..functions.gif_codec import encode_gif_frames
@@ -1135,9 +1130,10 @@ def q_media_gif_frames(sf_dir: str):
         ids = batch.column("doc_id").to_pylist()
         payloads = []
         for d in ids:
+            nf = 2 + d % 4
             base = np.full((8, 8, 3), (d * 13) % 200, np.uint8)
             frames = []
-            for f in range(4):
+            for f in range(nf):
                 img = base.copy()
                 img[:, : 2 * (f + 1)] = ((d + f * 37) % 251, 10, 200)
                 frames.append(img)
@@ -1150,7 +1146,7 @@ def q_media_gif_frames(sf_dir: str):
                 "payload": pa.array(payloads, pa.binary()),
                 "width": pa.array([8] * n, pa.int32()),
                 "height": pa.array([8] * n, pa.int32()),
-                "duration_ms": pa.array([4000] * n, pa.int32()),
+                "duration_ms": pa.array([-1] * n, pa.int32()),
             }
         )
 
@@ -1164,10 +1160,12 @@ def q_media_gif_frames(sf_dir: str):
 
 
 def q_media_adpcm(sf_dir: str):
-    """REAL compressed-AUDIO decode end-to-end (rows-only; codec locked by
-    pytest): a deterministic IMA-ADPCM WAV tone per doc, decoded and
-    feature-extracted through the media actor pool — the audio twin of
-    media_gif."""
+    """REAL compressed-AUDIO decode end-to-end, EXACT oracle: a
+    deterministic IMA-ADPCM WAV tone per doc with 256 + (doc_id % 7) * 64
+    samples at a doc-varying rate, decoded through the media actor pool.
+    The projected n_samples/sample_rate come from the DECODED stream (the
+    fact chunk + block walk), pure functions of doc_id the SQL replays;
+    waveform bit-exactness stays pytest-locked."""
     import numpy as np
 
     from ..functions.adpcm import encode_wav_adpcm
@@ -1178,10 +1176,11 @@ def q_media_adpcm(sf_dir: str):
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         payloads = []
-        t = np.arange(512, dtype=np.float64)
         for d in ids:
+            n = 256 + (d % 7) * 64
+            t = np.arange(n, dtype=np.float64)
             tone = (np.sin(t * (1 + d % 24) / 16.0) * 14000).astype(np.int16)
-            payloads.append(encode_wav_adpcm(tone, 8000))
+            payloads.append(encode_wav_adpcm(tone, 8000 * (1 + d % 3)))
         n = len(ids)
         return pa.table(
             {
@@ -1190,7 +1189,7 @@ def q_media_adpcm(sf_dir: str):
                 "payload": pa.array(payloads, pa.binary()),
                 "width": pa.array([-1] * n, pa.int32()),
                 "height": pa.array([-1] * n, pa.int32()),
-                "duration_ms": pa.array([64] * n, pa.int32()),
+                "duration_ms": pa.array([-1] * n, pa.int32()),
             }
         )
 
@@ -1198,28 +1197,22 @@ def q_media_adpcm(sf_dir: str):
     feats = extract_media_features(media, concurrency=2, batch_size=64)
 
     def project(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "media_id": batch.column("media_id"),
-                "status": batch.column("status"),
-                "f0": pa.array(
-                    [round(f[0], 6) if f is not None else -1.0
-                     for f in batch.column("feature").to_pylist()],
-                    pa.float64(),
-                ),
-            }
-        )
+        return batch.select(["media_id", "status", "n_samples", "sample_rate"])
 
     return feats.map_batches(project, batch_format="pyarrow")
 
 
 def q_media_real(sf_dir: str):
-    """REAL media decode end-to-end (rows-only; kernels locked by pytest):
-    deterministic BMP images / WAV tones synthesized per doc, decoded and
-    feature-extracted with the pure-numpy codecs — no stub on this path."""
+    """REAL media decode end-to-end, EXACT oracle: doc_id % 3 cycles BMP
+    image / WAV-PCM16 tone / grayscale PNG (the raster sink's codec wired
+    into the media router), each with doc-varying dims or sample counts
+    synthesized per doc and recovered from the DECODED arrays — pure
+    functions of doc_id the SQL replays. Feature values (pixel stats, FFT
+    bands) stay pytest-locked."""
     import numpy as np
 
     from ..functions.media_codecs import encode_bmp24, encode_wav_pcm16
+    from ..functions.raster import encode_png
     from ..stages.multimodal import extract_media_features
 
     docs = _read(sf_dir, "documents", columns=["doc_id"])
@@ -1228,16 +1221,25 @@ def q_media_real(sf_dir: str):
         ids = batch.column("doc_id").to_pylist()
         payloads, kinds = [], []
         for d in ids:
-            if d % 2 == 0:
-                img = np.full((8, 8, 3), d % 251, dtype=np.uint8)
+            if d % 3 == 0:
+                w, h = 4 + d % 13, 3 + d % 11
+                img = np.full((h, w, 3), d % 251, dtype=np.uint8)
                 img[:, :, 1] = (d * 7) % 251
                 payloads.append(encode_bmp24(img))
                 kinds.append("image")
-            else:
-                t = np.arange(256, dtype=np.float32)
-                tone = (np.sin(t * (1 + d % 16) / 8.0) * 12000).astype(np.int16)
+            elif d % 3 == 1:
+                ns = 128 + (d % 5) * 32
+                t = np.arange(ns, dtype=np.float32)
+                tone = (np.sin(t * (1 + d % 16) / 8.0) * 12000).astype(
+                    np.int16)
                 payloads.append(encode_wav_pcm16(tone, 8000))
                 kinds.append("audio")
+            else:
+                w, h = 5 + d % 9, 4 + d % 6
+                yy, xx = np.mgrid[0:h, 0:w]
+                gray = ((xx * 31 + yy * 17 + d) % 256).astype(np.uint8)
+                payloads.append(encode_png(gray))
+                kinds.append("image")
         n = len(ids)
         return pa.table(
             {
@@ -1254,18 +1256,8 @@ def q_media_real(sf_dir: str):
     feats = extract_media_features(media, concurrency=2, batch_size=64)
 
     def project(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "media_id": batch.column("media_id"),
-                "kind": batch.column("kind"),
-                "status": batch.column("status"),
-                "f0": pa.array(
-                    [round(f[0], 6) if f is not None else -1.0
-                     for f in batch.column("feature").to_pylist()],
-                    pa.float64(),
-                ),
-            }
-        )
+        return batch.select(["media_id", "kind", "status", "width",
+                             "height", "n_samples", "sample_rate"])
 
     return feats.map_batches(project, batch_format="pyarrow")
 

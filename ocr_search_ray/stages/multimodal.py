@@ -4,13 +4,15 @@ Image/audio/video payloads are opaque ``binary`` columns with typed metadata,
 processed by actor-pool ``map_batches`` stages. Decode is routed per row on
 MAGIC BYTES:
 
-- **real kernels** for uncompressed formats — BMP24 images and WAV-PCM16
-  audio decode, feature-extract and resize entirely in numpy
-  (``functions/media_codecs.py``; complete spec implementations, no external
-  libraries needed);
-- **documented stub** for compressed formats (JPEG/PNG/MP3/H.264 — no
-  codecs in this container): deterministic digest features so layout,
-  dtypes and quarantine plumbing stay real and tested.
+- **real kernels** for BMP24 images and WAV-PCM16 audio (pure numpy,
+  ``functions/media_codecs.py``), GIF87a/89a incl. animation
+  (from-scratch LZW, ``functions/gif_codec.py``), IMA-ADPCM WAV
+  (``functions/adpcm.py``) and grayscale PNG (the raster sink's codec,
+  ``functions/raster.py``) — complete spec implementations, no external
+  libraries needed;
+- **documented stub** for the remaining compressed formats (JPEG/MP3/
+  H.264 — no codecs in this container): deterministic digest features so
+  layout, dtypes and quarantine plumbing stay real and tested.
 
 Swapping in a full backend = replacing ``_decode_stub`` with e.g. a pinned
 PIL/ffmpeg handle created in ``__init__`` — the stage contract is unchanged.
@@ -50,24 +52,48 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
 
 
 def _features(payload: bytes, kind: str) -> np.ndarray:
-    """Magic-byte routing: REAL kernels for BMP/WAV/GIF, stub otherwise."""
+    """Magic-byte routing: REAL kernels for BMP/GIF/PNG/WAV, stub otherwise."""
+    return _decode_stats(payload, kind)[0]
+
+
+def _decode_stats(
+    payload: bytes, kind: str
+) -> "tuple[np.ndarray, int, int, int, int]":
+    """Magic-byte routing with decode evidence: → (feature vector,
+    width, height, n_samples, sample_rate); -1 for fields the format does
+    not carry. Dims/counts come from the DECODED array shapes — the
+    SQL-replayable proof the real codec ran (stub rows report all -1)."""
     if payload is None:
         raise ValueError("null payload")
     if payload[:2] == b"BM":
-        return media_codecs.image_features(media_codecs.decode_bmp24(payload))
+        img = media_codecs.decode_bmp24(payload)
+        return (media_codecs.image_features(img),
+                img.shape[1], img.shape[0], -1, -1)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from ..functions.gif_codec import decode_gif
 
-        return media_codecs.image_features(decode_gif(payload))
+        img = decode_gif(payload)
+        return (media_codecs.image_features(img),
+                img.shape[1], img.shape[0], -1, -1)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # the spec-valid grayscale PNG codec the raster sink writes
+        from ..functions.raster import decode_png
+
+        gray = decode_png(payload)
+        img = np.repeat(gray[:, :, None], 3, axis=2)
+        return (media_codecs.image_features(img),
+                img.shape[1], img.shape[0], -1, -1)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from ..functions import adpcm
 
         if adpcm.wav_format_tag(payload) == 0x11:
             rate, mono = adpcm.decode_wav_adpcm(payload)
-            return media_codecs.audio_features(rate, mono[:, None])
-        return media_codecs.audio_features(
-            *media_codecs.decode_wav_pcm16(payload))
-    return _decode_stub(payload, kind)
+            return (media_codecs.audio_features(rate, mono[:, None]),
+                    -1, -1, len(mono), rate)
+        rate, samples = media_codecs.decode_wav_pcm16(payload)
+        return (media_codecs.audio_features(rate, samples),
+                -1, -1, len(samples), rate)
+    return _decode_stub(payload, kind), -1, -1, -1, -1
 
 
 class MediaFeatureExtractor:
@@ -86,20 +112,34 @@ class MediaFeatureExtractor:
         payloads = batch.column("payload").to_pylist()
         out_status: list[str] = []
         out_feat: list[list[float] | None] = []
+        out_w: list[int] = []
+        out_h: list[int] = []
+        out_ns: list[int] = []
+        out_sr: list[int] = []
         for kind, payload in zip(kinds, payloads):
             try:
-                vec = _features(payload, kind)
+                vec, w, h, ns, sr = _decode_stats(payload, kind)
                 out_status.append("ok")
                 out_feat.append([float(x) for x in vec])
             except Exception:
                 out_status.append("error")  # quarantine, don't fail the block
                 out_feat.append(None)
+                w = h = ns = sr = -1
+            out_w.append(w)
+            out_h.append(h)
+            out_ns.append(ns)
+            out_sr.append(sr)
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.string()),
                 "kind": pa.array(kinds, pa.string()),
                 "status": pa.array(out_status, pa.string()),
                 "feature": pa.array(out_feat, pa.list_(pa.float32())),
+                # decoded-shape evidence (−1 = unknown / stub / not carried)
+                "width": pa.array(out_w, pa.int32()),
+                "height": pa.array(out_h, pa.int32()),
+                "n_samples": pa.array(out_ns, pa.int64()),
+                "sample_rate": pa.array(out_sr, pa.int32()),
             }
         )
 
@@ -152,6 +192,14 @@ class ImageResizer:
             out_w, out_h = self._box_fit(img.shape[1], img.shape[0])
             resized = media_codecs.resize_nearest(img, out_w, out_h)
             return encode_gif(resized), out_w, out_h
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            # REAL transform for the raster sink's grayscale PNGs
+            from ..functions.raster import decode_png, encode_png
+
+            gray = decode_png(payload)
+            out_w, out_h = self._box_fit(gray.shape[1], gray.shape[0])
+            resized = media_codecs.resize_nearest(gray, out_w, out_h)
+            return encode_png(resized), out_w, out_h
         # STUB for compressed formats: box math real, pixels digest-faked
         out_w, out_h = self._box_fit(w, h)
         fake = hashlib.sha256(

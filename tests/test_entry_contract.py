@@ -13,14 +13,13 @@ def test_oracle_keys_subset_of_queries():
     assert set(sqls) <= set(qs), set(sqls) - set(qs)
     # pin the contract size: CLAUDE.md/SURVEY.md state these numbers and
     # they have drifted twice — adding an entry must touch this line too
-    assert (len(qs), len(sqls)) == (107, 97), (len(qs), len(sqls))
-    # rows-only ops are the documented ten (simhash and lang_id got
-    # exact SQL oracles in round 2; the approx-percentile pair is the
-    # DDSketch — deterministic but not SQL-derivable, error-bound
-    # pytest-locked; media_gif's codec is locked by round-trip pytest)
+    assert (len(qs), len(sqls)) == (107, 101), (len(qs), len(sqls))
+    # rows-only ops are the documented six (the media entries got exact
+    # decode-evidence oracles in round 5; the approx sketches are
+    # deterministic but not SQL-derivable — error-bound pytest-locked;
+    # the LSH pair is recall-pinned by pytest)
     assert set(qs) - set(sqls) == {
-        "ann_lsh_topk", "lsh_neardup", "media_real", "media_gif",
-        "media_adpcm", "media_gif_frames", "approx_distinct",
+        "ann_lsh_topk", "lsh_neardup", "approx_distinct",
         "grouped_approx_distinct", "approx_percentiles",
         "grouped_approx_percentiles",
     }

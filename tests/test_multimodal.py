@@ -147,3 +147,42 @@ def test_gif_rows_route_through_the_real_codec():
     assert (out["width"], out["height"]) == (100, 75)
     back = decode_gif(out["payload"])
     assert (back == resize_nearest(img, 100, 75)).all()
+
+
+def test_png_payloads_route_to_real_codec_not_stub():
+    """VERDICT r5 #5: \\x89PNG payloads decode through the raster codec —
+    real pixel features + decoded dims, and a real resize round trip."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_search_ray.functions.media_codecs import image_features
+    from ocr_search_ray.functions.raster import decode_png, encode_png
+    from ocr_search_ray.stages.multimodal import (
+        extract_media_features,
+        resize_images,
+    )
+
+    yy, xx = np.mgrid[0:40, 0:600]
+    gray = ((xx * 7 + yy * 3) % 256).astype(np.uint8)
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array(["p1"]), "kind": pa.array(["image"]),
+        "payload": pa.array([encode_png(gray)], pa.binary()),
+        "width": pa.array([-1], pa.int32()),
+        "height": pa.array([-1], pa.int32()),
+        "duration_ms": pa.array([-1], pa.int32()),
+    }))
+    row = extract_media_features(media).take_all()[0]
+    assert row["status"] == "ok"
+    assert (row["width"], row["height"]) == (600, 40)
+    expect = image_features(np.repeat(gray[:, :, None], 3, axis=2))
+    assert np.allclose(row["feature"], expect, atol=1e-6)
+
+    out = resize_images(media, max_w=256, max_h=256).take_all()[0]
+    assert (out["width"], out["height"]) == (256, 17)  # aspect preserved
+    resized = decode_png(out["payload"])
+    assert resized.shape == (17, 256)
+    # nearest-neighbor: every output pixel exists in the source row it maps to
+    ys = (np.arange(17) * 40 // 17).clip(0, 39)
+    xs = (np.arange(256) * 600 // 256).clip(0, 599)
+    assert (resized == gray[ys][:, xs]).all()
