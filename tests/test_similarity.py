@@ -384,3 +384,54 @@ def test_semantic_dedup_with_kmeans_cells():
             expect.append(i)
     assert kept == expect
     assert 150 not in kept  # the planted near-dup lands in 0's cell
+
+
+def test_kmeans_trainer_driver_collect_bounded(monkeypatch):
+    """VERDICT r4 #3: each Lloyd iteration's driver collect must be ≤ k
+    rows (the partials reduce through one centroid-key exchange), not
+    n_batches × k — at k ≈ √N that difference is a genuine scale-killer."""
+    from ocr_search_ray.stages.similarity import _train_centroids
+
+    ds, _ = _embeddings()
+    ds = ds.repartition(8).materialize()  # many blocks → many partials
+
+    collected: list[int] = []
+    orig = rd.Dataset.take_all
+
+    def spy(self, *a, **kw):
+        rows = orig(self, *a, **kw)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(rd.Dataset, "take_all", spy)
+    k = 16
+    centroids = _train_centroids(ds, k, 2, "vec_id", "embedding")
+    assert centroids.shape == (k, DIM)
+    assert np.allclose(np.linalg.norm(centroids, axis=1), 1.0)
+    assert collected, "trainer did not collect at all?"
+    assert max(collected) <= k, collected  # seed + every iteration
+
+
+def test_kmeans_trainer_reduce_is_exact():
+    """The clustered reduce must produce the same centroids the naive
+    driver-side reduce would (same assignments → same means, float-sum
+    order aside)."""
+    from ocr_search_ray.stages.similarity import (
+        _normalize,
+        _train_centroids,
+    )
+
+    ds, vecs = _embeddings()
+    got = _train_centroids(ds.repartition(8), 8, 1, "vec_id", "embedding")
+
+    # replay one Lloyd step in numpy from the same deterministic seed
+    seed = _train_centroids(ds, 8, 0, "vec_id", "embedding")
+    m = _normalize(vecs.astype(np.float64))
+    assign = np.argmax(m @ seed.T, axis=1)
+    want = seed.copy()
+    for c in range(8):
+        mask = assign == c
+        if mask.any():
+            want[c] = m[mask].sum(axis=0) / mask.sum()
+    want = _normalize(want)
+    assert np.allclose(got, want, atol=1e-9)
