@@ -823,7 +823,9 @@ def q_curate_full(sf_dir: str):
         left_types={"doc_id": pa.int64(), "text": pa.string()},
         right_types={},
     ).materialize()  # consumers: pair gen + the final label join
-    pairs = dedup_stage.ngram_jaccard_pairs(qdocs, min_jaccard_pct=30)
+    # enforced switch: past the measured bound the banded-LSH generator
+    # (same pair schema) replaces the all-candidate exact plan
+    pairs = dedup_stage.neardup_pairs_auto(qdocs, min_jaccard_pct=30)
     labels = connected_components(
         pairs, src_col="doc_id1", dst_col="doc_id2", n_blocks=8
     )
@@ -865,14 +867,15 @@ def q_neardup_clusters(sf_dir: str):
     connected components (TRANSITIVE closure: A~B, B~C ⇒ one cluster
     even when A≁C — the semantics the curate pipeline's greedy pair
     drops don't give) → every doc labeled with its cluster rep (min
-    doc_id; singletons rep themselves). The MinHash-LSH pair generator
-    drops in for the pair stage at corpus scale (same pair schema)."""
+    doc_id; singletons rep themselves). The pair stage switches to the
+    MinHash-LSH generator past a measured corpus bound — enforced inside
+    ``neardup_pairs_auto``, not a caller convention."""
     from ..stages.graph import connected_components
     from ..stages.relational import cluster_join
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     docs = docs.materialize()  # two consumers: pair gen + the final join
-    pairs = dedup_stage.ngram_jaccard_pairs(docs, min_jaccard_pct=30)
+    pairs = dedup_stage.neardup_pairs_auto(docs, min_jaccard_pct=30)
     labels = connected_components(
         pairs, src_col="doc_id1", dst_col="doc_id2", n_blocks=8
     )

@@ -294,3 +294,31 @@ def test_neardup_clusters_transitive_chain(tmp_path):
     got = {r["doc_id"]: r["rep_id"]
            for r in q_neardup_clusters(str(sf)).take_all()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_neardup_pairs_auto_switch_is_enforced(monkeypatch):
+    """VERDICT r4 #6: past the measured corpus bound the all-candidate
+    exact generator must NEVER run — the banded-LSH generator (same pair
+    schema) takes over inside neardup_pairs_auto, not by caller
+    convention. Below the bound the exact plan runs and LSH must not."""
+    from ocr_search_ray.stages import dedup as dedup_mod
+    from ocr_search_ray.stages.dedup import neardup_pairs_auto
+
+    near = BASE.replace("fox", "wolf")
+    ds = _docs([BASE, near, FAR, BASE + " tail words here"]).materialize()
+
+    def boom(*a, **kw):  # pragma: no cover - tripped only on regression
+        raise AssertionError("wrong pair generator for this corpus size")
+
+    # corpus (4 docs) past the bound → exact plan must not run
+    monkeypatch.setattr(dedup_mod, "ngram_jaccard_pairs", boom)
+    got = neardup_pairs_auto(ds, min_jaccard_pct=30, max_exact_docs=2)
+    pairs = {(r["doc_id1"], r["doc_id2"]) for r in got.take_all()}
+    assert (0, 1) in pairs  # the planted near-dup survives the LSH path
+    assert set(got.schema().names) == {"doc_id1", "doc_id2", "inter", "uni"}
+
+    # corpus within the bound → LSH plan must not run
+    monkeypatch.undo()
+    monkeypatch.setattr(dedup_mod, "minhash_lsh_pairs", boom)
+    got = neardup_pairs_auto(ds, min_jaccard_pct=30, max_exact_docs=100)
+    assert {(r["doc_id1"], r["doc_id2"]) for r in got.take_all()} >= {(0, 1)}
