@@ -73,25 +73,34 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]]):
 def broadcast_lookup_join(ds, lookup: dict, key: str, out_cols: dict[str, "pa.DataType"],
                           how: str = "inner"):
     """Broadcast hash join: ``lookup`` maps key → tuple of values appended as
-    ``out_cols`` (name → arrow type, in tuple order). Small side shipped once
-    via ``ray.put``, probed per batch — never a shuffle (SURVEY.md J1)."""
+    ``out_cols`` (name → arrow type, in tuple order). Small side ships ONCE
+    as Arrow arrays via ``ray.put``; each batch probes with ``pc.index_in``
+    + ``take`` (vectorized — no per-row Python membership), never a shuffle
+    (SURVEY.md J1). ``how='left'`` appends nulls for missing keys."""
+    import pyarrow.compute as pc
     import ray
 
-    lookup_ref = ray.put(lookup)
     names = list(out_cols)
+    keys_arr = pa.array(list(lookup.keys()))
+    value_arrs = [
+        pa.array([v[j] for v in lookup.values()], out_cols[n])
+        for j, n in enumerate(names)
+    ]
+    lookup_ref = ray.put((keys_arr, value_arrs))
 
     def probe(batch: pa.Table) -> pa.Table:
-        table = ray.get(lookup_ref)
-        keys_list = batch.column(key).to_pylist()
+        keys_a, vals = ray.get(lookup_ref)
+        col = batch.column(key).combine_chunks()
+        if col.type != keys_a.type:
+            col = col.cast(keys_a.type)
+        idx = pc.index_in(col, value_set=keys_a)
         if how == "inner":
-            keep = [i for i, k in enumerate(keys_list) if k in table]
-            batch = batch.take(pa.array(keep, pa.int64()))
-            keys_list = [keys_list[i] for i in keep]
-        for j, name in enumerate(names):
-            values = [
-                (table[k][j] if k in table else None) for k in keys_list
-            ]
-            batch = batch.append_column(name, pa.array(values, out_cols[name]))
+            keep = idx.is_valid()
+            batch = batch.filter(keep)
+            idx = idx.filter(keep)
+        for name, varr in zip(names, vals):
+            # take with null indices yields nulls — left-join semantics
+            batch = batch.append_column(name, varr.take(idx))
         return batch
 
     return ds.map_batches(probe, batch_format="pyarrow")

@@ -384,3 +384,31 @@ def test_salted_join_matches_plain_on_hot_key():
     with _pytest.raises(ValueError):
         salted_cluster_join(rd.from_arrow(left), rd.from_arrow(right),
                             ["k"], salt_col="rid", how="full", **kw)
+
+
+def test_broadcast_lookup_join_vectorized_inner_and_left():
+    """VERDICT r4 #8: the probe is pc.index_in + take (no per-row Python);
+    inner drops missing keys, left appends nulls, int32 probe casts to the
+    lookup key type."""
+    from ocr_search_ray.stages.relational import broadcast_lookup_join
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 2], pa.int32()),
+        "x": pa.array(list("abcde")),
+    }))
+    lookup = {2: ("two", 20), 4: ("four", 40)}
+    out_cols = {"name": pa.string(), "ten": pa.int64()}
+
+    inner = sorted(
+        broadcast_lookup_join(ds, lookup, "k", out_cols).take_all(),
+        key=lambda r: r["x"])
+    assert [(r["k"], r["x"], r["name"], r["ten"]) for r in inner] == [
+        (2, "b", "two", 20), (4, "d", "four", 40), (2, "e", "two", 20)]
+
+    left = sorted(
+        broadcast_lookup_join(ds, lookup, "k", out_cols,
+                              how="left").take_all(),
+        key=lambda r: r["x"])
+    assert [(r["k"], r["name"], r["ten"]) for r in left] == [
+        (1, None, None), (2, "two", 20), (3, None, None),
+        (4, "four", 40), (2, "two", 20)]
