@@ -110,6 +110,75 @@ def md5_digest_matrix(col) -> "object":
     return out
 
 
+_CRC32_TABLE = None
+
+
+def _crc32_table():
+    """256-entry CRC-32 (IEEE 802.3, poly 0xEDB88320) lookup table —
+    the same polynomial ``zlib.crc32`` implements, so the vectorized
+    kernel below is bit-exact with the scalar recipe every bucketed
+    layout in the repo is keyed on (``index.term_bucket``,
+    ``dedup_disk.digest_bucket``)."""
+    global _CRC32_TABLE
+    if _CRC32_TABLE is None:
+        import numpy as np
+
+        t = np.arange(256, dtype=np.uint32)
+        for _ in range(8):
+            t = np.where(t & 1, 0xEDB88320 ^ (t >> 1), t >> 1).astype(np.uint32)
+        _CRC32_TABLE = t
+    return _CRC32_TABLE
+
+
+def crc32_column(col) -> "object":
+    """``zlib.crc32(row.encode())`` of every row of a string column →
+    uint32 numpy array, without per-row Python strings.
+
+    Fixed-width columns (the repo's 64-hex digest/doc_id columns) take a
+    fully vectorized path: the concatenated utf-8 buffer reshapes to an
+    ``(n, w)`` byte matrix and the table-driven CRC runs ``w`` numpy steps
+    over all rows at once (VERDICT r4 design note on
+    ``dedup_disk._hash_and_bucket``'s per-row loop). Ragged columns fall
+    back to one ``zlib.crc32`` call per buffer slice — still no
+    ``to_pylist``/``encode``. Bit-exact with ``zlib.crc32`` (property
+    test: ``tests/test_properties.py``)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = pc.fill_null(col.cast(pa.string()), "")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    offs = np.frombuffer(
+        arr.buffers()[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4
+    )
+    widths = np.diff(offs)
+    data_buf = arr.buffers()[2]
+    if widths.min() == widths.max() and widths[0] > 0:
+        w = int(widths[0])
+        mat = np.frombuffer(
+            data_buf, dtype=np.uint8, count=n * w, offset=int(offs[0])
+        ).reshape(n, w)
+        table = _crc32_table()
+        crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+        for j in range(w):
+            crc = table[(crc ^ mat[:, j]) & 0xFF] ^ (crc >> 8)
+        return (crc ^ 0xFFFFFFFF).astype(np.uint32)
+    import zlib
+
+    data = memoryview(data_buf)
+    return np.fromiter(
+        (zlib.crc32(data[offs[i]:offs[i + 1]]) for i in range(n)),
+        dtype=np.uint32,
+        count=n,
+    )
+
+
 def escape_regexp(s: str) -> str:
     """Regex-metacharacter escaping (SURVEY.md O16; reference
     ``src/util/escapeRegExp.func.js:1`` — unused in its main flow, kept for

@@ -35,16 +35,14 @@ def digest_bucket(digest: str, n_buckets: int = N_BUCKETS_DEFAULT) -> int:
 
 
 def _hash_and_bucket(id_col: str, text_col: str, n_buckets: int):
-    import zlib
-
-    from ..functions.hashing import sha256_hex_column
+    from ..functions.hashing import crc32_column, sha256_hex_column
 
     def f(batch: pa.Table) -> pa.Table:
         digests = sha256_hex_column(batch.column(text_col))
+        # Digests are fixed-width 64-hex → crc32_column takes the fully
+        # vectorized table-driven path (bit-exact with digest_bucket()).
         buckets = pa.array(
-            [zlib.crc32(d.encode()) % n_buckets
-             for d in digests.to_pylist()],
-            pa.int32(),
+            (crc32_column(digests) % n_buckets).astype("int32"), pa.int32()
         )
         return pa.table(
             {

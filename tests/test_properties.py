@@ -83,3 +83,38 @@ def test_jaccard_bounds_symmetry_identity(ws1, ws2):
     assert jaccard(b, a) == (inter, union)  # symmetric
     self_inter, self_union = jaccard(a, a)
     assert self_inter == self_union == len(a)  # identity
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(max_size=40), min_size=0, max_size=25))
+def test_crc32_column_matches_zlib(strings):
+    """crc32_column is bit-exact with zlib.crc32 per row — both the
+    ragged fallback and (when hypothesis produces equal widths) the
+    vectorized fixed-width path."""
+    import zlib
+
+    import pyarrow as pa
+
+    from ocr_search_ray.functions.hashing import crc32_column
+
+    got = crc32_column(pa.array(strings, pa.string()))
+    assert list(got) == [zlib.crc32(s.encode()) for s in strings]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="0123456789abcdef", min_size=64,
+                        max_size=64), min_size=1, max_size=25),
+       st.integers(min_value=0, max_value=8))
+def test_crc32_column_fixed_width_path(digests, offset):
+    """The vectorized (n, w)-matrix path — exercised via 64-hex digests,
+    including a sliced (non-zero arr.offset) input — matches
+    digest_bucket()'s scalar recipe exactly."""
+    import pyarrow as pa
+
+    from ocr_search_ray.functions.hashing import crc32_column
+    from ocr_search_ray.stages.dedup_disk import digest_bucket
+
+    arr = pa.array(digests * 2, pa.string()).slice(offset, len(digests))
+    got = crc32_column(arr) % 64
+    want = [digest_bucket(d) for d in arr.to_pylist()]
+    assert list(got) == want
