@@ -1355,8 +1355,6 @@ def salted_cluster_join(left, right, keys: list[str], *,
     Cost: right side ships ``n_salts``×, so use when right ≪ left but too
     big to broadcast and the left key distribution is skewed.
     """
-    import zlib
-
     import pyarrow.compute as pc
 
     if how == "full":
@@ -1379,9 +1377,10 @@ def salted_cluster_join(left, right, keys: list[str], *,
             encoded = pc.dictionary_encode(
                 col.cast(pa.string()).combine_chunks()
             )
+            from ..functions.hashing import crc32_column
+
             lut = pa.array(
-                [zlib.crc32(v.encode()) % n_salts
-                 for v in encoded.dictionary.to_pylist()],
+                (crc32_column(encoded.dictionary) % n_salts).astype("int32"),
                 pa.int32(),
             )
             salts = lut.take(encoded.indices)
