@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
+        "media_jpeg": q.q_media_jpeg,  # real JPEG decode evidence (exact, r5)
         "media_real": q.q_media_real,  # BMP/WAV/PNG decode evidence (exact, r5)
         "ann_ivf_disk": q.q_ann_ivf_disk,  # never driver-checked (r5)
         "lsh_neardup": q.q_lsh_neardup,  # rows-only (LSH buckets; never checked)
@@ -2089,6 +2090,13 @@ def oracle_sql() -> dict[str, str]:
         # the media decode evidence columns (width/height/n_samples/
         # sample_rate) are read from the DECODED arrays, so these hashes
         # only match if the real GIF-LZW / IMA-ADPCM / BMP / PNG codecs ran
+        "media_jpeg": """
+            SELECT 'j-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+                   'ok' AS status,
+                   CAST(9 + doc_id % 12 AS INT) AS width,
+                   CAST(7 + doc_id % 10 AS INT) AS height
+            FROM documents
+        """,
         "media_gif": """
             SELECT 'g-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
                    'ok' AS status,

@@ -5,9 +5,9 @@ none — these codecs are complete, real implementations from the public
 format specifications (BITMAPINFOHEADER, RIFF/WAVE PCM), so the multimodal
 stages can run REAL decode → feature/resize kernels end-to-end for them.
 Compressed formats with in-repo codecs route to those (GIF → gif_codec,
-IMA-ADPCM → adpcm, grayscale PNG → raster); the rest (JPEG/MP3/H.264)
-still route to the documented digest stub until a deployment pins a real
-codec backend.
+baseline JPEG → jpeg_codec, IMA-ADPCM → adpcm, grayscale PNG → raster);
+the rest (MP3/H.264) still route to the documented digest stub until a
+deployment pins a real codec backend.
 
 Layout facts used:
 - BMP: 14-byte file header (``BM`` magic, pixel-data offset at byte 10) +

@@ -1265,6 +1265,58 @@ def q_media_real(sf_dir: str):
     return feats.map_batches(project, batch_format="pyarrow")
 
 
+def q_media_jpeg(sf_dir: str):
+    """REAL baseline-JPEG decode end-to-end, EXACT oracle: a deterministic
+    gradient JPEG per doc — encoded by the from-scratch DCT+Huffman codec
+    (``functions/jpeg_codec.py``) with dims, 4:2:0 subsampling
+    (doc_id % 2) and restart intervals (doc_id % 3) varying per doc —
+    decoded through the media actor pool. The projected width/height come
+    from the DECODED pixel array's shape (the metadata columns are -1 on
+    purpose), so the value hash only matches if the codec actually ran;
+    pixel fidelity (PSNR) stays pytest-locked (tests/test_jpeg_codec.py)."""
+    import numpy as np
+
+    from ..functions.jpeg_codec import encode_jpeg
+    from ..stages.multimodal import extract_media_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            w, h = 9 + d % 12, 7 + d % 10
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(xx * 9 + d) % 256, (yy * 7) % 256, ((xx + yy) * 5) % 256],
+                axis=2,
+            ).astype(np.uint8)
+            payloads.append(
+                encode_jpeg(img, quality=80, subsample=bool(d % 2),
+                            restart_interval=d % 3)
+            )
+        n = len(ids)
+        return pa.table(
+            {
+                "media_id": pa.array([f"j-{d:06d}" for d in ids], pa.string()),
+                "kind": pa.array(["image"] * n, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                # dims deliberately unknown: decode must recover them
+                "width": pa.array([-1] * n, pa.int32()),
+                "height": pa.array([-1] * n, pa.int32()),
+                "duration_ms": pa.array([-1] * n, pa.int32()),
+            }
+        )
+
+    media = docs.map_batches(synth, batch_format="pyarrow", batch_size=64)
+    feats = extract_media_features(media, concurrency=2, batch_size=64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["media_id", "status", "width", "height"])
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessions over the events stream (30-min gap)."""
     from ..stages.sessionize import sessionize

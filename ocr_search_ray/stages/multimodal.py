@@ -6,13 +6,14 @@ MAGIC BYTES:
 
 - **real kernels** for BMP24 images and WAV-PCM16 audio (pure numpy,
   ``functions/media_codecs.py``), GIF87a/89a incl. animation
-  (from-scratch LZW, ``functions/gif_codec.py``), IMA-ADPCM WAV
+  (from-scratch LZW, ``functions/gif_codec.py``), baseline JPEG
+  (from-scratch DCT+Huffman, ``functions/jpeg_codec.py``), IMA-ADPCM WAV
   (``functions/adpcm.py``) and grayscale PNG (the raster sink's codec,
   ``functions/raster.py``) — complete spec implementations, no external
   libraries needed;
-- **documented stub** for the remaining compressed formats (JPEG/MP3/
-  H.264 — no codecs in this container): deterministic digest features so
-  layout, dtypes and quarantine plumbing stay real and tested.
+- **documented stub** for the remaining compressed formats (MP3/H.264 —
+  no codecs in this container): deterministic digest features so layout,
+  dtypes and quarantine plumbing stay real and tested.
 
 Swapping in a full backend = replacing ``_decode_stub`` with e.g. a pinned
 PIL/ffmpeg handle created in ``__init__`` — the stage contract is unchanged.
@@ -81,6 +82,13 @@ def _decode_stats(
 
         gray = decode_png(payload)
         img = np.repeat(gray[:, :, None], 3, axis=2)
+        return (media_codecs.image_features(img),
+                img.shape[1], img.shape[0], -1, -1)
+    if payload[:2] == b"\xff\xd8":
+        # baseline JPEG: from-scratch DCT+Huffman codec
+        from ..functions.jpeg_codec import decode_jpeg
+
+        img = decode_jpeg(payload)
         return (media_codecs.image_features(img),
                 img.shape[1], img.shape[0], -1, -1)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -200,6 +208,14 @@ class ImageResizer:
             out_w, out_h = self._box_fit(gray.shape[1], gray.shape[0])
             resized = media_codecs.resize_nearest(gray, out_w, out_h)
             return encode_png(resized), out_w, out_h
+        if payload[:2] == b"\xff\xd8":
+            # REAL baseline-JPEG transform: decode → nearest → re-encode
+            from ..functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+            img = decode_jpeg(payload)
+            out_w, out_h = self._box_fit(img.shape[1], img.shape[0])
+            resized = media_codecs.resize_nearest(img, out_w, out_h)
+            return encode_jpeg(resized, quality=90), out_w, out_h
         # STUB for compressed formats: box math real, pixels digest-faked
         out_w, out_h = self._box_fit(w, h)
         fake = hashlib.sha256(
