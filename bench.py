@@ -239,7 +239,23 @@ def main() -> int:
         # rep selection.
         reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
 
+        # INSTRUMENT GATE (declared before sample 9 was taken; forward-only,
+        # never applied to recorded data): the busy-loop probe measures the
+        # HOST's own lo→hi scaling with no Ray involved. When it reads below
+        # the 0.8 bar the host cannot evidence engine scaling in either
+        # direction (sample 8: probe 0.697 and every leg 40–70% below band),
+        # so the sample WAITS for a healthy window instead of measuring a
+        # broken instrument. The gate decides only whether a measurement
+        # STARTS — a started sample is always recorded in full, whatever it
+        # reads. After 10 waits it starts anyway (never silently skips).
+        import time as _time
+        gate = float(os.environ.get("GRAFT_SCALE_GATE", "0.8"))
+        gate_waits = 0
         ceiling_before = _hw_ceiling(lo, hi)
+        while ceiling_before < gate and gate_waits < 10:
+            gate_waits += 1
+            _time.sleep(60)
+            ceiling_before = _hw_ceiling(lo, hi)
         legs = {lo: [], hi: []}
         last = {}
         for _rep in range(reps):
@@ -277,6 +293,7 @@ def main() -> int:
             f"legs_{hi}": legs[hi],
             "hw_ceiling_before": ceiling_before,
             "hw_ceiling_after": _hw_ceiling(lo, hi),
+            "gate_waits": gate_waits,
         }))
         return 0
 
