@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
         "media_jpeg": q.q_media_jpeg,  # real JPEG decode evidence (exact, r5)
+        "media_g711": q.q_media_g711,  # real G.711 decode evidence (exact, r5)
         "media_real": q.q_media_real,  # BMP/WAV/PNG decode evidence (exact, r5)
         "ann_ivf_disk": q.q_ann_ivf_disk,  # never driver-checked (r5)
         "lsh_neardup": q.q_lsh_neardup,  # rows-only (LSH buckets; never checked)
@@ -2090,6 +2091,13 @@ def oracle_sql() -> dict[str, str]:
         # the media decode evidence columns (width/height/n_samples/
         # sample_rate) are read from the DECODED arrays, so these hashes
         # only match if the real GIF-LZW / IMA-ADPCM / BMP / PNG codecs ran
+        "media_g711": """
+            SELECT 't-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+                   'ok' AS status,
+                   CAST(200 + (doc_id % 6) * 50 AS BIGINT) AS n_samples,
+                   CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate
+            FROM documents
+        """,
         "media_jpeg": """
             SELECT 'j-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
                    'ok' AS status,

@@ -1265,6 +1265,52 @@ def q_media_real(sf_dir: str):
     return feats.map_batches(project, batch_format="pyarrow")
 
 
+def q_media_g711(sf_dir: str):
+    """REAL G.711 companded-audio decode end-to-end, EXACT oracle: a
+    deterministic µ-law (odd doc_id) or A-law (even) WAV tone per doc
+    with 200 + (doc_id % 6) * 50 samples at a doc-varying rate, decoded
+    through the media actor pool. n_samples/sample_rate come from the
+    DECODED stream (fact-chunk trim + LUT expansion), pure functions of
+    doc_id the SQL replays; waveform SNR stays pytest-locked
+    (tests/test_g711.py)."""
+    import numpy as np
+
+    from ..functions.g711 import encode_wav_g711
+    from ..stages.multimodal import extract_media_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            n = 200 + (d % 6) * 50
+            t = np.arange(n, dtype=np.float64)
+            tone = (np.sin(t * (1 + d % 20) / 12.0) * 15000).astype(np.int16)
+            payloads.append(
+                encode_wav_g711(tone, 8000 * (1 + d % 3),
+                                law="mu" if d % 2 else "a"))
+        n = len(ids)
+        return pa.table(
+            {
+                "media_id": pa.array([f"t-{d:06d}" for d in ids], pa.string()),
+                "kind": pa.array(["audio"] * n, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array([-1] * n, pa.int32()),
+                "height": pa.array([-1] * n, pa.int32()),
+                "duration_ms": pa.array([-1] * n, pa.int32()),
+            }
+        )
+
+    media = docs.map_batches(synth, batch_format="pyarrow", batch_size=64)
+    feats = extract_media_features(media, concurrency=2, batch_size=64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["media_id", "status", "n_samples", "sample_rate"])
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
 def q_media_jpeg(sf_dir: str):
     """REAL baseline-JPEG decode end-to-end, EXACT oracle: a deterministic
     gradient JPEG per doc — encoded by the from-scratch DCT+Huffman codec

@@ -94,8 +94,16 @@ def _decode_stats(
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from ..functions import adpcm
 
-        if adpcm.wav_format_tag(payload) == 0x11:
+        tag = adpcm.wav_format_tag(payload)
+        if tag == 0x11:
             rate, mono = adpcm.decode_wav_adpcm(payload)
+            return (media_codecs.audio_features(rate, mono[:, None]),
+                    -1, -1, len(mono), rate)
+        if tag in (0x0006, 0x0007):
+            # G.711 A-law / µ-law companded telephony audio
+            from ..functions.g711 import decode_wav_g711
+
+            rate, mono = decode_wav_g711(payload)
             return (media_codecs.audio_features(rate, mono[:, None]),
                     -1, -1, len(mono), rate)
         rate, samples = media_codecs.decode_wav_pcm16(payload)
