@@ -85,20 +85,26 @@ def test_stage_routes_real_and_stub_payloads():
     bmp = encode_bmp24(_gradient(64, 48))
     wav = encode_wav_pcm16(
         (np.sin(np.linspace(0, 60, 800)) * 12000).astype(np.int16), 8000)
+    # blob: no known magic → digest stub (ok). badjpg: \xff\xd8 now routes
+    # to the REAL baseline JPEG decoder, so a corrupt payload is quarantined
+    # as an error row — not silently stubbed.
     media = pa.table(
         {
-            "media_id": pa.array(["img", "aud", "blob"], pa.string()),
-            "kind": pa.array(["image", "audio", "image"], pa.string()),
-            "payload": pa.array([bmp, wav, b"\xff\xd8jpegish"], pa.binary()),
-            "width": pa.array([48, -1, -1], pa.int32()),
-            "height": pa.array([64, -1, -1], pa.int32()),
-            "duration_ms": pa.array([-1, 100, -1], pa.int32()),
+            "media_id": pa.array(["img", "aud", "blob", "badjpg"], pa.string()),
+            "kind": pa.array(["image", "audio", "image", "image"], pa.string()),
+            "payload": pa.array(
+                [bmp, wav, b"\x00h264ish-no-magic", b"\xff\xd8jpegish"],
+                pa.binary()),
+            "width": pa.array([48, -1, -1, -1], pa.int32()),
+            "height": pa.array([64, -1, -1, -1], pa.int32()),
+            "duration_ms": pa.array([-1, 100, -1, -1], pa.int32()),
         }
     )
     ds = rd.from_arrow(media)
     feats = {r["media_id"]: r for r in
              extract_media_features(ds, concurrency=1, batch_size=8).take_all()}
     assert all(feats[k]["status"] == "ok" for k in ("img", "aud", "blob"))
+    assert feats["badjpg"]["status"] == "error"
     expected_img = image_features(_gradient(64, 48))
     assert np.allclose(feats["img"]["feature"], expected_img)
 
