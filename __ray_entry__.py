@@ -375,6 +375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
+        "media_mjpeg": q.q_media_mjpeg,  # real MJPEG-AVI decode (exact, r5)
+        "media_mjpeg_frames": q.q_media_mjpeg_frames,  # AVI demux fan-out (exact, r5)
         "media_jpeg": q.q_media_jpeg,  # real JPEG decode evidence (exact, r5)
         "media_g711": q.q_media_g711,  # real G.711 decode evidence (exact, r5)
         "media_real": q.q_media_real,  # BMP/WAV/PNG decode evidence (exact, r5)
@@ -2097,6 +2099,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(200 + (doc_id % 6) * 50 AS BIGINT) AS n_samples,
                    CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate
             FROM documents
+        """,
+        "media_mjpeg": """
+            SELECT 'mj-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+                   'ok' AS status,
+                   CAST(16 + (doc_id % 3) * 8 AS INT) AS width,
+                   CAST(16 + (doc_id % 2) * 8 AS INT) AS height,
+                   CAST(2 + doc_id % 5 AS BIGINT) AS n_samples,
+                   CAST(5 + doc_id % 6 AS INT) AS sample_rate
+            FROM documents
+        """,
+        "media_mjpeg_frames": """
+            SELECT 'vj-' || lpad(CAST(d.doc_id AS VARCHAR), 6, '0')
+                       AS media_id,
+                   CAST(s.g AS INT) AS frame_idx,
+                   CAST(s.g * 1000 AS INT) AS ts_ms,
+                   'ok' AS status
+            FROM documents d
+            JOIN generate_series(0, 6) s(g) ON s.g < 2 + d.doc_id % 5
         """,
         "media_jpeg": """
             SELECT 'j-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,

@@ -1265,6 +1265,103 @@ def q_media_real(sf_dir: str):
     return feats.map_batches(project, batch_format="pyarrow")
 
 
+def _synth_mjpeg_avi(d: int, nf: int, fps: int):
+    """One deterministic MJPEG AVI for doc_id d: nf gradient frames whose
+    dims are pure functions of d (the SQL replays them)."""
+    import numpy as np
+
+    from ..functions.avi_mjpeg import encode_avi_mjpeg
+
+    w, h = 16 + (d % 3) * 8, 16 + (d % 2) * 8
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for f in range(nf):
+        img = np.stack(
+            [((xx * 3 + f * 20 + d) % 256),
+             ((yy * 5 + d) % 256),
+             np.full_like(xx, (d * 7) % 256)],
+            axis=2,
+        ).astype(np.uint8)
+        frames.append(img)
+    return encode_avi_mjpeg(frames, fps=fps)
+
+
+def q_media_mjpeg(sf_dir: str):
+    """REAL video-container decode end-to-end, EXACT oracle: a
+    deterministic MJPEG AVI per doc (RIFF demux + the from-scratch
+    baseline-JPEG codec), frame dims / frame count / fps varying per
+    doc_id. width/height come from DECODING the first frame (not the AVI
+    header) and (n_samples, sample_rate) carry (movi frame count, fps) —
+    pure functions of doc_id the SQL replays; pixel features stay
+    pytest-locked."""
+    from ..stages.multimodal import extract_media_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = [
+            _synth_mjpeg_avi(d, nf=2 + d % 5, fps=5 + d % 6) for d in ids
+        ]
+        n = len(ids)
+        return pa.table(
+            {
+                "media_id": pa.array([f"mj-{d:06d}" for d in ids],
+                                     pa.string()),
+                "kind": pa.array(["video"] * n, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                # dims deliberately unknown: decode must recover them
+                "width": pa.array([-1] * n, pa.int32()),
+                "height": pa.array([-1] * n, pa.int32()),
+                "duration_ms": pa.array([-1] * n, pa.int32()),
+            }
+        )
+
+    media = docs.map_batches(synth, batch_format="pyarrow", batch_size=64)
+    feats = extract_media_features(media, concurrency=2, batch_size=64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["media_id", "status", "width", "height",
+                             "n_samples", "sample_rate"])
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
+def q_media_mjpeg_frames(sf_dir: str):
+    """REAL MJPEG-AVI frame sampling, EXACT oracle: 2 + doc_id % 5 frames
+    at 1 fps sampled every 1000 ms → the fan-out width and tick times are
+    pure functions of doc_id the SQL replays; the sampled payloads are
+    the container's RAW JPEG frame bytes (byte-faithful demux,
+    pytest-locked)."""
+    from ..stages.multimodal import sample_frames
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = [_synth_mjpeg_avi(d, nf=2 + d % 5, fps=1) for d in ids]
+        n = len(ids)
+        return pa.table(
+            {
+                "media_id": pa.array([f"vj-{d:06d}" for d in ids],
+                                     pa.string()),
+                "kind": pa.array(["video"] * n, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array([-1] * n, pa.int32()),
+                "height": pa.array([-1] * n, pa.int32()),
+                "duration_ms": pa.array([-1] * n, pa.int32()),
+            }
+        )
+
+    media = docs.map_batches(synth, batch_format="pyarrow", batch_size=64)
+    frames = sample_frames(media, every_ms=1000)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["media_id", "frame_idx", "ts_ms", "status"])
+
+    return frames.map_batches(project, batch_format="pyarrow")
+
+
 def q_media_g711(sf_dir: str):
     """REAL G.711 companded-audio decode end-to-end, EXACT oracle: a
     deterministic µ-law (odd doc_id) or A-law (even) WAV tone per doc

@@ -91,6 +91,17 @@ def _decode_stats(
         img = decode_jpeg(payload)
         return (media_codecs.image_features(img),
                 img.shape[1], img.shape[0], -1, -1)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        # Motion-JPEG AVI: decode evidence = first frame's DECODED dims
+        # plus (n_samples, sample_rate) carrying (frame count, fps) — the
+        # video analogue of the audio fields, same -1-elsewhere contract
+        from ..functions.avi_mjpeg import _parse_avi
+        from ..functions.jpeg_codec import decode_jpeg
+
+        _fps, _jpegs = _parse_avi(payload)
+        img = decode_jpeg(_jpegs[0])
+        return (media_codecs.image_features(img),
+                img.shape[1], img.shape[0], len(_jpegs), _fps)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from ..functions import adpcm
 
@@ -299,15 +310,37 @@ def _sample_gif_frames(payload: bytes, every_ms: int, max_frames: int):
     return out_idx, out_ts, out_payload
 
 
+def _sample_avi_frames(payload: bytes, every_ms: int, max_frames: int):
+    """REAL frame sampling for MJPEG-AVI payloads: parse the RIFF movi
+    chunks + fps, pick the frame on screen at each every_ms tick, emit
+    the frame's RAW JPEG bytes (byte-faithful, no re-encode).
+    → (frame_idx list, ts_ms list, payload list)."""
+    from ..functions.avi_mjpeg import _parse_avi
+
+    fps, jpegs = _parse_avi(payload)
+    period = 1000.0 / fps  # frame i on screen [i*period, (i+1)*period)
+    total = period * len(jpegs)
+    out_idx, out_ts, out_payload = [], [], []
+    t = 0
+    while t < total and len(out_idx) < max_frames:
+        fi = min(int(t // period), len(jpegs) - 1)
+        out_idx.append(len(out_idx))
+        out_ts.append(t)
+        out_payload.append(jpegs[fi])
+        t += every_ms
+    return out_idx, out_ts, out_payload
+
+
 def sample_frames(media, *, every_ms: int = 1000, max_frames: int = 8):
     """Video rows → frame rows (1 → N fan-out, the multimodal analogue of
     page fan-out). ANIMATED-GIF payloads decode for REAL (frames +
     Graphic Control delays via the from-scratch LZW codec; each sampled
-    frame re-encodes as a single-frame GIF). Other containers emit a
-    deterministic fake frame digest — a pinned ffmpeg/pyav handle in an
-    actor class replaces that branch with this exact contract. Non-video
-    rows are dropped; null/corrupt payloads quarantine as one
-    ``status='error'`` row.
+    frame re-encodes as a single-frame GIF); MJPEG-AVI payloads sample
+    for real too (RIFF demux + fps timing, raw JPEG frame bytes out).
+    Other containers emit a deterministic fake frame digest — a pinned
+    ffmpeg/pyav handle in an actor class replaces that branch with this
+    exact contract. Non-video rows are dropped; null/corrupt payloads
+    quarantine as one ``status='error'`` row.
     """
 
     def fan_out(batch: pa.Table) -> pa.Table:
@@ -331,6 +364,19 @@ def sample_frames(media, *, every_ms: int = 1000, max_frames: int = 8):
             if payload[:6] in (b"GIF87a", b"GIF89a"):
                 try:
                     idxs, tss, payloads = _sample_gif_frames(
+                        payload, every_ms, max_frames)
+                except ValueError:
+                    quarantine(i)
+                    continue
+                out_id.extend([cols["media_id"][i]] * len(idxs))
+                out_frame.extend(idxs)
+                out_ts.extend(tss)
+                out_payload.extend(payloads)
+                out_status.extend(["ok"] * len(idxs))
+                continue
+            if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                try:
+                    idxs, tss, payloads = _sample_avi_frames(
                         payload, every_ms, max_frames)
                 except ValueError:
                     quarantine(i)
