@@ -212,6 +212,40 @@ def _hw_ceiling(lo: int, hi: int) -> float:
     return round((rates[hi] / rates[lo]) / (hi / lo), 3)
 
 
+def _membw_worker(_n):
+    import time as _t
+
+    import numpy as np
+
+    a = np.empty(32 * 1024 * 1024 // 8, dtype=np.float64)
+    a[:] = 1.0
+    b = np.empty_like(a)
+    t0 = _t.perf_counter()
+    passes = 0
+    while _t.perf_counter() - t0 < 1.5:
+        np.copyto(b, a)
+        np.copyto(a, b)
+        passes += 2
+    return passes * a.nbytes / (_t.perf_counter() - t0)
+
+
+def _membw_probe(procs: int = 16) -> float:
+    """Aggregate copy bandwidth (GB/s) of the HOST at `procs` workers,
+    median of 3 — an AUDIT field, not a gate: per-run noise is large
+    (measured 24–64 GB/s back-to-back), but the median discriminates the
+    degraded hypervisor eras in which the memory subsystem delivers LESS
+    aggregate bandwidth at 16 procs than at 4 (measured 26.1 vs
+    30.5 GB/s inside one such era) — the confound the busy-loop CPU
+    probe cannot see. Recorded before/after every scaling sample."""
+    import multiprocessing as mp
+
+    meds = []
+    for _ in range(3):
+        with mp.Pool(procs) as pool:
+            meds.append(sum(pool.map(_membw_worker, range(procs))) / 1e9)
+    return round(sorted(meds)[1], 1)
+
+
 def main() -> int:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -251,6 +285,7 @@ def main() -> int:
         import time as _time
         gate = float(os.environ.get("GRAFT_SCALE_GATE", "0.8"))
         gate_waits = 0
+        membw_before = _membw_probe(hi)
         ceiling_before = _hw_ceiling(lo, hi)
         while ceiling_before < gate and gate_waits < 10:
             gate_waits += 1
@@ -293,6 +328,8 @@ def main() -> int:
             f"legs_{hi}": legs[hi],
             "hw_ceiling_before": ceiling_before,
             "hw_ceiling_after": _hw_ceiling(lo, hi),
+            "membw_gbps_before": membw_before,
+            "membw_gbps_after": _membw_probe(hi),
             "gate_waits": gate_waits,
         }))
         return 0
