@@ -105,60 +105,28 @@ def add_term_bucket(postings, n_buckets: int = N_BUCKETS_DEFAULT):
     return postings.map_batches(_bucket, batch_format="pyarrow")
 
 
-def _dict_codes(col: "pa.ChunkedArray"):
-    """Dictionary column → (shared dictionary, int32 codes over all chunks).
-    Chunks arriving from different map tasks carry different dictionaries;
-    unify first so one code space covers the whole group."""
-    col = col.unify_dictionaries()
-    if col.num_chunks == 1:
-        return col.chunk(0).dictionary, col.chunk(0).indices
-    return col.chunk(0).dictionary, pa.concat_arrays(
-        [c.indices for c in col.chunks])
-
-
 def _sort_group(group: pa.Table) -> pa.Table:
-    # RANK sort, not string sort: each dictionary (distinct values, ~10-20x
-    # fewer than rows) sorts once, rows sort as two int32 rank columns, and
-    # the sorted string columns materialize in ONE dictionary take at the
-    # end — ~3x faster than decode-then-sort_by and it moves the string
-    # payload through memory once, which is what the bandwidth-capped
-    # 16-cpu leg is short of (measured: the per-bucket sort was ~11 s of
-    # the 16-cpu index phase's ~17 s). Output is byte-identical: the rank
-    # order IS the string sort order. Files stay plain strings.
-    import numpy as np
-    import pyarrow.compute as pc
-
-    if group.num_rows == 0:
-        return pa.table(
-            {n: group.column(n).cast(pa.string())
-                if pa.types.is_dictionary(group.column(n).type)
-                else group.column(n)
-             for n in group.column_names})
-
-    def ranks(col):
-        if not pa.types.is_dictionary(col.type):
-            # plain column (defensive): encode locally, same rank recipe
-            col = pa.chunked_array(
-                [pc.dictionary_encode(col.combine_chunks())])
-        d, codes = _dict_codes(col)
-        order = pc.sort_indices(d).to_numpy(zero_copy_only=False)
-        rank = np.empty(len(d), np.int32)
-        rank[order] = np.arange(len(d), dtype=np.int32)
-        return pa.array(rank).take(codes)
-
-    key = pa.table({"t": ranks(group.column("term")),
-                    "d": ranks(group.column("doc_id"))})
-    idx = pc.sort_indices(
-        key, sort_keys=[("t", "ascending"), ("d", "ascending")])
+    # decode the exchange's dictionary columns back to plain strings (the
+    # bytes already crossed the wire encoded; files stay plain)
+    #
+    # NOTE (r5, measured): a rank-based variant — unify the per-map-task
+    # dictionaries, sort each dictionary once, sort rows as int32 ranks —
+    # microbenches 3.2× faster on a 4-chunk group but REGRESSES the real
+    # 16-cpu leg 20–40% (alternating A/B: 37.6/39.3k docs/s here vs
+    # 26.4/32.3k): after the exchange a bucket group carries ~64 chunks
+    # with ~64 distinct dictionaries, and ChunkedArray.unify_dictionaries
+    # remaps every code through a string hash probe of its dictionary —
+    # more expensive than the cast-and-sort it was meant to avoid. Keep
+    # the straightforward decode + composite sort_by.
     cols = {}
     for name in group.column_names:
         col = group.column(name)
         if pa.types.is_dictionary(col.type):
-            d, codes = _dict_codes(col)
-            cols[name] = d.take(codes.take(idx))
-        else:
-            cols[name] = col.combine_chunks().take(idx)
-    return pa.table(cols)
+            col = col.cast(pa.string())
+        cols[name] = col
+    return pa.table(cols).sort_by(
+        [("term", "ascending"), ("doc_id", "ascending")]
+    )
 
 
 def build_index(postings, out_dir: str | None = None, n_buckets: int = N_BUCKETS_DEFAULT):
