@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
+        "media_flac": q.q_media_flac,  # real FLAC decode evidence (exact, r5)
         "media_mjpeg": q.q_media_mjpeg,  # real MJPEG-AVI decode (exact, r5)
         "media_mjpeg_frames": q.q_media_mjpeg_frames,  # AVI demux fan-out (exact, r5)
         "media_jpeg": q.q_media_jpeg,  # real JPEG decode evidence (exact, r5)
@@ -2093,6 +2094,13 @@ def oracle_sql() -> dict[str, str]:
         # the media decode evidence columns (width/height/n_samples/
         # sample_rate) are read from the DECODED arrays, so these hashes
         # only match if the real GIF-LZW / IMA-ADPCM / BMP / PNG codecs ran
+        "media_flac": """
+            SELECT 'f-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+                   'ok' AS status,
+                   CAST(300 + (doc_id % 5) * 70 AS BIGINT) AS n_samples,
+                   CAST(8000 * (1 + doc_id % 4) AS INT) AS sample_rate
+            FROM documents
+        """,
         "media_g711": """
             SELECT 't-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
                    'ok' AS status,

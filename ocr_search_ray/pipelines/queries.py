@@ -1408,6 +1408,57 @@ def q_media_g711(sf_dir: str):
     return feats.map_batches(project, batch_format="pyarrow")
 
 
+def q_media_flac(sf_dir: str):
+    """REAL lossless-compressed-audio decode end-to-end, EXACT oracle: a
+    deterministic FLAC tone per doc — mono (even doc_id) or stereo (odd),
+    300 + (doc_id % 5) * 70 frames at a doc-varying rate, multi-frame at
+    blocksize 256 — encoded by the from-scratch fixed-predictor/Rice codec
+    (``functions/flac_codec.py``) and decoded through the media actor
+    pool with CRC-8/CRC-16/MD5 verification. n_samples/sample_rate come
+    from the DECODED stream (frame walk + STREAMINFO), pure functions of
+    doc_id the SQL replays; waveform bit-exactness stays pytest-locked
+    (tests/test_flac_codec.py)."""
+    import numpy as np
+
+    from ..functions.flac_codec import encode_flac
+    from ..stages.multimodal import extract_media_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            n = 300 + (d % 5) * 70
+            t = np.arange(n, dtype=np.float64)
+            tone = (np.sin(t * (1 + d % 18) / 10.0) * 13000).astype(np.int16)
+            if d % 2:  # stereo: right channel is a phase-shifted copy
+                sig = np.stack([tone, np.roll(tone, 3)], axis=1)
+            else:
+                sig = tone
+            payloads.append(
+                encode_flac(sig, 8000 * (1 + d % 4), blocksize=256))
+        n = len(ids)
+        return pa.table(
+            {
+                "media_id": pa.array([f"f-{d:06d}" for d in ids], pa.string()),
+                "kind": pa.array(["audio"] * n, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array([-1] * n, pa.int32()),
+                "height": pa.array([-1] * n, pa.int32()),
+                "duration_ms": pa.array([-1] * n, pa.int32()),
+            }
+        )
+
+    media = docs.map_batches(synth, batch_format="pyarrow", batch_size=64)
+    feats = extract_media_features(media, concurrency=2, batch_size=64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["media_id", "status", "n_samples", "sample_rate"])
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
 def q_media_jpeg(sf_dir: str):
     """REAL baseline-JPEG decode end-to-end, EXACT oracle: a deterministic
     gradient JPEG per doc — encoded by the from-scratch DCT+Huffman codec

@@ -102,6 +102,13 @@ def _decode_stats(
         img = decode_jpeg(_jpegs[0])
         return (media_codecs.image_features(img),
                 img.shape[1], img.shape[0], len(_jpegs), _fps)
+    if payload[:4] == b"fLaC":
+        # FLAC: from-scratch fixed-predictor/Rice codec (CRC + MD5 verified)
+        from ..functions.flac_codec import decode_flac
+
+        rate, samples = decode_flac(payload)
+        return (media_codecs.audio_features(rate, samples),
+                -1, -1, len(samples), rate)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from ..functions import adpcm
 
