@@ -362,6 +362,38 @@ _MESSY_URLS_CTE = """
             )"""
 
 
+_PQ_RANK_SQL = """
+    WITH v AS (
+      SELECT vec_id,
+             vec_id % 16 AS c0,
+             (vec_id * 7 + 3) % 16 AS c1
+      FROM embeddings
+    ),
+    q AS (
+      SELECT * FROM (VALUES (0, 1, 2), (1, 3, 7), (2, 5, 12))
+           AS t(query_id, a, b)
+    ),
+    s AS (
+      SELECT q.query_id, v.vec_id,
+             0.7 * cos(2 * pi() * (((q.a - v.c0) % 16 + 16) % 16) / 16)
+           + 0.3 * cos(2 * pi() * (((q.b - v.c1) % 16 + 16) % 16) / 16)
+               AS score
+      FROM q CROSS JOIN v
+    ),
+    r AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY score DESC, vec_id ASC) AS rank
+      FROM s
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return q.q_ingest_pages("/root/testdata/sf0.001")
@@ -376,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
         "ann_pq_topk": q.q_ann_pq_topk,  # PQ/ADC ANN, codeword corpus (exact, r5)
+        "ann_pq_disk": q.q_ann_pq_disk,  # on-disk PQ build+add+delete (exact, r5)
         "media_flac": q.q_media_flac,  # real FLAC decode evidence (exact, r5)
         "media_mjpeg": q.q_media_mjpeg,  # real MJPEG-AVI decode (exact, r5)
         "media_mjpeg_frames": q.q_media_mjpeg_frames,  # AVI demux fan-out (exact, r5)
@@ -2095,39 +2128,13 @@ def oracle_sql() -> dict[str, str]:
         # the media decode evidence columns (width/height/n_samples/
         # sample_rate) are read from the DECODED arrays, so these hashes
         # only match if the real GIF-LZW / IMA-ADPCM / BMP / PNG codecs ran
-        # ann_pq_topk: the ADC score of the codeword-aligned corpus is
-        # 0.7 cos(2π Δ0/16) + 0.3 cos(2π Δ1/16) — Δs normalized to 0..15
-        # so equal-math ties are bit-equal on both sides; rank-only output
-        "ann_pq_topk": """
-            WITH v AS (
-              SELECT vec_id,
-                     vec_id % 16 AS c0,
-                     (vec_id * 7 + 3) % 16 AS c1
-              FROM embeddings
-            ),
-            q AS (
-              SELECT * FROM (VALUES (0, 1, 2), (1, 3, 7), (2, 5, 12))
-                   AS t(query_id, a, b)
-            ),
-            s AS (
-              SELECT q.query_id, v.vec_id,
-                     0.7 * cos(2 * pi() * (((q.a - v.c0) % 16 + 16) % 16) / 16)
-                   + 0.3 * cos(2 * pi() * (((q.b - v.c1) % 16 + 16) % 16) / 16)
-                       AS score
-              FROM q CROSS JOIN v
-            ),
-            r AS (
-              SELECT query_id, vec_id,
-                     row_number() OVER (
-                       PARTITION BY query_id
-                       ORDER BY score DESC, vec_id ASC) AS rank
-              FROM s
-            )
-            SELECT CAST(query_id AS BIGINT) AS query_id,
-                   CAST(vec_id AS BIGINT) AS vec_id,
-                   CAST(rank AS INT) AS rank
-            FROM r WHERE rank <= 10
-        """,
+        # ann_pq_topk / ann_pq_disk: the ADC score of the codeword-aligned
+        # corpus is 0.7 cos(2π Δ0/16) + 0.3 cos(2π Δ1/16) — Δs normalized
+        # to 0..15 so equal-math ties are bit-equal on both sides;
+        # rank-only output. The disk entry's add+delete lifecycle nets out
+        # to the same corpus, so the same SQL replays both.
+        "ann_pq_topk": _PQ_RANK_SQL,
+        "ann_pq_disk": _PQ_RANK_SQL,
         "media_flac": """
             SELECT 'f-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
                    'ok' AS status,

@@ -783,6 +783,78 @@ def q_ann_pq_topk(sf_dir: str):
     return pq_topk(corpus, queries, k=10, codebooks=cb)
 
 
+def q_ann_pq_disk(sf_dir: str):
+    """The on-disk PQ index under the oracle, FULL lifecycle: build the
+    id-hash-bucketed code index from the even-id half of the codeword
+    corpus (same geometry as ``ann_pq_topk``), incrementally add the odd
+    half PLUS 50 planted vectors (ids +1000000), delete the planted
+    cohort (point-pruned: only its own buckets open), then the ADC disk
+    search must equal the in-memory result — the SAME SQL as
+    ``ann_pq_topk`` replays it."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ..stages.similarity import (
+        add_to_pq_index,
+        build_pq_index,
+        delete_from_pq_index,
+        search_pq_index,
+    )
+
+    K = 16
+    th = 2 * np.pi * np.arange(K) / K
+    cb = np.stack([
+        np.stack([np.sqrt(0.7) * np.cos(th),
+                  np.sqrt(0.7) * np.sin(th)], axis=1),
+        np.stack([np.sqrt(0.3) * np.cos(th),
+                  np.sqrt(0.3) * np.sin(th)], axis=1),
+    ])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def synth_part(parity: "int | None", shift: int = 0):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64, copy=False)
+            if parity is not None:
+                ids = ids[ids % 2 == parity]
+            if shift:
+                ids = ids[ids < 50] + shift
+            vecs = np.concatenate(
+                [cb[0][ids % K], cb[1][(ids * 7 + 3) % K]], axis=1)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        vecs.tolist(), pa.list_(pa.float64())),
+                }
+            )
+        return f
+
+    queries = {
+        q: np.concatenate(
+            [cb[0][(2 * q + 1) % K], cb[1][(5 * q + 2) % K]]).tolist()
+        for q in range(3)
+    }
+    tmp = tempfile.mkdtemp(prefix="osr-pq-", dir="/tmp")
+    try:
+        build_pq_index(
+            emb.map_batches(synth_part(0), batch_format="pyarrow"),
+            tmp, codebooks=cb, n_buckets=16)
+        add_to_pq_index(
+            emb.map_batches(synth_part(1), batch_format="pyarrow"), tmp)
+        add_to_pq_index(
+            emb.map_batches(synth_part(None, shift=1000000),
+                            batch_format="pyarrow"), tmp)
+        planted = [i + 1000000 for i in range(50)]
+        delete_from_pq_index(tmp, planted)
+        out = search_pq_index(tmp, queries, k=10)
+        return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_lsh_neardup(sf_dir: str):
     """Unbounded-scale embedding near-dup (LSH buckets + in-bucket verify;
     no broadcast side): the corpus is augmented with 20 planted duplicates

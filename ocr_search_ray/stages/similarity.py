@@ -1156,3 +1156,267 @@ def pq_topk(embeddings, queries: "dict[int, list[float]]", *, k: int = 10,
             train_iters=train_iters, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
     return pq_scan_topk(codes, codebooks, queries, k=k, id_col=id_col)
+
+
+# ------------------------------------------------------- PQ on-disk index
+
+def _pq_id_bucket(ids: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Knuth multiplicative id-hash bucket — deterministic, vectorized,
+    skew-free at strided/clustered id layouts. The load-bearing property
+    vs the IVF cell layout: a vector's bucket is computable FROM ITS ID
+    ALONE, so adds AND deletes open only their own buckets (IVF deletes
+    must sweep every cell because the assigned cell died with the
+    vector)."""
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+        & np.uint64(0xFFFFFFFF)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def build_pq_index(embeddings, out_dir: str, *, n_subspaces: int = 4,
+                   n_codes: int = 16, train_iters: int = 3,
+                   n_buckets: int = 16,
+                   codebooks: "np.ndarray | None" = None,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> None:
+    """Persist a PQ ANN index — the memory-scale member of the on-disk
+    index family (digest buckets / band buckets / IVF cells):
+
+    - ``codebooks.parquet`` — M×K rows (subspace, code, vector); with
+      ``meta.parquet`` (n_subspaces, n_codes, n_buckets) it is the only
+      thing a query driver loads.
+    - ``codes/bucket=N/`` — (vec_id, codes list<uint8>) partitioned by
+      the id-hash bucket: the corpus at M bytes per vector. Search scans
+      all buckets (flat PQ has no pruning key) but moves only codes —
+      10^10 vectors × M=16 is 160 GB, streamable; the raw float corpus
+      (2.6 TB at dim=64/f32) never leaves the build.
+    """
+    import os
+
+    import pyarrow.parquet as _pq
+
+    cb = np.asarray(codebooks, dtype=np.float64) if codebooks is not None \
+        else train_pq_codebooks(
+            embeddings, n_subspaces=n_subspaces, n_codes=n_codes,
+            train_iters=train_iters, id_col=id_col, vec_col=vec_col)
+    n_sub, k_codes, _sd = cb.shape
+
+    codes = pq_encode(embeddings, cb, id_col=id_col, vec_col=vec_col)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+        return batch.append_column(
+            "bucket", pa.array(_pq_id_bucket(ids, n_buckets), pa.int64()))
+
+    codes.map_batches(bucketize, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "codes"), partition_cols=["bucket"],
+        compression="zstd",
+    )
+    sub_idx, code_idx = np.divmod(np.arange(n_sub * k_codes), k_codes)
+    _pq.write_table(
+        pa.table(
+            {
+                "subspace": pa.array(sub_idx, pa.int32()),
+                "code": pa.array(code_idx, pa.int32()),
+                "vector": pa.array(
+                    cb.reshape(n_sub * k_codes, -1).tolist(),
+                    pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(out_dir, "codebooks.parquet"),
+    )
+    _pq.write_table(
+        pa.table(
+            {
+                "n_subspaces": pa.array([n_sub], pa.int32()),
+                "n_codes": pa.array([k_codes], pa.int32()),
+                "n_buckets": pa.array([n_buckets], pa.int32()),
+            }
+        ),
+        os.path.join(out_dir, "meta.parquet"),
+    )
+
+
+def _load_pq_meta(index_dir: str) -> "tuple[np.ndarray, int]":
+    import os
+
+    import pyarrow.parquet as _pq
+
+    meta = _pq.read_table(os.path.join(index_dir, "meta.parquet"))
+    n_sub = int(meta.column("n_subspaces")[0].as_py())
+    k_codes = int(meta.column("n_codes")[0].as_py())
+    n_buckets = int(meta.column("n_buckets")[0].as_py())
+    cbt = _pq.read_table(os.path.join(index_dir, "codebooks.parquet"))
+    flat = np.array(cbt.column("vector").to_pylist(), dtype=np.float64)
+    order = np.lexsort((
+        cbt.column("code").to_numpy(zero_copy_only=False),
+        cbt.column("subspace").to_numpy(zero_copy_only=False)))
+    cb = flat[order].reshape(n_sub, k_codes, -1)
+    return cb, n_buckets
+
+
+def search_pq_index(index_dir: str, queries: "dict[int, list[float]]", *,
+                    k: int = 10, id_col: str = "vec_id"):
+    """Query the on-disk PQ index: load the tiny codebook table, stream
+    the code buckets through the ADC scan. Same output schema as
+    ``pq_scan_topk`` (it IS ``pq_scan_topk`` over the persisted codes)."""
+    import glob as _glob
+    import os
+
+    import ray.data as rd
+
+    from ..state.atomic import recover_all
+
+    try:  # read-side healing; no-op on a read-only mount
+        recover_all(os.path.join(index_dir, "codes"), "bucket=*")
+    except OSError:
+        pass
+    cb, _n_buckets = _load_pq_meta(index_dir)
+    paths = sorted(_glob.glob(
+        os.path.join(index_dir, "codes", "bucket=*", "*.parquet")))
+    if not paths:
+        return rd.from_arrow(pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int32())}))
+    codes = rd.read_parquet(paths, columns=[id_col, "codes"])
+    return pq_scan_topk(codes, cb, queries, k=k, id_col=id_col)
+
+
+def add_to_pq_index(new_embeddings, index_dir: str, *,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> dict:
+    """Incremental adds: encode against the STORED codebooks (no retrain —
+    the standard PQ add posture; retrain when quantization error drift
+    says the codebooks aged) and merge into ONLY the arriving ids'
+    buckets, one crash-safe aside swap per affected bucket. Idempotent:
+    keep-first per id, existing rows precede new ones."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..state.atomic import recover_all
+
+    recover_all(os.path.join(index_dir, "codes"), "bucket=*")
+    cb, n_buckets = _load_pq_meta(index_dir)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+        return batch.append_column(
+            "bucket", pa.array(_pq_id_bucket(ids, n_buckets), pa.int64()))
+
+    staging = tempfile.mkdtemp(prefix="osr-pqadd-", dir="/tmp")
+    try:
+        pq_encode(new_embeddings, cb, id_col=id_col, vec_col=vec_col) \
+            .map_batches(bucketize, batch_format="pyarrow") \
+            .write_parquet(staging, partition_cols=["bucket"],
+                           compression="zstd")
+
+        @ray.remote
+        def merge_bucket(bucket_dir: str, new_dir: str) -> int:
+            import os
+            import shutil as _sh
+
+            import numpy as _np
+            import pyarrow.parquet as pq2
+
+            from ocr_search_ray.state.atomic import (
+                recover_aside,
+                swap_dir_in,
+            )
+
+            recover_aside(bucket_dir)
+            new_rows = pq2.read_table(new_dir, columns=[id_col, "codes"])
+            parts = []
+            if os.path.isdir(bucket_dir):
+                parts.append(pq2.read_table(
+                    bucket_dir, columns=[id_col, "codes"]))
+            parts.append(new_rows)
+            both = pa.concat_tables(parts, promote_options="permissive")
+            ids = both.column(id_col).to_numpy(zero_copy_only=False)
+            _, first_idx = _np.unique(ids, return_index=True)
+            merged = both.take(pa.array(sorted(first_idx), pa.int64()))
+            tmp = bucket_dir + ".tmp"
+            _sh.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            pq2.write_table(merged, os.path.join(tmp, "part-0.parquet"),
+                            compression="zstd")
+            swap_dir_in(tmp, bucket_dir)
+            return new_rows.num_rows
+
+        futures = []
+        affected = sorted(_glob.glob(os.path.join(staging, "bucket=*")))
+        for new_dir in affected:
+            part = os.path.basename(new_dir)
+            futures.append(merge_bucket.remote(
+                os.path.join(index_dir, "codes", part), new_dir))
+        added = sum(ray.get(futures))
+        return {"buckets_affected": len(affected), "rows_added": added}
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def delete_from_pq_index(index_dir: str, doomed_ids, *,
+                         id_col: str = "vec_id") -> dict:
+    """Delete vectors from the on-disk PQ index WITHOUT a rebuild — and,
+    unlike the IVF cascade's every-cell sweep, WITHOUT touching (or even
+    reading) unaffected buckets: the id-hash bucket is a pure function of
+    the doomed id, so only the cohort's own buckets open. Crash-safe
+    aside swaps; byte-untouched elsewhere."""
+    import os
+
+    import ray
+
+    from ..state.atomic import recover_all
+
+    codes_root = os.path.join(index_dir, "codes")
+    recover_all(codes_root, "bucket=*")
+    _cb, n_buckets = _load_pq_meta(index_dir)
+    ids = sorted(set(
+        doomed_ids.to_pylist() if hasattr(doomed_ids, "to_pylist")
+        else doomed_ids))
+    if not ids:
+        return {"buckets_rewritten": 0, "vectors_removed": 0}
+    ids_np = np.array(ids, dtype=np.int64)
+    target_buckets = sorted(set(_pq_id_bucket(ids_np, n_buckets).tolist()))
+    ids_ref = ray.put(pa.array(ids))
+
+    @ray.remote
+    def rewrite_bucket(bucket_dir: str, ids_arr) -> int:
+        import os
+        import shutil as _sh
+
+        import pyarrow.compute as pc2
+        import pyarrow.parquet as pq2
+
+        from ocr_search_ray.state.atomic import swap_dir_in
+
+        if not os.path.isdir(bucket_dir):
+            return 0
+        table = pq2.read_table(bucket_dir)
+        keep = pc2.invert(pc2.is_in(table.column(id_col),
+                                    value_set=ids_arr))
+        kept = table.filter(keep)
+        removed = table.num_rows - kept.num_rows
+        if removed == 0:
+            return 0
+        tmp = bucket_dir + ".tmp"
+        _sh.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq2.write_table(kept, os.path.join(tmp, "part-0.parquet"),
+                        compression="zstd")
+        swap_dir_in(tmp, bucket_dir)
+        return removed
+
+    futures = [
+        rewrite_bucket.remote(
+            os.path.join(codes_root, f"bucket={b}"), ids_ref)
+        for b in target_buckets
+    ]
+    removed = ray.get(futures)
+    return {"buckets_rewritten": sum(1 for r in removed if r),
+            "vectors_removed": sum(removed)}

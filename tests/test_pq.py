@@ -156,3 +156,56 @@ def test_pq_validation():
         train_pq_codebooks(ds, n_codes=512)
     with pytest.raises(ValueError, match="divisible"):
         train_pq_codebooks(ds, n_subspaces=3, n_codes=4)
+
+
+def test_pq_disk_lifecycle(tmp_path):
+    """On-disk index: build/search parity with the in-memory scan,
+    idempotent incremental adds, and POINT-PRUNED deletes — the doomed
+    ids' own buckets rewrite, every other bucket stays byte-untouched
+    (mtime-stable), unlike the IVF cascade's every-cell sweep."""
+    import glob
+    import os
+
+    from ocr_search_ray.stages.similarity import (
+        _pq_id_bucket,
+        add_to_pq_index,
+        build_pq_index,
+        delete_from_pq_index,
+        search_pq_index,
+    )
+
+    ds, cb, _ = _codeword_corpus(120)
+    even = ds.filter(lambda r: r["vec_id"] % 2 == 0).materialize()
+    odd = ds.filter(lambda r: r["vec_id"] % 2 == 1).materialize()
+    idx = str(tmp_path / "pq")
+    queries = {0: np.concatenate([cb[0][1], cb[1][2]]).tolist()}
+
+    build_pq_index(even, idx, codebooks=cb, n_buckets=8)
+    mem = [(r["query_id"], r["vec_id"], r["rank"]) for r in sorted(
+        pq_topk(even, queries, k=10, codebooks=cb).take_all(),
+        key=lambda r: (r["query_id"], r["rank"]))]
+    dsk = [(r["query_id"], r["vec_id"], r["rank"]) for r in sorted(
+        search_pq_index(idx, queries, k=10).take_all(),
+        key=lambda r: (r["query_id"], r["rank"]))]
+    assert mem == dsk
+
+    r1 = add_to_pq_index(odd, idx)
+    assert r1["rows_added"] == 60
+    add_to_pq_index(odd, idx)  # idempotent: keep-first per id
+    got = {r["vec_id"] for r in search_pq_index(idx, queries, k=200).take_all()}
+    assert got == set(range(120))
+
+    doomed = [0, 1, 2]
+    target = set(_pq_id_bucket(np.array(doomed, dtype=np.int64), 8).tolist())
+    before = {d: os.path.getmtime(d)
+              for d in glob.glob(os.path.join(idx, "codes", "bucket=*"))}
+    res = delete_from_pq_index(idx, doomed)
+    assert res["vectors_removed"] == 3
+    assert res["buckets_rewritten"] <= len(target)
+    after = {d: os.path.getmtime(d)
+             for d in glob.glob(os.path.join(idx, "codes", "bucket=*"))}
+    for d in before:
+        if int(d.rsplit("=", 1)[-1]) not in target:
+            assert before[d] == after[d], f"untouched bucket rewritten: {d}"
+    got = {r["vec_id"] for r in search_pq_index(idx, queries, k=200).take_all()}
+    assert got == set(range(3, 120))
