@@ -146,6 +146,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("quality_filter", q.q_quality_filter)  # r4: Gopher gate
     timed("deterministic_shuffle", q.q_deterministic_shuffle)  # r4: stable perm
     timed("media_real", q.q_media_real)  # r5: real BMP/WAV/PNG decode path
+    timed("ann_pq_topk", q.q_ann_pq_topk)  # r5: PQ/ADC scan (train excluded:
+    #                                       entry uses explicit codebooks)
     return timings
 
 
