@@ -1053,6 +1053,26 @@ def pq_encode(embeddings, codebooks: np.ndarray, *,
         encode, batch_format="pyarrow")
 
 
+def _codes_matrix(arr: "pa.Array | pa.ChunkedArray",
+                  n_sub: int) -> np.ndarray:
+    """list<uint8> column → (n, n_sub) matrix, OFFSET-AWARE: a sliced
+    ListArray's ``values`` child still holds the whole parent buffer, so
+    reshaping it directly mis-aligns every row after a block slice (Ray
+    slices blocks into batches). Mirrors ``_batch_matrix``'s offset
+    handling."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, n_sub), dtype=np.uint8)
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    if pa.types.is_fixed_size_list(arr.type):
+        off = arr.offset * n_sub
+        return flat[off:off + n * n_sub].reshape(n, n_sub)
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    return flat[offs[0]:offs[-1]].reshape(n, n_sub)
+
+
 def pq_scan_topk(codes, codebooks: np.ndarray,
                  queries: "dict[int, list[float]]", *, k: int = 10,
                  id_col: str = "vec_id"):
@@ -1096,8 +1116,7 @@ def pq_scan_topk(codes, codebooks: np.ndarray,
                     "score": pa.array([], pa.float64()),
                 }
             )
-        flat = arr.values.to_numpy(zero_copy_only=False)
-        codes = flat.reshape(n, n_sub)
+        codes = _codes_matrix(arr, n_sub)
         # scores (Q, n): sum of per-subspace LUT gathers
         scores = np.zeros((len(ids), n), dtype=np.float64)
         for s in range(n_sub):

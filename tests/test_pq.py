@@ -209,3 +209,26 @@ def test_pq_disk_lifecycle(tmp_path):
             assert before[d] == after[d], f"untouched bucket rewritten: {d}"
     got = {r["vec_id"] for r in search_pq_index(idx, queries, k=200).take_all()}
     assert got == set(range(3, 120))
+
+
+def test_codes_matrix_offset_aware():
+    """A sliced list column's values child still holds the parent buffer;
+    the ADC scan must respect the slice offset (Ray slices blocks into
+    batches)."""
+    from ocr_search_ray.stages.similarity import _codes_matrix
+
+    full = pa.array([[i % 7, (i * 3) % 7] for i in range(50)],
+                    pa.list_(pa.uint8()))
+    sliced = full.slice(13, 20)
+    m = _codes_matrix(sliced, 2)
+    assert m.shape == (20, 2)
+    for j in range(20):
+        i = 13 + j
+        assert m[j].tolist() == [i % 7, (i * 3) % 7]
+    fixed = pa.array(
+        [[i % 5, (i + 1) % 5] for i in range(30)],
+        pa.list_(pa.uint8(), 2))
+    fm = _codes_matrix(fixed.slice(4, 9), 2)
+    assert fm.shape == (9, 2)
+    assert fm[0].tolist() == [4 % 5, 5 % 5]
+    assert _codes_matrix(full.slice(3, 0), 2).shape == (0, 2)
