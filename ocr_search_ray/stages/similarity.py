@@ -35,7 +35,11 @@ def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
         if pa.types.is_fixed_size_list(arr.type):
             d = arr.type.list_size
             flat = arr.values.to_numpy(zero_copy_only=False)
-            return flat.reshape(n, d).astype(np.float64, copy=False)
+            # a sliced FixedSizeListArray's values child still holds the
+            # whole parent buffer — honor the slice offset
+            off = arr.offset * d
+            return (flat[off:off + n * d]
+                    .reshape(n, d).astype(np.float64, copy=False))
         offs = arr.offsets.to_numpy(zero_copy_only=False)
         widths = np.diff(offs)
         if (widths == widths[0]).all() and widths[0] > 0:

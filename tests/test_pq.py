@@ -232,3 +232,15 @@ def test_codes_matrix_offset_aware():
     assert fm.shape == (9, 2)
     assert fm[0].tolist() == [4 % 5, 5 % 5]
     assert _codes_matrix(full.slice(3, 0), 2).shape == (0, 2)
+
+
+def test_batch_matrix_fixed_size_list_offset():
+    from ocr_search_ray.stages.similarity import _batch_matrix
+
+    full = pa.table({"embedding": pa.array(
+        [[float(i), float(i * 2)] for i in range(40)],
+        pa.list_(pa.float64(), 2))})
+    m = _batch_matrix(full.slice(7, 12), "embedding")
+    assert m.shape == (12, 2)
+    assert m[0].tolist() == [7.0, 14.0]
+    assert m[-1].tolist() == [18.0, 36.0]
