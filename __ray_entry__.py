@@ -407,6 +407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
+        "bpe_train": q.q_bpe_train,  # distributed BPE training (exact, r5)
+        "bpe_encode": q.q_bpe_encode,  # BPE apply, broadcast merges (exact, r5)
         "ann_pq_topk": q.q_ann_pq_topk,  # PQ/ADC ANN, codeword corpus (exact, r5)
         "ann_pq_disk": q.q_ann_pq_disk,  # on-disk PQ build+add+delete (exact, r5)
         "media_flac": q.q_media_flac,  # real FLAC decode evidence (exact, r5)
@@ -534,6 +536,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Planted-frequency BPE corpus (queries._synth_bpe_corpus): words
+        # aaaa × (5 + d%3), bbbb × (3 + d%2), cccc × 1 per doc d over
+        # disjoint alphabets force the merge order pointwise; the SQL
+        # replays the winning pair counts / token counts from doc_id.
+        "bpe_train": """
+            WITH s AS (
+              SELECT CAST(SUM(5 + doc_id % 3) AS BIGINT) AS na,
+                     CAST(SUM(3 + doc_id % 2) AS BIGINT) AS nb
+              FROM documents
+            )
+            SELECT CAST(1 AS INT) AS merge_rank, 'a' AS lhs, 'a' AS rhs,
+                   3 * na AS pair_count FROM s
+            UNION ALL
+            SELECT CAST(2 AS INT), 'b', 'b', 3 * nb FROM s
+            UNION ALL
+            SELECT CAST(3 AS INT), 'aa', 'aa', na FROM s
+            UNION ALL
+            SELECT CAST(4 AS INT), 'bb', 'bb', nb FROM s
+        """,
+        "bpe_encode": """
+            SELECT doc_id,
+                   CAST(9 + doc_id % 3 + doc_id % 2 AS BIGINT) AS n_words,
+                   CAST(12 + doc_id % 3 + doc_id % 2 AS BIGINT) AS n_tokens
+            FROM documents
+        """,
         "ingest_pages": f"""
             {_INGEST_PREFIX}
             SELECT url, page_idx, page_count, file_id, doc_id, img_path,

@@ -2219,6 +2219,58 @@ def q_vocab_encode(sf_dir: str):
     return ranked.map_batches(project, batch_format="pyarrow")
 
 
+def _synth_bpe_corpus(sf_dir: str):
+    """Planted-frequency BPE corpus whose merge sequence is analytically
+    forced: three words over DISJOINT alphabets — ``aaaa`` × (5 + d%3),
+    ``bbbb`` × (3 + d%2), ``cccc`` × 1 per doc d. Pair counts (overlap
+    counting, weighted by word frequency) are strictly ordered POINTWISE
+    per document at every step, so for ANY document set the first four
+    merges are (a,a) @ 3·Σna, (b,b) @ 3·Σnb, (aa,aa) @ Σna, (bb,bb) @ Σnb
+    — step 4's only possible tie, (bb,bb) vs (c,c) at n=1, resolves to
+    (bb,bb) under the documented lexicographic tie-break. The SQL oracle
+    replays both the merge table and the encoded token counts as pure
+    functions of doc_id (the media-entry oracle pattern)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = []
+        for d in ids:
+            na, nb = 5 + d % 3, 3 + d % 2
+            texts.append(" ".join(["aaaa"] * na + ["bbbb"] * nb + ["cccc"]))
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "text": pa.array(texts, pa.string())}
+        )
+
+    return docs.map_batches(synth, batch_format="pyarrow")
+
+
+def q_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer training: one word-count exchange
+    (per-batch Arrow partials), capped type table, bounded driver merge
+    loop. EXACT oracle: the planted corpus forces the merge sequence and
+    the SQL replays each rank's winning pair count from doc_id sums."""
+    from ..stages.bpe import bpe_train, word_frequencies
+
+    return bpe_train(word_frequencies(_synth_bpe_corpus(sf_dir)), n_merges=4)
+
+
+def q_bpe_encode(sf_dir: str):
+    """Train-then-encode chain: merges broadcast once, actor-pool encode
+    with per-word memo. EXACT oracle: with the planted corpus's four
+    forced merges, ``aaaa``/``bbbb`` collapse to one token and ``cccc``
+    stays four, so n_tokens = 12 + d%3 + d%2 per doc — any trainer or
+    encoder deviation changes the counts and fails the hash."""
+    from ..stages.bpe import bpe_encode, bpe_train, word_frequencies
+
+    # Scanned twice (train + encode) → pin the lineage once (CLAUDE.md
+    # multi-consumer rule); the synthesized corpus is small per sf.
+    corpus = _synth_bpe_corpus(sf_dir).materialize()
+    merges = bpe_train(word_frequencies(corpus), n_merges=4)
+    return bpe_encode(corpus, merges)
+
+
 def _synth_messy_urls(sf_dir: str):
     """Two spellings per target: even docs clean https, odd docs upper-case
     host + default port + fragment — pairs (2c, 2c+1) share a canonical."""
