@@ -148,6 +148,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timed("media_real", q.q_media_real)  # r5: real BMP/WAV/PNG decode path
     timed("ann_pq_topk", q.q_ann_pq_topk)  # r5: PQ/ADC scan (train excluded:
     #                                       entry uses explicit codebooks)
+    timed("bpe_encode", q.q_bpe_encode)  # r5: BPE train+encode chain
     return timings
 
 
