@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
+        "top_anchors": q.q_top_anchors,  # per-target anchor top-k (exact, r5)
         "bpe_train": q.q_bpe_train,  # distributed BPE training (exact, r5)
         "bpe_encode": q.q_bpe_encode,  # BPE apply, broadcast merges (exact, r5)
         "ann_pq_topk": q.q_ann_pq_topk,  # PQ/ADC ANN, codeword corpus (exact, r5)
@@ -540,6 +541,38 @@ def oracle_sql() -> dict[str, str]:
         # aaaa × (5 + d%3), bbbb × (3 + d%2), cccc × 1 per doc d over
         # disjoint alphabets force the merge order pointwise; the SQL
         # replays the winning pair counts / token counts from doc_id.
+        # Anchor-diversity pages (queries._synth_anchor_pages): doc d links
+        # to hubs d%5 / (d+2)%5 / d%3 with parity-varying anchor text; the
+        # SQL rebuilds the edges and replays the per-target window rank.
+        "top_anchors": """
+            WITH edges AS (
+              SELECT 'https://hub' || (doc_id % 5) || '.example.org/' AS href,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'hub ' || (doc_id % 5) || ' home'
+                          ELSE 'hub ' || (doc_id % 5) || ' page' END
+                       AS anchor_text
+              FROM documents
+              UNION ALL
+              SELECT 'https://hub' || ((doc_id + 2) % 5) || '.example.org/',
+                     'hub ' || ((doc_id + 2) % 5) || ' page'
+              FROM documents
+              UNION ALL
+              SELECT 'https://hub' || (doc_id % 3) || '.example.org/',
+                     'hub ' || (doc_id % 3) || ' news'
+              FROM documents
+            ),
+            counts AS (
+              SELECT href, anchor_text, CAST(COUNT(*) AS BIGINT) AS n_anchor
+              FROM edges GROUP BY href, anchor_text
+            ),
+            ranked AS (
+              SELECT href, anchor_text, n_anchor,
+                     row_number() OVER (PARTITION BY href
+                       ORDER BY n_anchor DESC, anchor_text) AS rk
+              FROM counts
+            )
+            SELECT href, anchor_text, n_anchor FROM ranked WHERE rk <= 3
+        """,
         "bpe_train": """
             WITH s AS (
               SELECT CAST(SUM(5 + doc_id % 3) AS BIGINT) AS na,

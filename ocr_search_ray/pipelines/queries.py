@@ -1901,6 +1901,45 @@ def _synth_link_pages(sf_dir: str):
     return docs.map_batches(synthesize, batch_format="pyarrow")
 
 
+def _synth_anchor_pages(sf_dir: str):
+    """Anchor-diversity pages: doc d links to three hub targets with
+    doc-varying anchor text — hub d%5 (anchor 'hub N home' on even docs,
+    'hub N page' on odd), hub (d+2)%5 ('hub N page'), hub d%3
+    ('hub N news') — so each target accumulates several distinct anchors
+    with different frequencies, all pure functions of doc_id the SQL
+    replays."""
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synthesize(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        pages = []
+        for d in ids.to_pylist():
+            h1, h2, h3 = d % 5, (d + 2) % 5, d % 3
+            a1 = f"hub {h1} home" if d % 2 == 0 else f"hub {h1} page"
+            pages.append(
+                "<html><body>"
+                f'<p><a href="https://hub{h1}.example.org/">{a1}</a></p>'
+                f'<p><a href="https://hub{h2}.example.org/">hub {h2} page'
+                "</a></p>"
+                f'<p><a href="https://hub{h3}.example.org/">hub {h3} news'
+                "</a></p>"
+                "</body></html>"
+            )
+        return pa.table({"doc_id": ids, "html": pa.array(pages)})
+
+    return docs.map_batches(synthesize, batch_format="pyarrow")
+
+
+def q_top_anchors(sf_dir: str):
+    """Per-target top-k anchor texts (the inbound-anchor URL-labeling
+    signal): HTML parse → edges → partial-combined counts → one href
+    exchange → head-of-run top-3. EXACT oracle: the SQL rebuilds the
+    three planted edges per doc and replays the window rank."""
+    from ..stages.linkgraph import extract_links, top_anchor_texts
+
+    return top_anchor_texts(extract_links(_synth_anchor_pages(sf_dir)), k=3)
+
+
 def q_extract_links(sf_dir: str):
     """Outlink/anchor edge extraction over synthesized pages."""
     from ..stages.linkgraph import extract_links

@@ -143,3 +143,54 @@ def link_degrees(edges, *, href_col: str = "href", src_col: str = "src"):
         )
 
     return cluster_apply(partials, [href_col], block_merge)
+
+
+def top_anchor_texts(edges, k: int = 3, *, href_col: str = "href",
+                     anchor_col: str = "anchor_text"):
+    """→ (href, anchor_text, n_anchor): the k most frequent anchor texts
+    per link target (ties → anchor_text ascending).
+
+    The classic anchor-text signal: inbound anchors label a URL better
+    than its own page does (search-engine ranking, LLM URL/topic
+    labeling). SQL analogue: ``row_number() OVER (PARTITION BY href
+    ORDER BY n DESC, anchor_text) <= k`` over (href, anchor) counts.
+
+    Scale shape: per-batch Arrow group_by partials collapse the Zipf head
+    — a site-wide footer anchor ships ONE row per map block, not one per
+    edge — then ONE int-key exchange on href; the block walk re-merges
+    partial counts exactly (cluster_apply contract: a key's rows never
+    split) and keeps k rows per target via the shared head-of-run scan.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import block_head_per_run
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sub = pa.table(
+            {
+                href_col: batch.column(href_col),
+                anchor_col: batch.column(anchor_col),
+                "one": pa.repeat(pa.scalar(1, pa.int64()), batch.num_rows),
+            }
+        )
+        agg = sub.group_by([href_col, anchor_col]).aggregate([("one", "sum")])
+        return agg.rename_columns([href_col, anchor_col, "c_part"])
+
+    partials = edges.map_batches(partial, batch_format="pyarrow")
+
+    def block_fn(block: pa.Table) -> pa.Table:
+        merged = block.group_by([href_col, anchor_col]).aggregate(
+            [("c_part", "sum")]
+        )
+        counts = pa.table(
+            {
+                href_col: merged.column(href_col),
+                anchor_col: merged.column(anchor_col),
+                "n_anchor": pc.cast(merged.column("c_part_sum"), pa.int64()),
+            }
+        )
+        return block_head_per_run(
+            counts, [href_col],
+            [("n_anchor", "descending"), (anchor_col, "ascending")], k)
+
+    return cluster_apply(partials, [href_col], block_fn)

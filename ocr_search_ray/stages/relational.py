@@ -238,6 +238,42 @@ def topk_rows(ds, order_by: list[tuple[str, str]], k: int):
     )
 
 
+def block_head_per_run(block: pa.Table, key_cols: list[str],
+                       order_by: list[tuple[str, str]], k: int) -> pa.Table:
+    """Head-of-each-key-run over ONE block: sort by keys + order_by, then a
+    vectorized run-boundary scan keeps the first k rows per key run. The
+    block-local half of ``grouped_topk``; reusable by any cluster_apply
+    consumer that already holds a whole key's rows in one block."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    block = block.sort_by(
+        [(c, "ascending") for c in key_cols] + list(order_by)
+    )
+    n = block.num_rows
+    if n == 0:
+        return block
+    # vectorized run-boundary scan: compare each key column against
+    # its shifted self (null==null is NOT a boundary; null vs value
+    # is — matching Python != on to_pylist values)
+    diff = None
+    for c in key_cols:
+        col = block.column(c).combine_chunks()
+        a, b = col.slice(1), col.slice(0, n - 1)
+        neq = pc.fill_null(pc.not_equal(a, b), False)
+        null_mismatch = pc.xor(pc.is_null(a), pc.is_null(b))
+        d = pc.or_(neq, null_mismatch)
+        diff = d if diff is None else pc.or_(diff, d)
+    boundary = np.concatenate(
+        ([True], diff.to_numpy(zero_copy_only=False))
+    )
+    run_starts = np.flatnonzero(boundary)
+    run_id = np.cumsum(boundary) - 1
+    pos_in_run = np.arange(n) - run_starts[run_id]
+    keep = np.flatnonzero(pos_in_run < k)
+    return block.take(pa.array(keep, pa.int64()))
+
+
 def grouped_topk(ds, key_cols: list[str], order_by: list[tuple[str, str]],
                  k: int, *, hash_fn=None):
     """Per-group top-k without a global sort: cluster on the group key,
@@ -252,34 +288,7 @@ def grouped_topk(ds, key_cols: list[str], order_by: list[tuple[str, str]],
     scan (SURVEY.md K3 generalized)."""
 
     def block_topk(block: pa.Table) -> pa.Table:
-        import numpy as np
-        import pyarrow.compute as pc
-
-        block = block.sort_by(
-            [(c, "ascending") for c in key_cols] + list(order_by)
-        )
-        n = block.num_rows
-        if n == 0:
-            return block
-        # vectorized run-boundary scan: compare each key column against
-        # its shifted self (null==null is NOT a boundary; null vs value
-        # is — matching Python != on to_pylist values)
-        diff = None
-        for c in key_cols:
-            col = block.column(c).combine_chunks()
-            a, b = col.slice(1), col.slice(0, n - 1)
-            neq = pc.fill_null(pc.not_equal(a, b), False)
-            null_mismatch = pc.xor(pc.is_null(a), pc.is_null(b))
-            d = pc.or_(neq, null_mismatch)
-            diff = d if diff is None else pc.or_(diff, d)
-        boundary = np.concatenate(
-            ([True], diff.to_numpy(zero_copy_only=False))
-        )
-        run_starts = np.flatnonzero(boundary)
-        run_id = np.cumsum(boundary) - 1
-        pos_in_run = np.arange(n) - run_starts[run_id]
-        keep = np.flatnonzero(pos_in_run < k)
-        return block.take(pa.array(keep, pa.int64()))
+        return block_head_per_run(block, key_cols, order_by, k)
 
     return cluster_apply(ds, key_cols, block_topk, hash_fn=hash_fn)
 

@@ -7,6 +7,7 @@ from ocr_search_ray.stages.linkgraph import (
     extract_links,
     link_degrees,
     page_links,
+    top_anchor_texts,
 )
 
 
@@ -43,3 +44,39 @@ def test_degrees_count_vs_distinct_sources():
         for r in link_degrees(edges).take_all()
     }
     assert got == {"/t": (3, 2), "/solo": (1, 1)}
+
+
+def test_top_anchor_texts_counts_ties_and_k():
+    # /t anchors: "x"×3 (docs 0,1,2), "y"×1, "z"×1 (tie → anchor asc);
+    # /solo: single anchor. k=2 keeps exactly two rows per target.
+    htmls = [
+        b'<a href="/t">x</a><a href="/t">y</a>',
+        b'<a href="/t">x</a><a href="/t">z</a>',
+        b'<a href="/t">x</a><a href="/solo">s</a>',
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([0, 1, 2], pa.int64()),
+             "html": pa.array(htmls, pa.binary())}
+        )
+    ).repartition(3)
+    rows = top_anchor_texts(extract_links(ds), k=2).take_all()
+    got = {}
+    for r in rows:
+        got.setdefault(r["href"], []).append((r["anchor_text"],
+                                              r["n_anchor"]))
+    assert got == {"/t": [("x", 3), ("y", 1)], "/solo": [("s", 1)]}
+
+
+def test_top_anchor_texts_partials_never_double_count():
+    # the same (href, anchor) pair split across input batches must merge
+    # before ranking, not rank as separate rows
+    htmls = [b'<a href="/t">same</a>'] * 4
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(list(range(4)), pa.int64()),
+             "html": pa.array(htmls, pa.binary())}
+        )
+    ).repartition(4)
+    rows = top_anchor_texts(extract_links(ds), k=3).take_all()
+    assert rows == [{"href": "/t", "anchor_text": "same", "n_anchor": 4}]
