@@ -181,3 +181,22 @@ def test_bpe_encode_out_of_vocab_word_still_segments():
     out = bpe_encode(ds, t).take_all()
     # "aaa" -> (aa, a) = 2 tokens; "bqz" has no merges -> 3 single chars
     assert out[0]["n_words"] == 2 and out[0]["n_tokens"] == 5
+
+
+def test_bpe_train_driver_collect_bounded(monkeypatch):
+    # the ONLY driver collect in bpe_train is the capped type table:
+    # every take_all during training must return <= max_types rows
+    import ray.data as rd
+
+    collected: list[int] = []
+    orig = rd.Dataset.take_all
+
+    def spy(self, *a, **kw):
+        rows = orig(self, *a, **kw)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(rd.Dataset, "take_all", spy)
+    vocab = {f"w{i:03d}": i + 1 for i in range(64)}
+    bpe_train(_freq_ds(vocab), n_merges=2, max_types=16)
+    assert collected and all(n <= 16 for n in collected)
