@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
+        "dup_spans": q.q_dup_spans,  # exact dup-substring spans (exact, r5)
         "top_anchors": q.q_top_anchors,  # per-target anchor top-k (exact, r5)
         "bpe_train": q.q_bpe_train,  # distributed BPE training (exact, r5)
         "bpe_encode": q.q_bpe_encode,  # BPE apply, broadcast merges (exact, r5)
@@ -541,6 +542,48 @@ def oracle_sql() -> dict[str, str]:
         # aaaa × (5 + d%3), bbbb × (3 + d%2), cccc × 1 per doc d over
         # disjoint alphabets force the merge order pointwise; the SQL
         # replays the winning pair counts / token counts from doc_id.
+        # Duplicated 4-word windows (>= 2 occurrences corpus-wide, within
+        # or across docs) merged into maximal per-doc spans: break when the
+        # sorted start gap exceeds the window; end = last start + window.
+        "dup_spans": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> length(x) > 0) AS words
+              FROM documents
+            ),
+            win AS (
+              SELECT doc_id, i - 1 AS s,
+                     array_to_string(list_slice(words, i, i + 3), ' ')
+                       AS win_text
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(1,
+                  greatest(len(words) - 3, 0))) AS i) g
+            ),
+            dup AS (
+              SELECT win_text FROM win GROUP BY win_text HAVING COUNT(*) >= 2
+            ),
+            hits AS (
+              SELECT doc_id, s FROM win
+              WHERE win_text IN (SELECT win_text FROM dup)
+            ),
+            isl AS (
+              SELECT doc_id, s,
+                     CASE WHEN s - lag(s) OVER (
+                            PARTITION BY doc_id ORDER BY s) <= 4
+                          THEN 0 ELSE 1 END AS brk
+              FROM hits
+            ),
+            grp AS (
+              SELECT doc_id, s,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS g
+              FROM isl
+            )
+            SELECT doc_id,
+                   CAST(MIN(s) AS BIGINT) AS span_start,
+                   CAST(MAX(s) + 4 AS BIGINT) AS span_end
+            FROM grp GROUP BY doc_id, g
+        """,
         # Anchor-diversity pages (queries._synth_anchor_pages): doc d links
         # to hubs d%5 / (d+2)%5 / d%3 with parity-varying anchor text; the
         # SQL rebuilds the edges and replays the per-target window rank.

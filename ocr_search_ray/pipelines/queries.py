@@ -693,6 +693,16 @@ def q_approx_distinct(sf_dir: str):
     )
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact duplicated-substring spans (Lee-et-al-style at window
+    granularity) over the raw documents text; the oracle replays window
+    extraction, the >= 2 occurrence filter, and the gaps-and-islands
+    merge in SQL."""
+    return dedup_stage.dup_spans(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), window=4
+    )
+
+
 def q_winnowing(sf_dir: str):
     """Winnowing (MOSS) rolling-hash fingerprints, exact vs a windowed-SQL
     oracle (min per window, rightmost tie-break, distinct selections)."""
