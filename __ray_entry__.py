@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
+        "doc_keywords": q.q_doc_keywords,  # per-doc tfidf top-k (exact, r5)
         "dup_spans": q.q_dup_spans,  # exact dup-substring spans (exact, r5)
         "top_anchors": q.q_top_anchors,  # per-target anchor top-k (exact, r5)
         "bpe_train": q.q_bpe_train,  # distributed BPE training (exact, r5)
@@ -679,6 +680,28 @@ def oracle_sql() -> dict[str, str]:
                    to_json(list(tf ORDER BY doc_id)) AS tfs_json,
                    CAST(COUNT(*) AS BIGINT) AS df
             FROM postings GROUP BY term
+        """,
+        "doc_keywords": f"""
+            {_POSTINGS_PREFIX},
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM pages_full),
+            df AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM postings GROUP BY term
+            ),
+            w AS (
+              SELECT p.doc_id, p.term,
+                     CAST(p.tf AS DOUBLE)
+                       * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+                       AS tfidf
+              FROM postings p JOIN df USING (term), n
+            ),
+            ranked AS (
+              SELECT doc_id, term, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term) AS rk
+              FROM w
+            )
+            SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 5
         """,
         "tfidf_weights": f"""
             {_POSTINGS_PREFIX},

@@ -1700,6 +1700,22 @@ def q_tfidf_weights(sf_dir: str):
     return tfidf_weights(stages["postings"], stages["pages"])
 
 
+def q_doc_keywords(sf_dir: str):
+    """Per-document top-5 tf·idf keywords: the tfidf term-key join plus
+    one doc-key grouped_topk exchange (window rank re-expressed as
+    exchange + head-of-run). EXACT oracle: the tfidf SQL with a
+    row_number() replay — double comparisons are bit-stable because both
+    engines compute tf·ln(N/df) in the same two-operand order, and ties
+    break on term."""
+    from ..stages.index import tfidf_weights
+    from ..stages.relational import grouped_topk
+
+    stages = ingest(read_webpages(sf_dir))
+    w = tfidf_weights(stages["postings"], stages["pages"])
+    return grouped_topk(
+        w, ["doc_id"], [("tfidf", "descending"), ("term", "ascending")], 5)
+
+
 def q_asof_join(sf_dir: str):
     """For every click, the user's latest view at-or-before it (LEFT ASOF).
 
