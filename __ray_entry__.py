@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
+        "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
         "doc_keywords": q.q_doc_keywords,  # per-doc tfidf top-k (exact, r5)
         "dup_spans": q.q_dup_spans,  # exact dup-substring spans (exact, r5)
         "top_anchors": q.q_top_anchors,  # per-target anchor top-k (exact, r5)
@@ -538,7 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         # Planted-frequency BPE corpus (queries._synth_bpe_corpus): words
         # aaaa × (5 + d%3), bbbb × (3 + d%2), cccc × 1 per doc d over
         # disjoint alphabets force the merge order pointwise; the SQL
@@ -2342,3 +2343,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+
+    # Composed capstone oracle: the curate_full SQL (quality gate +
+    # transitive near-dup reps) as a subquery feeding the pack window
+    # replay — survivors only, same [^ ]+ token contract and budget 256
+    # as pack_sequences.
+    sqls["export_curated_shards"] = f"""
+        WITH t AS (
+          SELECT d.doc_id,
+                 CAST(len(regexp_extract_all(d.text, '[^ ]+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents d
+          JOIN ({sqls["curate_full"]}) s USING (doc_id)
+        ),
+        off AS (
+          SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_off
+          FROM t
+        )
+        SELECT doc_id, n_tokens, start_off,
+               start_off + n_tokens AS end_off,
+               start_off // 256 AS pack_id
+        FROM off
+    """
+    return sqls

@@ -2409,6 +2409,27 @@ def q_clean_text(sf_dir: str):
     return clean_text(docs.map_batches(augment, batch_format="pyarrow"))
 
 
+def q_export_curated_shards(sf_dir: str):
+    """Capstone training-data export — the full LLM-data path in ONE
+    pipeline: Gopher quality gate → transitive near-dup cluster
+    representatives (``q_curate_full``) → survivor texts via a semi
+    cluster_join → global sequence packing at budget 256 (distributed
+    prefix-sum offsets). EXACT composed oracle: the curate_full SQL as a
+    subquery feeding the pack window replay. Every stage is the
+    distributed plan; driver state is O(n_parts) offsets."""
+    from ..stages.pack import pack_sequences
+    from ..stages.relational import cluster_join
+
+    survivors = q_curate_full(sf_dir)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    kept = cluster_join(
+        docs, survivors, ["doc_id"], how="semi",
+        left_types={"doc_id": pa.int64(), "text": pa.string()},
+        right_types={},
+    )
+    return pack_sequences(kept, budget=256)
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing (budget=256 tokens) via the
     distributed prefix-sum plan — global token offsets + window ids per doc."""
