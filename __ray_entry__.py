@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
+        "similar_docs": q.q_similar_docs,  # sparse doc-doc cosine (exact, r5)
         "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
         "doc_keywords": q.q_doc_keywords,  # per-doc tfidf top-k (exact, r5)
         "dup_spans": q.q_dup_spans,  # exact dup-substring spans (exact, r5)
@@ -547,6 +548,54 @@ def oracle_sql() -> dict[str, str]:
         # Duplicated 4-word windows (>= 2 occurrences corpus-wide, within
         # or across docs) merged into maximal per-doc spans: break when the
         # sorted start gap exceeds the window; end = last start + window.
+        # Sparse all-pairs document similarity (Bayardo WWW'07 shape): pair
+        # space pruned to terms with df in [2, 100] BEFORE the self-join,
+        # norms over the same kept vectors, IEEE order (dot/‖lo‖)/‖hi‖,
+        # per-doc top-3 by sim desc / neighbor asc.
+        "similar_docs": f"""
+            {_POSTINGS_PREFIX},
+            stats AS (
+              SELECT term, COUNT(*) AS df FROM postings GROUP BY term
+            ),
+            kept AS (
+              SELECT term FROM stats WHERE df >= 2 AND df <= 100
+            ),
+            gp AS (
+              SELECT p.doc_id, p.term, p.tf
+              FROM postings p JOIN kept USING (term)
+            ),
+            dots AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2,
+                     CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+              FROM gp a JOIN gp b
+                ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            norms AS (
+              SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nsq
+              FROM gp GROUP BY doc_id
+            ),
+            sim0 AS (
+              SELECT d1, d2,
+                     (CAST(dot AS DOUBLE) / sqrt(CAST(n1.nsq AS DOUBLE)))
+                       / sqrt(CAST(n2.nsq AS DOUBLE)) AS sim
+              FROM dots
+              JOIN norms n1 ON d1 = n1.doc_id
+              JOIN norms n2 ON d2 = n2.doc_id
+            ),
+            sym AS (
+              SELECT d1 AS doc_id, d2 AS neighbor, sim FROM sim0
+              UNION ALL
+              SELECT d2 AS doc_id, d1 AS neighbor, sim FROM sim0
+            ),
+            ranked AS (
+              SELECT doc_id, neighbor, sim,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY sim DESC, neighbor) AS rn
+              FROM sym
+            )
+            SELECT doc_id, neighbor, sim FROM ranked WHERE rn <= 3
+        """,
         "dup_spans": """
             WITH w AS (
               SELECT doc_id,

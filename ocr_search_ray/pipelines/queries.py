@@ -174,6 +174,16 @@ def q_closest_terms(sf_dir: str):
     return closest_terms(term_correlations(_postings(sf_dir)), num=5)
 
 
+def q_similar_docs(sf_dir: str):
+    """Per-document lexical nearest neighbors (sparse all-pairs tf-cosine
+    over shared terms, df-pruned to 2..100, top-3 per doc) — the
+    document-axis transpose of term_correlations; finds near-duplicate /
+    related pages with no embedding model."""
+    from ..stages.correlate import doc_similarity
+
+    return doc_similarity(_postings(sf_dir), min_df=2, max_df=100, k=3)
+
+
 # ------------------------------------------------------------ incremental ops
 
 

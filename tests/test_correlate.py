@@ -60,3 +60,43 @@ def test_closest_terms_topk_with_tiebreak():
     out = closest_terms(rd.from_arrow(corr), num=2).take_all()
     a_rows = [r for r in out if r["term1"] == "a"]
     assert [r["term2"] for r in a_rows] == ["b", "c"]  # tie at 0.5 → c before d
+
+
+_SIM_ROWS = [
+    ("d1", "x", 2), ("d1", "y", 3), ("d1", "q", 1),
+    ("d2", "x", 1), ("d2", "z", 4),
+    ("d3", "y", 2), ("d3", "z", 1), ("d3", "w", 5),
+    # hot term in every doc — pruned by the max_df ceiling below
+    ("d1", "h", 1), ("d2", "h", 1), ("d3", "h", 1),
+]
+
+
+def test_doc_similarity_tf_cosine_with_df_window():
+    from ocr_search_ray.stages.correlate import doc_similarity
+
+    # df: x=2, y=2, z=2 (kept), q=1, w=1 (below min_df), h=3 (above max_df)
+    # kept vectors: d1{x:2,y:3} nsq=13, d2{x:1,z:4} nsq=17, d3{y:2,z:1} nsq=5
+    got = {
+        (r["doc_id"], r["neighbor"]): r["sim"]
+        for r in doc_similarity(
+            _postings(_SIM_ROWS), min_df=2, max_df=2, k=3
+        ).take_all()
+    }
+    assert got[("d1", "d3")] == (6 / math.sqrt(13)) / math.sqrt(5)
+    assert got[("d1", "d2")] == (2 / math.sqrt(13)) / math.sqrt(17)
+    assert got[("d2", "d3")] == (4 / math.sqrt(17)) / math.sqrt(5)
+    # both orders present, same value (computed once in lower-id order)
+    assert got[("d3", "d1")] == got[("d1", "d3")]
+    assert len(got) == 6
+
+
+def test_doc_similarity_topk_truncates_per_doc():
+    from ocr_search_ray.stages.correlate import doc_similarity
+
+    out = doc_similarity(
+        _postings(_SIM_ROWS), min_df=2, max_df=2, k=1
+    ).take_all()
+    assert len(out) == 3
+    assert {r["doc_id"]: r["neighbor"] for r in out} == {
+        "d1": "d3", "d2": "d3", "d3": "d1"
+    }
