@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
         "similar_docs": q.q_similar_docs,  # sparse doc-doc cosine (exact, r5)
+        "containment_pairs": q.q_containment_pairs,  # Broder containment (exact, r5)
         "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
         "doc_keywords": q.q_doc_keywords,  # per-doc tfidf top-k (exact, r5)
         "dup_spans": q.q_dup_spans,  # exact dup-substring spans (exact, r5)
@@ -1765,6 +1766,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes z1 ON z1.doc_id = i.d1
             JOIN sizes z2 ON z2.doc_id = i.d2
             WHERE 100 * i.inter >= 50 * (z1.n + z2.n - i.inter)
+        """,
+        # Broder containment: same shingle space as ngram_jaccard_pairs,
+        # threshold on the SMALLER set's coverage (integer-exact).
+        "containment_pairs": f"""
+            WITH {_SHINGLE_CTE.strip()},
+            inter AS (
+              SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS inter
+              FROM sh s1 JOIN sh s2
+                ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.d1 AS doc_id1, i.d2 AS doc_id2,
+                   CAST(i.inter AS BIGINT) AS inter,
+                   CAST(z1.n AS BIGINT) AS n1,
+                   CAST(z2.n AS BIGINT) AS n2
+            FROM inter i
+            JOIN sizes z1 ON z1.doc_id = i.d1
+            JOIN sizes z2 ON z2.doc_id = i.d2
+            WHERE 100 * i.inter >= 80 * least(z1.n, z2.n)
         """,
         "ngram_jaccard_pairs": f"""
             WITH {_SHINGLE_CTE.strip()},

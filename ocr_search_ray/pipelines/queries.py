@@ -558,6 +558,16 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_containment_pairs(sf_dir: str):
+    """Asymmetric partial-duplicate pairs: 100·|A∩B| ≥ 80·min(|A|,|B|)
+    over word-3-gram shingle sets (Broder containment — catches a page
+    quoted whole inside a larger one, which Jaccard misses)."""
+    return dedup_stage.containment_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        min_containment_pct=80,
+    )
+
+
 def q_chunk_documents(sf_dir: str):
     """Overlapping word-window chunking (64-word chunks every 48 words)."""
     from ..stages.pack import chunk_documents

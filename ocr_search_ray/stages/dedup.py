@@ -398,12 +398,12 @@ def minhash_lsh_pairs(documents, *, k: int = 3, num_hashes: int = 16,
     return with_n2.map_batches(finalize, batch_format="pyarrow")
 
 
-def ngram_jaccard_pairs(documents, *, k: int = 3, min_jaccard_pct: int = 20,
-                        max_shingle_df: int | None = 10_000):
-    """Exact Jaccard pairs via the shared-shingle inverted index:
-    explode distinct shingles → groupby(shingle) → pair hits → sum = |∩|;
-    per-doc shingle counts attached with distributed ``cluster_join``
-    passes — nothing corpus-sized ever reaches the driver.
+def _shingle_pair_stats(documents, *, k: int, max_shingle_df: int | None):
+    """Shared machinery of the exact shingle-overlap pair family
+    (``ngram_jaccard_pairs`` / ``containment_pairs``): explode distinct
+    shingles → groupby(shingle) → pair hits → sum = |∩|; per-doc shingle
+    counts attached with distributed ``cluster_join`` passes — nothing
+    corpus-sized ever reaches the driver.
 
     ``max_shingle_df``: a shingle shared by d docs emits d·(d−1)/2 pairs —
     a single stop-phrase 3-gram shared by 10^6 docs would emit 5·10^11
@@ -413,7 +413,7 @@ def ngram_jaccard_pairs(documents, *, k: int = 3, min_jaccard_pct: int = 20,
     exact unbounded product (small corpora / oracle tests); the default
     never binds below 10k-document shingle collisions.
 
-    → (doc_id1, doc_id2, inter, uni) with 100*inter >= min_jaccard_pct*uni.
+    → (doc_id1, doc_id2, sum(hit) = |∩|, n1, n2) dataset.
     """
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -520,6 +520,17 @@ def ngram_jaccard_pairs(documents, *, k: int = 3, min_jaccard_pct: int = 20,
                     "sum(hit)": pa.int64(), "n1": pa.int64()},
         right_types={"n2": pa.int64()},
     )
+    return with_n2
+
+
+def ngram_jaccard_pairs(documents, *, k: int = 3, min_jaccard_pct: int = 20,
+                        max_shingle_df: int | None = 10_000):
+    """Exact Jaccard pairs over the shared-shingle inverted index (see
+    ``_shingle_pair_stats`` for the physical plan and the df cap).
+
+    → (doc_id1, doc_id2, inter, uni) with 100*inter >= min_jaccard_pct*uni.
+    """
+    stats = _shingle_pair_stats(documents, k=k, max_shingle_df=max_shingle_df)
 
     def finalize(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -544,7 +555,46 @@ def ngram_jaccard_pairs(documents, *, k: int = 3, min_jaccard_pct: int = 20,
         )
         return out.filter(keep)
 
-    return with_n2.map_batches(finalize, batch_format="pyarrow")
+    return stats.map_batches(finalize, batch_format="pyarrow")
+
+
+def containment_pairs(documents, *, k: int = 3, min_containment_pct: int = 80,
+                      max_shingle_df: int | None = 10_000):
+    """Exact shingle CONTAINMENT pairs (Broder 1997's asymmetric resemblance
+    companion): keep pairs where the smaller document's shingle set is
+    ≥ ``min_containment_pct`` contained in the overlap —
+    100·|A∩B| ≥ pct·min(|A|, |B|). Catches partial duplication Jaccard
+    misses (a page quoted whole inside a much larger one scores
+    containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0). Same inverted-index plan
+    and df cap as ``ngram_jaccard_pairs`` (``_shingle_pair_stats``);
+    integer-exact throughout.
+
+    → (doc_id1, doc_id2, inter, n1, n2).
+    """
+    stats = _shingle_pair_stats(documents, k=k, max_shingle_df=max_shingle_df)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        inter = batch.column("sum(hit)")
+        n1, n2 = batch.column("n1"), batch.column("n2")
+        smaller = pc.min_element_wise(n1, n2)
+        keep = pc.greater_equal(
+            pc.multiply(inter, 100),
+            pc.multiply(smaller, min_containment_pct),
+        )
+        out = pa.table(
+            {
+                "doc_id1": batch.column("doc_id1"),
+                "doc_id2": batch.column("doc_id2"),
+                "inter": pc.cast(inter, pa.int64()),
+                "n1": pc.cast(n1, pa.int64()),
+                "n2": pc.cast(n2, pa.int64()),
+            }
+        )
+        return out.filter(keep)
+
+    return stats.map_batches(finalize, batch_format="pyarrow")
 
 
 def neardup_pairs_auto(documents, *, k: int = 3, min_jaccard_pct: int = 30,

@@ -322,3 +322,21 @@ def test_neardup_pairs_auto_switch_is_enforced(monkeypatch):
     monkeypatch.setattr(dedup_mod, "minhash_lsh_pairs", boom)
     got = neardup_pairs_auto(ds, min_jaccard_pct=30, max_exact_docs=100)
     assert {(r["doc_id1"], r["doc_id2"]) for r in got.take_all()} >= {(0, 1)}
+
+
+def test_containment_catches_partial_duplication_jaccard_misses():
+    from ocr_search_ray.stages.dedup import containment_pairs
+
+    small = "a b c d e"                       # 3 shingles, all inside big
+    big = "a b c d e f g h i j"               # 8 shingles
+    other = "x y z w q"                       # disjoint
+    ds = _docs([small, big, other])
+    pairs = {
+        (r["doc_id1"], r["doc_id2"]): (r["inter"], r["n1"], r["n2"])
+        for r in containment_pairs(ds, min_containment_pct=80).take_all()
+    }
+    # containment of `small` in `big` = 3/3 = 100% ≥ 80 → kept
+    assert pairs == {(0, 1): (3, 3, 8)}
+    # the SAME pair fails the symmetric Jaccard at 80% (3/8 = 37.5%):
+    # the asymmetry is the point of the operator
+    assert ngram_jaccard_pairs(ds, min_jaccard_pct=80).take_all() == []
