@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
+        "hits": q.q_hits,  # Kleinberg hubs/authorities, int64 exact (r5)
         "similar_docs": q.q_similar_docs,  # sparse doc-doc cosine (exact, r5)
         "containment_pairs": q.q_containment_pairs,  # Broder containment (exact, r5)
         "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
@@ -1306,6 +1307,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS node,
                    CAST(pr AS BIGINT) AS pr_units
             FROM p3
+        """,
+        # HITS: same deterministic multigraph as pagerank; 2 rounds at
+        # scale 10^6; floor-divisor normalization (a // max(1, Σa // s))
+        # keeps everything int64 — bit-exact replay.
+        "hits": """
+            WITH e AS (
+              SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+              UNION ALL SELECT doc_id, doc_id % 89 FROM documents
+              UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+            ),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e
+                UNION ALL SELECT dst FROM e
+              )
+            ),
+            a1 AS (
+              SELECT dst AS node, CAST(1000000 * COUNT(*) AS BIGINT) AS a
+              FROM e GROUP BY dst
+            ),
+            na1 AS (
+              SELECT node, CAST(a // GREATEST(
+                1, (SELECT SUM(a) FROM a1) // 1000000) AS BIGINT) AS a
+              FROM a1
+            ),
+            h1 AS (
+              SELECT e.src AS node, CAST(SUM(n.a) AS BIGINT) AS h
+              FROM e JOIN na1 n ON n.node = e.dst GROUP BY e.src
+            ),
+            nh1 AS (
+              SELECT node, CAST(h // GREATEST(
+                1, (SELECT SUM(h) FROM h1) // 1000000) AS BIGINT) AS h
+              FROM h1
+            ),
+            a2 AS (
+              SELECT e.dst AS node, CAST(SUM(n.h) AS BIGINT) AS a
+              FROM e JOIN nh1 n ON n.node = e.src GROUP BY e.dst
+            ),
+            na2 AS (
+              SELECT node, CAST(a // GREATEST(
+                1, (SELECT SUM(a) FROM a2) // 1000000) AS BIGINT) AS a
+              FROM a2
+            ),
+            h2 AS (
+              SELECT e.src AS node, CAST(SUM(n.a) AS BIGINT) AS h
+              FROM e JOIN na2 n ON n.node = e.dst GROUP BY e.src
+            ),
+            nh2 AS (
+              SELECT node, CAST(h // GREATEST(
+                1, (SELECT SUM(h) FROM h2) // 1000000) AS BIGINT) AS h
+              FROM h2
+            )
+            SELECT CAST(n.node AS BIGINT) AS node,
+                   CAST(COALESCE(a.a, 0) AS BIGINT) AS auth_units,
+                   CAST(COALESCE(h.h, 0) AS BIGINT) AS hub_units
+            FROM nodes n
+            LEFT JOIN na2 a ON a.node = n.node
+            LEFT JOIN nh2 h ON h.node = n.node
         """,
         "dedup_incremental": """
             WITH corpus AS (

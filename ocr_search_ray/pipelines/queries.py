@@ -2592,6 +2592,41 @@ def q_pagerank(sf_dir: str):
     )
 
 
+def q_hits(sf_dir: str):
+    """Exact int64 fixed-point HITS (stages/graph.hits_fixed) over the
+    same deterministic hub-skewed multigraph as ``pagerank``: every doc
+    links to doc_id%97, doc_id%89 and doc_id//2. 2 synchronous rounds at
+    scale 10^6 with floor-divisor normalization — every op is an integer
+    floor, so the oracle hash-compare is bit-exact."""
+    from ..stages.graph import hits_fixed
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks()
+        dsts = [
+            _mod(d, 97).combine_chunks()
+            if isinstance(_mod(d, 97), pa.ChunkedArray) else _mod(d, 97),
+            _mod(d, 89).combine_chunks()
+            if isinstance(_mod(d, 89), pa.ChunkedArray) else _mod(d, 89),
+            pc.divide(d, 2),
+        ]
+        return pa.table(
+            {
+                "src": pa.chunked_array([d, d, d]),
+                "dst": pa.chunked_array(
+                    [x.combine_chunks() if isinstance(x, pa.ChunkedArray)
+                     else x for x in dsts]
+                ),
+            }
+        )
+
+    return hits_fixed(
+        docs.map_batches(edges, batch_format="pyarrow").repartition(4),
+        iters=2,
+    )
+
+
 def q_bm25_weights(sf_dir: str):
     """Okapi BM25 per posting (k1=1.2, b=0.75; Lucene idf) — pinned float
     op order, df and dl attached via distributed cluster_join exchanges."""

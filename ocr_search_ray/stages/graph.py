@@ -295,3 +295,151 @@ def pagerank_fixed(edges, *, iters: int = 3, scale: int = 10**12,
         ),
         batch_format="pyarrow",
     )
+
+
+def hits_fixed(edges, *, iters: int = 2, scale: int = 10**6,
+               src_col: str = "src", dst_col: str = "dst"):
+    """HITS (Kleinberg 1999 hubs-and-authorities) in exact int64
+    fixed-point — the authority/hub companion to ``pagerank_fixed``
+    (reference has no graph ops; this is a beyond-reference web-curation
+    operator: authority scores rank pages for crawl/curation priority).
+
+    All-integer lattice so a DuckDB oracle replays it bit-exactly:
+
+    - nodes = distinct(src ∪ dst); edges are a MULTISET (duplicate links
+      count twice, matching the SQL's SUM over the edge table).
+    - h_0(u) = scale for every node.
+    - per synchronous round:
+        a(v)  = Σ_{u→v} h(u)           (raw authority)
+        a'(v) = a(v) // max(1, Σ_v a(v) // scale)
+        h(u)  = Σ_{u→v} a'(v)          (raw hub, from CURRENT a')
+        h'(u) = h(u) // max(1, Σ_u h(u) // scale)
+      The divisor form (never ``x * scale // total``) keeps every
+      intermediate ≤ Σ raw ≈ E·scale — no int64 overflow at any corpus
+      size where E·scale < 2^63 (scale 10^6 → 9·10^12 edges headroom).
+    - output: (node, auth_units, hub_units), absent mass filled with 0
+      (no in-edges → auth 0, no out-edges → hub 0).
+
+    Scale shape: round 1's authority needs NO join (h_0 uniform → a_1 =
+    scale · indeg, one grouped count); each subsequent half-step is one
+    edge⋈score ``cluster_join`` + one grouped sum — 2 int-key exchanges
+    per half-step, 4 per round. Per-round totals are two driver scalars
+    (``Dataset.sum``, a tree aggregate); score tables are materialized
+    per half-step (iterative-fixpoint requirement, same as
+    ``pagerank_fixed``) and stay object-store-resident — the driver
+    never holds a node table.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import cluster_apply
+
+    edges = edges.materialize()
+
+    def srcs(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column(src_col).cast(pa.int64())})
+
+    def dsts(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column(dst_col).cast(pa.int64())})
+
+    nodes = cluster_apply(
+        edges.map_batches(srcs, batch_format="pyarrow").union(
+            edges.map_batches(dsts, batch_format="pyarrow")
+        ),
+        ["node"],
+        lambda block: block.group_by(["node"]).aggregate([]),
+    )
+
+    e64 = edges.map_batches(
+        lambda b: pa.table(
+            {src_col: b.column(src_col).cast(pa.int64()),
+             dst_col: b.column(dst_col).cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _normalized(raw, col):
+        """raw (node, col) → materialized normalized table; floor-divide
+        by max(1, total // scale). Two consumers (sum + map) → pin."""
+        raw = raw.materialize()
+        total = int(raw.sum(col) or 0)
+        div = max(1, total // scale)
+        return raw.map_batches(
+            lambda b, _d=div: pa.table(
+                {"node": b.column("node"),
+                 col: pc.divide(b.column(col), _d)}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def _propagate(scores, score_col, join_key, out_key, out_col):
+        """Σ of ``scores`` over edges: join on ``join_key``, sum grouped
+        by ``out_key`` (auth: join src, group dst; hub: join dst, group
+        src)."""
+        joined = cluster_join(
+            e64,
+            scores.map_batches(
+                lambda b: pa.table(
+                    {join_key: b.column("node"),
+                     score_col: b.column(score_col)}
+                ),
+                batch_format="pyarrow",
+            ),
+            [join_key],
+            left_types={src_col: pa.int64(), dst_col: pa.int64()},
+            right_types={score_col: pa.int64()},
+        )
+        summed = grouped_agg(
+            joined.map_batches(
+                lambda b: pa.table(
+                    {"node": b.column(out_key),
+                     out_col: b.column(score_col)}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["node"], [(out_col, out_col, "sum")],
+        )
+        return summed
+
+    # round 1 authority: h_0 uniform → a_1(v) = scale * indeg(v)
+    a_raw = grouped_agg(
+        e64.map_batches(
+            lambda b: pa.table({"node": b.column(dst_col)}),
+            batch_format="pyarrow",
+        ),
+        ["node"], [("auth", "node", "count")],
+    ).map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"),
+             "auth": pc.multiply(b.column("auth"), scale)}
+        ),
+        batch_format="pyarrow",
+    )
+    auth = hub = None
+    for i in range(iters):
+        auth = _normalized(a_raw, "auth")
+        hub = _normalized(
+            _propagate(auth, "auth", dst_col, src_col, "hub"), "hub"
+        )
+        if i < iters - 1:
+            a_raw = _propagate(hub, "hub", src_col, dst_col, "auth")
+
+    with_auth = cluster_join(
+        nodes, auth, ["node"],
+        left_types={"node": pa.int64()},
+        right_types={"auth": pa.int64()},
+        how="left",
+    )
+    final = cluster_join(
+        with_auth, hub, ["node"],
+        left_types={"node": pa.int64(), "auth": pa.int64()},
+        right_types={"hub": pa.int64()},
+        how="left",
+    )
+    return final.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"),
+             "auth_units": pc.fill_null(b.column("auth"), 0),
+             "hub_units": pc.fill_null(b.column("hub"), 0)}
+        ),
+        batch_format="pyarrow",
+    )

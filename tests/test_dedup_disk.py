@@ -176,3 +176,53 @@ def test_neardup_index_lifecycle(tmp_path):
         ).take_all()
     }
     assert got3 == got2
+
+
+def test_hits_fixed_matches_local_fixpoint():
+    """hits_fixed vs a literal integer replay of the floor-divisor
+    lattice — authorities (high in-degree) and hubs (high out-degree)
+    separate; nodes without in/out edges read 0 on that axis."""
+    from ocr_search_ray.stages.graph import hits_fixed
+
+    # 0..4 are authorities (everyone links in); 20 is a pure hub
+    edges = [(i, i % 5) for i in range(2, 40)] + [(20, j) for j in range(5, 9)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    scale, iters = 10**6, 2
+    got = {
+        r["node"]: (r["auth_units"], r["hub_units"])
+        for r in hits_fixed(ds, iters=iters, scale=scale).take_all()
+    }
+
+    nodes = sorted({v for e in edges for v in e})
+
+    def norm(d):
+        div = max(1, sum(d.values()) // scale)
+        return {k: v // div for k, v in d.items()}
+
+    a = {}
+    for _, b in edges:
+        a[b] = a.get(b, 0) + scale
+    auth = hub = None
+    for i in range(iters):
+        auth = norm(a)
+        h = {}
+        for u, v in edges:
+            h[u] = h.get(u, 0) + auth.get(v, 0)
+        hub = norm(h)
+        if i < iters - 1:
+            a = {}
+            for u, v in edges:
+                a[v] = a.get(v, 0) + hub.get(u, 0)
+    expect = {v: (auth.get(v, 0), hub.get(v, 0)) for v in nodes}
+    assert got == expect
+    # structural sanity: authorities beat non-authorities; the fan-out
+    # node is a hub; a target with no out-edges has zero hub score
+    assert min(got[v][0] for v in range(5)) > got[7][0]
+    assert got[20][1] > 0 and got[0][1] == 0
