@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
         "hits": q.q_hits,  # Kleinberg hubs/authorities, int64 exact (r5)
+        "triangle_counts": q.q_triangle_counts,  # oriented wedge-close (r5)
         "similar_docs": q.q_similar_docs,  # sparse doc-doc cosine (exact, r5)
         "containment_pairs": q.q_containment_pairs,  # Broder containment (exact, r5)
         "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
@@ -1365,6 +1366,51 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             LEFT JOIN na2 a ON a.node = n.node
             LEFT JOIN nh2 h ON h.node = n.node
+        """,
+        # per-node triangle counts: canonical distinct undirected edges
+        # (self-loops dropped), (deg, node)-ordered orientation, wedge
+        # pairs of co-apex out-edges closed against the oriented list —
+        # the DAG orientation counts each triangle exactly once.
+        "triangle_counts": """
+            WITH e AS (
+              SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+              UNION ALL SELECT doc_id, doc_id % 89 FROM documents
+              UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+            ),
+            ce AS (
+              SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+              FROM e WHERE src <> dst
+            ),
+            deg AS (
+              SELECT node, COUNT(*) AS d FROM (
+                SELECT u AS node FROM ce UNION ALL SELECT v FROM ce
+              ) GROUP BY node
+            ),
+            o AS (
+              SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND ce.u < ce.v)
+                          THEN ce.u ELSE ce.v END AS a,
+                     CASE WHEN du.d < dv.d OR (du.d = dv.d AND ce.u < ce.v)
+                          THEN ce.v ELSE ce.u END AS b
+              FROM ce
+              JOIN deg du ON du.node = ce.u
+              JOIN deg dv ON dv.node = ce.v
+            ),
+            tri AS (
+              SELECT o1.a AS x, o1.b AS y, o2.b AS z
+              FROM o o1
+              JOIN o o2 ON o2.a = o1.a AND o1.b <> o2.b
+              JOIN o o3 ON o3.a = o1.b AND o3.b = o2.b
+            ),
+            cnt AS (
+              SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+              ) GROUP BY node
+            )
+            SELECT CAST(d.node AS BIGINT) AS node,
+                   CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles
+            FROM deg d LEFT JOIN cnt c ON c.node = d.node
         """,
         "dedup_incremental": """
             WITH corpus AS (

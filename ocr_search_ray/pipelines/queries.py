@@ -2627,6 +2627,40 @@ def q_hits(sf_dir: str):
     )
 
 
+def q_triangle_counts(sf_dir: str):
+    """Exact per-node triangle counts (stages/graph.triangle_counts,
+    degree-ordered orientation) over the deterministic hub-skewed
+    multigraph shared with ``pagerank``/``hits`` — self-loops and
+    duplicate edges exercised; the SQL replays canonicalize → distinct →
+    orient → wedge-close on the identical edge multiset."""
+    from ..stages.graph import triangle_counts
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks()
+        dsts = [
+            _mod(d, 97).combine_chunks()
+            if isinstance(_mod(d, 97), pa.ChunkedArray) else _mod(d, 97),
+            _mod(d, 89).combine_chunks()
+            if isinstance(_mod(d, 89), pa.ChunkedArray) else _mod(d, 89),
+            pc.divide(d, 2),
+        ]
+        return pa.table(
+            {
+                "src": pa.chunked_array([d, d, d]),
+                "dst": pa.chunked_array(
+                    [x.combine_chunks() if isinstance(x, pa.ChunkedArray)
+                     else x for x in dsts]
+                ),
+            }
+        )
+
+    return triangle_counts(
+        docs.map_batches(edges, batch_format="pyarrow").repartition(4)
+    )
+
+
 def q_bm25_weights(sf_dir: str):
     """Okapi BM25 per posting (k1=1.2, b=0.75; Lucene idf) — pinned float
     op order, df and dl attached via distributed cluster_join exchanges."""

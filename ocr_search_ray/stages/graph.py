@@ -443,3 +443,171 @@ def hits_fixed(edges, *, iters: int = 2, scale: int = 10**6,
         ),
         batch_format="pyarrow",
     )
+
+
+def triangle_counts(edges, *, src_col: str = "src", dst_col: str = "dst"):
+    """Exact per-node triangle counts via degree-ordered orientation
+    (Latapy 2008 / the standard MapReduce edge-iterator): orient every
+    distinct undirected edge from its (deg, node)-smaller endpoint to the
+    larger, generate wedges only between OUT-edges of each node, close
+    them against the oriented edge list. Orientation bounds every node's
+    out-degree by O(√E), so wedge fan-out is O(E^1.5) worst-case instead
+    of Σ deg² — the bound that keeps hub nodes (deg 10^6 web hubs) from
+    emitting 10^12 wedges.
+
+    Physical plan (all int-key exchanges, nothing driver-resident):
+    canonicalize + distinct (1 ``cluster_apply``), degree count (1
+    ``grouped_agg``), two deg-attach ``cluster_join`` passes, block-local
+    wedge emission inside one src-key ``cluster_apply`` (numpy
+    ``triu_indices`` per co-located out-neighbor list, emitted ONLY in
+    orientation order — the half that can close), closure = one
+    composite-key ``cluster_join`` against the oriented edges, final
+    per-node ``grouped_agg``. Self-loops dropped; duplicate/multigraph
+    edges collapse at the distinct step.
+
+    → (node:int64, triangles:int64) for every node with ≥1 edge.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .relational import cluster_apply
+
+    def canon(b: pa.Table) -> pa.Table:
+        u = b.column(src_col).cast(pa.int64())
+        v = b.column(dst_col).cast(pa.int64())
+        lo = pc.min_element_wise(u, v)
+        hi = pc.max_element_wise(u, v)
+        return pa.table({"u": lo, "v": hi}).filter(pc.not_equal(lo, hi))
+
+    ce = cluster_apply(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"],
+        lambda blk: blk.group_by(["u", "v"]).aggregate([]),
+    ).materialize()  # feeds deg + the u-attach join
+
+    endpoints = ce.map_batches(
+        lambda b: pa.table({"node": b.column("u")}), batch_format="pyarrow"
+    ).union(
+        ce.map_batches(
+            lambda b: pa.table({"node": b.column("v")}),
+            batch_format="pyarrow",
+        )
+    )
+    deg = grouped_agg(endpoints, ["node"], [("deg", "node", "count")])
+    deg = deg.materialize()  # feeds two attach joins + the node spine
+
+    with_du = cluster_join(
+        ce,
+        deg.map_batches(
+            lambda b: pa.table({"u": b.column("node"), "du": b.column("deg")}),
+            batch_format="pyarrow",
+        ),
+        ["u"],
+        left_types={"u": pa.int64(), "v": pa.int64()},
+        right_types={"du": pa.int64()},
+    )
+    with_both = cluster_join(
+        with_du,
+        deg.map_batches(
+            lambda b: pa.table({"v": b.column("node"), "dv": b.column("deg")}),
+            batch_format="pyarrow",
+        ),
+        ["v"],
+        left_types={"u": pa.int64(), "v": pa.int64(), "du": pa.int64()},
+        right_types={"dv": pa.int64()},
+    )
+
+    def orient(b: pa.Table) -> pa.Table:
+        u, v = b.column("u"), b.column("v")
+        du, dv = b.column("du"), b.column("dv")
+        u_first = pc.or_(
+            pc.less(du, dv),
+            pc.and_(pc.equal(du, dv), pc.less(u, v)),
+        )
+        return pa.table(
+            {
+                "a": pc.if_else(u_first, u, v),
+                "b": pc.if_else(u_first, v, u),
+                "bd": pc.if_else(u_first, dv, du),  # (deg, node) order key
+            }
+        )
+
+    o = with_both.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(blk: pa.Table) -> pa.Table:
+        a = blk.column("a").to_numpy(zero_copy_only=False)
+        nb = blk.column("b").to_numpy(zero_copy_only=False)
+        bd = blk.column("bd").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, bd, a))
+        a, nb = a[order], nb[order]
+        outs_b, outs_c, outs_a = [], [], []
+        bounds = np.flatnonzero(np.diff(a)) + 1
+        for lo, hi in zip(
+            np.concatenate(([0], bounds)),
+            np.concatenate((bounds, [len(a)])),
+        ):
+            g = hi - lo
+            if g < 2:
+                continue
+            i, j = np.triu_indices(g, k=1)
+            grp = nb[lo:hi]
+            outs_b.append(grp[i])  # precedes grp[j] in (deg, node) order
+            outs_c.append(grp[j])
+            outs_a.append(np.full(len(i), a[lo], dtype=np.int64))
+        if not outs_b:
+            return pa.table(
+                {"b": pa.array([], pa.int64()), "c": pa.array([], pa.int64()),
+                 "apex": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "b": pa.array(np.concatenate(outs_b), pa.int64()),
+                "c": pa.array(np.concatenate(outs_c), pa.int64()),
+                "apex": pa.array(np.concatenate(outs_a), pa.int64()),
+            }
+        )
+
+    w = cluster_apply(o, ["a"], wedges)
+
+    closed = cluster_join(
+        w,
+        o.map_batches(
+            lambda t: pa.table(
+                {"b": t.column("a"), "c": t.column("b"),
+                 "cl": pa.repeat(pa.scalar(1, pa.int8()), t.num_rows)}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["b", "c"],
+        left_types={"b": pa.int64(), "c": pa.int64(), "apex": pa.int64()},
+        right_types={"cl": pa.int8()},
+    )
+
+    members = closed.map_batches(
+        lambda t: pa.table(
+            {"node": pa.chunked_array(
+                [t.column("apex").combine_chunks(),
+                 t.column("b").combine_chunks(),
+                 t.column("c").combine_chunks()]
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+    cnt = grouped_agg(members, ["node"], [("triangles", "node", "count")])
+
+    spine = deg.map_batches(
+        lambda b: pa.table({"node": b.column("node")}), batch_format="pyarrow"
+    )
+    final = cluster_join(
+        spine, cnt, ["node"],
+        left_types={"node": pa.int64()},
+        right_types={"triangles": pa.int64()},
+        how="left",
+    )
+    return final.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"),
+             "triangles": pc.fill_null(b.column("triangles"), 0)}
+        ),
+        batch_format="pyarrow",
+    )

@@ -226,3 +226,41 @@ def test_hits_fixed_matches_local_fixpoint():
     # node is a hub; a target with no out-edges has zero hub score
     assert min(got[v][0] for v in range(5)) > got[7][0]
     assert got[20][1] > 0 and got[0][1] == 0
+
+
+def test_triangle_counts_matches_brute_force():
+    """triangle_counts vs itertools brute force on a messy multigraph
+    (duplicate edges, self-loops, both directions present)."""
+    import itertools
+
+    from ocr_search_ray.stages.graph import triangle_counts
+
+    edges = (
+        [(i, (i * i) % 23) for i in range(60)]
+        + [(i, (i + 7) % 19) for i in range(60)]
+        + [(5, 5), (3, 9), (9, 3), (3, 9)]
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = {r["node"]: r["triangles"] for r in triangle_counts(ds).take_all()}
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {v for e in und for v in e}
+    adj = {v: set() for v in nodes}
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    exp = {v: 0 for v in nodes}
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            exp[a] += 1
+            exp[b] += 1
+            exp[c] += 1
+    assert got == exp
+    assert sum(got.values()) // 3 == 8  # pin the planted triangle count
