@@ -409,6 +409,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # this round (r5) lead; the window covers the first 50 ---
         "hits": q.q_hits,  # Kleinberg hubs/authorities, int64 exact (r5)
         "triangle_counts": q.q_triangle_counts,  # oriented wedge-close (r5)
+        "rademacher_project": q.q_rademacher_project,  # int-exact JL (r5)
+        "cohort_retention": q.q_cohort_retention,  # day-cohort matrix (r5)
+        "funnel_counts": q.q_funnel_counts,  # ordered 3-step funnel (r5)
+        "event_transitions": q.q_event_transitions,  # Markov counts (r5)
         "similar_docs": q.q_similar_docs,  # sparse doc-doc cosine (exact, r5)
         "containment_pairs": q.q_containment_pairs,  # Broder containment (exact, r5)
         "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
@@ -1366,6 +1370,87 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             LEFT JOIN na2 a ON a.node = n.node
             LEFT JOIN nh2 h ON h.node = n.node
+        """,
+        # Markov transitions: (ts, event_id) total order per user → LEAD.
+        "event_transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS nxt
+              FROM events
+            )
+            SELECT event_type AS prev_type, nxt AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM o WHERE nxt IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        # cohort retention: integer day numbers (epoch_us // 86400e6),
+        # cohort = per-user min day, distinct (user, day) activity pairs.
+        "cohort_retention": """
+            WITH ud AS (
+              SELECT user_id AS u, epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            cohort AS (SELECT u, MIN(day) AS cohort_day FROM ud GROUP BY u),
+            pairs AS (SELECT DISTINCT u, day FROM ud)
+            SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+                   CAST(p.day - c.cohort_day AS BIGINT) AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS users
+            FROM pairs p JOIN cohort c ON c.u = p.u
+            GROUP BY 1, 2
+        """,
+        # greedy earliest-chain funnel: t_k = MIN step-k time strictly
+        # after the step-(k-1) frontier — identical chain to the engine.
+        "funnel_counts": """
+            WITH e AS (
+              SELECT user_id AS u, epoch_us(ts) AS t, event_type AS typ
+              FROM events
+            ),
+            s1 AS (
+              SELECT u, MIN(t) AS t FROM e WHERE typ = 'view' GROUP BY u
+            ),
+            s2 AS (
+              SELECT e.u, MIN(e.t) AS t
+              FROM e JOIN s1 ON s1.u = e.u AND e.t > s1.t
+              WHERE e.typ = 'click' GROUP BY e.u
+            ),
+            s3 AS (
+              SELECT e.u, MIN(e.t) AS t
+              FROM e JOIN s2 ON s2.u = e.u AND e.t > s2.t
+              WHERE e.typ = 'purchase' GROUP BY e.u
+            )
+            SELECT CAST(step AS BIGINT) AS step,
+                   CAST(users AS BIGINT) AS users
+            FROM (
+              SELECT 1 AS step, (SELECT COUNT(*) FROM s1) AS users
+              UNION ALL SELECT 2, (SELECT COUNT(*) FROM s2)
+              UNION ALL SELECT 3, (SELECT COUNT(*) FROM s3)
+            )
+        """,
+        # Rademacher JL projection: quantize floor(x·65536) (IEEE-exact),
+        # ±1 signs from a seeded mod-prime lattice, integer dot sums —
+        # order-free, so GROUP BY replay is bit-exact.
+        "rademacher_project": """
+            WITH q AS (
+              SELECT vec_id,
+                     unnest(range(len(embedding))) AS i,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 65536)
+                          AS BIGINT) AS qe
+              FROM embeddings
+            ),
+            s AS (
+              SELECT d.i, o.j,
+                     CAST(1 - 2 * (((d.i * 73856093 + o.j * 19349663)
+                                    % 1000003) % 2) AS BIGINT) AS sgn
+              FROM (SELECT DISTINCT i FROM q) d,
+                   (SELECT unnest(range(8)) AS j) o
+            )
+            SELECT CAST(q.vec_id AS BIGINT) AS vec_id,
+                   CAST(s.j AS BIGINT) AS dim,
+                   CAST(SUM(q.qe * s.sgn) AS BIGINT) AS value
+            FROM q JOIN s ON s.i = q.i
+            GROUP BY q.vec_id, s.j
         """,
         # per-node triangle counts: canonical distinct undirected edges
         # (self-loops dropped), (deg, node)-ordered orientation, wedge

@@ -758,6 +758,17 @@ def q_ann_cosine_topk(sf_dir: str):
     return ann_brute_topk(emb, _query_vectors(sf_dir), k=10)
 
 
+def q_rademacher_project(sf_dir: str):
+    """Exact-integer Rademacher JL projection to 8 dims
+    (stages/similarity.rademacher_project): quantize floor(x·2^16), ±1
+    signs from a seeded mod-prime lattice, int64 matmul — shuffle-free,
+    bit-exact vs the SQL replay."""
+    from ..stages.similarity import rademacher_project
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return rademacher_project(emb, k=8)
+
+
 def q_ann_lsh_topk(sf_dir: str):
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return lsh_bucket_topk(emb, _query_vectors(sf_dir), k=10)
@@ -1669,6 +1680,38 @@ def q_sessionize(sf_dir: str):
 
     return sessionize(_read(sf_dir, "events",
                             columns=["user_id", "ts", "event_id"]))
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix over the events stream: cohort = day of a
+    user's first event, users counted per (cohort_day, day_offset) —
+    all-integer day arithmetic, exact."""
+    from ..stages.sessionize import cohort_retention
+
+    return cohort_retention(_read(sf_dir, "events",
+                                  columns=["user_id", "ts"]))
+
+
+def q_funnel_counts(sf_dir: str):
+    """Ordered view→click→purchase funnel (earliest-chain greedy,
+    strictly increasing timestamps) — per-step reach counts."""
+    from ..stages.sessionize import funnel_counts
+
+    return funnel_counts(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]),
+        steps=["view", "click", "purchase"],
+    )
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event streams
+    ((ts, event_id)-ordered — total order, so LEAD() replays exactly)."""
+    from ..stages.sessionize import event_transitions
+
+    return event_transitions(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_type", "event_id"])
+    )
 
 
 def q_pivot_event_types(sf_dir: str):

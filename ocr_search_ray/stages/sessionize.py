@@ -321,3 +321,189 @@ def running_totals(events, *, user_col: str = "user_id",
         [order_col, user_col, ts_col, value_col]
     )
     return cluster_apply(projected, [user_col], block_running)
+
+
+def cohort_retention(events, *, user_col: str = "user_id",
+                     ts_col: str = "ts", day_us: int = 86_400_000_000):
+    """Cohort retention matrix — the standard product-analytics rollup:
+    cohort(user) = the day of the user's FIRST event; for every distinct
+    (user, active day) pair count users per (cohort_day, day_offset).
+    All-integer (epoch-microseconds floor-divided into day numbers), so
+    the DuckDB oracle replays it exactly.
+
+    Physical plan: day-quantize in one map, per-user min (``grouped_agg``),
+    distinct (user, day) pairs (one ``cluster_apply`` group_by), cohort
+    attach (``cluster_join`` on user), final (cohort, offset) count — four
+    int-key exchanges, nothing driver-resident, no sort.
+
+    → (cohort_day:int64, day_offset:int64, users:int64).
+    """
+    import pyarrow.compute as pc
+
+    from .relational import cluster_join, grouped_agg
+
+    def days(b: pa.Table) -> pa.Table:
+        us = b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {"user": b.column(user_col).cast(pa.int64()),
+             "day": pc.divide(us, day_us)}
+        )
+
+    ud = events.map_batches(days, batch_format="pyarrow").materialize()
+
+    cohort = grouped_agg(ud, ["user"], [("cohort_day", "day", "min")])
+    pairs = cluster_apply(
+        ud, ["user", "day"],
+        lambda blk: blk.group_by(["user", "day"]).aggregate([]),
+    )
+    joined = cluster_join(
+        pairs, cohort, ["user"],
+        left_types={"user": pa.int64(), "day": pa.int64()},
+        right_types={"cohort_day": pa.int64()},
+    )
+    offsets = joined.map_batches(
+        lambda b: pa.table(
+            {"cohort_day": b.column("cohort_day"),
+             "day_offset": pc.subtract(b.column("day"),
+                                       b.column("cohort_day"))}
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_agg(
+        offsets, ["cohort_day", "day_offset"],
+        [("users", "cohort_day", "count")],
+    )
+
+
+def funnel_counts(events, *, steps: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type"):
+    """Ordered funnel: users reaching step k = users with a strictly
+    increasing timestamp chain t_1 < t_2 < … < t_k where t_i is the
+    EARLIEST step-i event after t_{i-1} (the standard greedy funnel —
+    earliest-first maximizes reach, so it's order-canonical and
+    SQL-replayable with per-step MIN chains).
+
+    Physical plan: per step one user-key ``cluster_join`` of the step's
+    events against the previous frontier + one ``grouped_agg`` min — the
+    frontier shrinks monotonically; counts are per-step ``count()``
+    scalars (driver holds len(steps) ints). No sort, no per-user state.
+
+    → (step:int64, users:int64), step 1-based, one row per step.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import cluster_join, grouped_agg
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {"user": b.column(user_col).cast(pa.int64()),
+             "t": us,
+             "typ": b.column(type_col)}
+        )
+
+    ev = events.map_batches(prep, batch_format="pyarrow").materialize()
+
+    frontier = None  # (user, t) = earliest completion of the chain so far
+    counts = []
+    for step in steps:
+        mine = ev.map_batches(
+            lambda b, _s=step: b.filter(
+                pc.equal(b.column("typ"), _s)
+            ).select(["user", "t"]),
+            batch_format="pyarrow",
+        )
+        if frontier is None:
+            reached = grouped_agg(mine, ["user"], [("t", "t", "min")])
+        else:
+            cand = cluster_join(
+                mine, frontier.map_batches(
+                    lambda b: pa.table(
+                        {"user": b.column("user"), "prev": b.column("t")}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                ["user"],
+                left_types={"user": pa.int64(), "t": pa.int64()},
+                right_types={"prev": pa.int64()},
+            ).map_batches(
+                lambda b: b.filter(
+                    pc.greater(b.column("t"), b.column("prev"))
+                ).select(["user", "t"]),
+                batch_format="pyarrow",
+            )
+            reached = grouped_agg(cand, ["user"], [("t", "t", "min")])
+        frontier = reached.materialize()  # next join + the count scalar
+        counts.append(frontier.count())
+
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {"step": pa.array(range(1, len(steps) + 1), pa.int64()),
+             "users": pa.array(counts, pa.int64())}
+        )
+    )
+
+
+def event_transitions(events, *, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id"):
+    """First-order Markov transition counts: per user, events ordered by
+    (ts, event_id) — the id tie-break makes the order total, so the
+    result is deterministic and a SQL LEAD() window replays it exactly —
+    consecutive (prev_type, next_type) pairs counted corpus-wide.
+
+    Physical plan: one user-key ``cluster_apply`` (block-local Arrow sort
+    + numpy shift-compare per block, not per user) emitting per-block
+    PARTIAL pair counts, then one small ``grouped_agg`` merge over the
+    (prev, next) type alphabet — the wide exchange carries |alphabet|²
+    rows per block, not per event.
+
+    → (prev_type, next_type, n:int64).
+    """
+    import pyarrow.compute as pc
+
+    from .relational import cluster_apply, grouped_agg
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user": b.column(user_col).cast(pa.int64()),
+             "t": b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
+             "eid": b.column(id_col).cast(pa.int64()),
+             "typ": b.column(type_col)}
+        )
+
+    def pairs(block: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            block,
+            sort_keys=[("user", "ascending"), ("t", "ascending"),
+                       ("eid", "ascending")],
+        )
+        s = block.take(idx)
+        user = s.column("user").to_numpy(zero_copy_only=False)
+        typ = s.column("typ").combine_chunks()
+        if len(user) < 2:
+            return pa.table(
+                {"prev_type": pa.array([], pa.string()),
+                 "next_type": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        same = user[1:] == user[:-1]
+        prev = typ.slice(0, len(user) - 1).filter(pa.array(same))
+        nxt = typ.slice(1).filter(pa.array(same))
+        part = pa.table({"prev_type": prev, "next_type": nxt}).group_by(
+            ["prev_type", "next_type"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"prev_type": part.column("prev_type"),
+             "next_type": part.column("next_type"),
+             "n": part.column("count_all").cast(pa.int64())}
+        )
+
+    partials = cluster_apply(
+        events.map_batches(prep, batch_format="pyarrow"), ["user"], pairs
+    )
+    return grouped_agg(partials, ["prev_type", "next_type"],
+                       [("n", "n", "sum")])

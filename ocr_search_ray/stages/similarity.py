@@ -1443,3 +1443,55 @@ def delete_from_pq_index(index_dir: str, doomed_ids, *,
     removed = ray.get(futures)
     return {"buckets_rewritten": sum(1 for r in removed if r),
             "vectors_removed": sum(removed)}
+
+
+def rademacher_project(embeddings, *, k: int = 8, quant: int = 65536,
+                       id_col: str = "vec_id", col: str = "embedding"):
+    """Johnson–Lindenstrauss dimensionality reduction with a Rademacher
+    (±1) projection matrix (Achlioptas 2001's database-friendly JL), in
+    EXACT integer arithmetic so a DuckDB oracle replays it bit-for-bit:
+
+    - quantize: q[n,i] = floor(float64(x[n,i]) * quant) — float32→float64
+      promotion and the power-of-two scale are both IEEE-exact, so the
+      floor is engine-independent;
+    - sign[i,j] = 1 − 2·(((i·73856093 + j·19349663) mod 1000003) mod 2) —
+      a fixed seeded ±1 lattice, no RNG state to ship;
+    - out[n,j]  = Σ_i q[n,i]·sign[i,j], an int64 matmul (order-free sums,
+      no overflow until d·quant·max|x| ≈ 2^63).
+
+    Embarrassingly parallel — ONE ``map_batches`` with a numpy matmul per
+    batch, no shuffle, no driver state; the projection matrix is d×k ints
+    rebuilt per batch (trivial next to the matmul). Long output
+    (``id, dim, value``) keeps the oracle hash-compare schema-flat.
+
+    → (id_col:int64, dim:int64, value:int64), k rows per vector.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, col)
+        n = m.shape[0]
+        if n == 0 or m.size == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "dim": pa.array([], pa.int64()),
+                 "value": pa.array([], pa.int64())}
+            )
+        ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        q = np.floor(m * quant).astype(np.int64)
+        d = m.shape[1]
+        i = np.arange(d, dtype=np.int64)[:, None]
+        j = np.arange(k, dtype=np.int64)[None, :]
+        sign = 1 - 2 * (((i * 73856093 + j * 19349663) % 1000003) % 2)
+        out = q @ sign
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, k), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(k, dtype=np.int64), n),
+                                pa.int64()),
+                "value": pa.array(out.reshape(-1), pa.int64()),
+            }
+        )
+
+    return embeddings.map_batches(project, batch_format="pyarrow")

@@ -140,3 +140,119 @@ def test_running_totals_exact_per_key():
         4: (1, 900, 900), 5: (2, 500, 900),
         6: (1, 1, 1),
     }
+
+
+def _typed_events(rows):
+    """rows = (user, ts, type)"""
+    return rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(3)
+
+
+def test_cohort_retention_day_matrix():
+    from ocr_search_ray.stages.sessionize import cohort_retention
+
+    d = lambda n, h=0: dt.datetime(2024, 1, 1 + n, h)
+    rows = [
+        (1, d(0), "x"), (1, d(0, 5), "x"), (1, d(1), "x"), (1, d(3), "x"),
+        (2, d(0), "x"), (2, d(2), "x"),
+        (3, d(2), "x"), (3, d(2, 9), "x"), (3, d(3), "x"),
+    ]
+    ev = _typed_events(rows).drop_columns(["event_type"])
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["users"]
+        for r in cohort_retention(ev).take_all()
+    }
+    day0 = dt.datetime(2024, 1, 1).timestamp() * 1_000_000 // 86_400_000_000
+    c0, c2 = int(day0), int(day0) + 2
+    # cohort day0 = users 1,2; offsets: 0 → both, 1 → user1, 2 → user2,
+    # 3 → user1. cohort day2 = user3; offsets 0 and 1.
+    assert got == {
+        (c0, 0): 2, (c0, 1): 1, (c0, 2): 1, (c0, 3): 1,
+        (c2, 0): 1, (c2, 1): 1,
+    }
+
+
+def test_funnel_counts_ordered_chain():
+    from ocr_search_ray.stages.sessionize import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t0, "view"), (1, t0 + m, "click"), (1, t0 + 2 * m, "purchase"),
+        # user 2: click BEFORE the first view — chain breaks at step 2,
+        # then a later click continues it, but no purchase
+        (2, t0 + m, "click"), (2, t0 + 2 * m, "view"), (2, t0 + 3 * m, "click"),
+        # user 3: purchase before click — reaches step 2 only
+        (3, t0, "view"), (3, t0 + m, "purchase"), (3, t0 + 2 * m, "click"),
+        # user 4: view only
+        (4, t0, "view"),
+        # user 5: no view at all — never enters
+        (5, t0, "purchase"),
+    ]
+    got = {r["step"]: r["users"] for r in
+           funnel_counts(_typed_events(rows),
+                         steps=["view", "click", "purchase"]).take_all()}
+    assert got == {1: 4, 2: 3, 3: 1}
+
+
+def test_funnel_strictly_increasing_excludes_ties():
+    from ocr_search_ray.stages.sessionize import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, "view"), (1, t0, "click")]  # tie → not after → breaks
+    got = {r["step"]: r["users"] for r in
+           funnel_counts(_typed_events(rows), steps=["view", "click"]).take_all()}
+    assert got == {1: 1, 2: 0}
+
+
+def test_event_transitions_counts():
+    from ocr_search_ray.stages.sessionize import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, "view"), (1, t0 + m, "click"), (1, t0 + 2 * m, "view"),
+        (2, t0, "view"), (2, t0 + m, "click"),
+        (3, t0, "error"),  # single event → no transition
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "event_id": pa.array(list(range(len(rows))), pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in event_transitions(ds).take_all()}
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_event_transitions_tie_break_by_event_id():
+    from ocr_search_ray.stages.sessionize import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    # two events at the SAME ts: event_id order decides the chain
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1], pa.int64()),
+                "ts": pa.array([t0, t0], pa.timestamp("us")),
+                "event_type": pa.array(["b", "a"], pa.string()),
+                "event_id": pa.array([10, 2], pa.int64()),
+            }
+        )
+    )
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in event_transitions(ds).take_all()}
+    assert got == {("a", "b"): 1}

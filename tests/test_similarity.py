@@ -435,3 +435,40 @@ def test_kmeans_trainer_reduce_is_exact():
             want[c] = m[mask].sum(axis=0) / mask.sum()
     want = _normalize(want)
     assert np.allclose(got, want, atol=1e-9)
+
+
+def test_rademacher_project_exact_integer_replay():
+    """rademacher_project vs a literal python-int replay of the quantize →
+    ±1-lattice → dot chain; k rows per vector, distance-ish preservation
+    sanity on the planted near-dup pair."""
+    from ocr_search_ray.stages.similarity import rademacher_project
+
+    ds, vecs = _embeddings()
+    k, quant = 8, 65536
+    got = {
+        (r["vec_id"], r["dim"]): r["value"]
+        for r in rademacher_project(ds, k=k, quant=quant).take_all()
+    }
+    assert len(got) == N * k
+
+    import math
+
+    for vid in (0, 1, 150, N - 1):
+        q = [math.floor(float(x) * quant) for x in vecs[vid]]
+        for j in range(k):
+            sgn = [
+                1 - 2 * (((i * 73856093 + j * 19349663) % 1000003) % 2)
+                for i in range(DIM)
+            ]
+            assert got[(vid, j)] == sum(a * b for a, b in zip(q, sgn))
+
+    # JL sanity: the planted near-dup (150 ≈ 0) stays closer in the
+    # projected space than a random other pair, by a wide margin
+    import numpy as np_
+
+    p = np_.array(
+        [[got[(v, j)] for j in range(k)] for v in range(N)], dtype=np_.float64
+    )
+    d_dup = np_.linalg.norm(p[150] - p[0])
+    d_rand = np_.linalg.norm(p[37] - p[0])
+    assert d_dup < 0.2 * d_rand
