@@ -111,6 +111,49 @@ postings AS (
 _INGEST_PREFIX = f"WITH {_WEB_CTE.strip()}, {_PAGES_CTE.strip()}"
 _POSTINGS_PREFIX = f"{_INGEST_PREFIX}, {_POSTINGS_CTE.strip()}"
 
+def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
+    """Unrolled bounded k-core peel over the deterministic doc multigraph
+    (mirrors stages/graph.py:kcore_peel round for round)."""
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each level
+    # references the previous one 4×, so an unmaterialized 6-round chain
+    # explodes to thousands of parquet scans (measured: fd exhaustion).
+    parts = [
+        """e0 AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM e WHERE src <> dst
+        )"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""d{r} AS MATERIALIZED (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r}
+          ) GROUP BY node
+        )""")
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k})"
+        )
+        parts.append(f"""e{r + 1} AS MATERIALIZED (
+          SELECT ee.u, ee.v FROM e{r} ee
+          JOIN k{r} a ON a.node = ee.u
+          JOIN k{r} b ON b.node = ee.v
+        )""")
+    return (
+        """WITH e AS MATERIALIZED (
+          SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+          UNION ALL SELECT doc_id, doc_id % 89 FROM documents
+          UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+        ), """
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM e{rounds}
+              UNION ALL SELECT v FROM e{rounds})
+        GROUP BY node
+        """
+    )
+
+
 # word-3-gram shingles over documents (mirrors functions/minhash.py: single-
 # space split, positional k-grams, DISTINCT)
 _SHINGLE_CTE = """
@@ -413,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q.q_cohort_retention,  # day-cohort matrix (r5)
         "funnel_counts": q.q_funnel_counts,  # ordered 3-step funnel (r5)
         "event_transitions": q.q_event_transitions,  # Markov counts (r5)
+        "kcore": q.q_kcore,  # bounded synchronous k-core peel (r5)
         "similar_docs": q.q_similar_docs,  # sparse doc-doc cosine (exact, r5)
         "containment_pairs": q.q_containment_pairs,  # Broder containment (exact, r5)
         "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
@@ -1371,6 +1415,8 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN na2 a ON a.node = n.node
             LEFT JOIN nh2 h ON h.node = n.node
         """,
+        # bounded k-core peel (6 unrolled rounds, k=3) — see _kcore_sql.
+        "kcore": _kcore_sql(k=3, rounds=6),
         # Markov transitions: (ts, event_id) total order per user → LEAD.
         "event_transitions": """
             WITH o AS (

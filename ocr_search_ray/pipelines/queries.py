@@ -2704,6 +2704,39 @@ def q_triangle_counts(sf_dir: str):
     )
 
 
+def q_kcore(sf_dir: str):
+    """Bounded synchronous k-core peel (k=3, 6 rounds,
+    stages/graph.kcore_peel) over the deterministic doc multigraph —
+    exact vs a 6-round unrolled CTE chain."""
+    from ..stages.graph import kcore_peel
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks()
+        dsts = [
+            _mod(d, 97).combine_chunks()
+            if isinstance(_mod(d, 97), pa.ChunkedArray) else _mod(d, 97),
+            _mod(d, 89).combine_chunks()
+            if isinstance(_mod(d, 89), pa.ChunkedArray) else _mod(d, 89),
+            pc.divide(d, 2),
+        ]
+        return pa.table(
+            {
+                "src": pa.chunked_array([d, d, d]),
+                "dst": pa.chunked_array(
+                    [x.combine_chunks() if isinstance(x, pa.ChunkedArray)
+                     else x for x in dsts]
+                ),
+            }
+        )
+
+    return kcore_peel(
+        docs.map_batches(edges, batch_format="pyarrow").repartition(4),
+        k=3, rounds=6,
+    )
+
+
 def q_bm25_weights(sf_dir: str):
     """Okapi BM25 per posting (k1=1.2, b=0.75; Lucene idf) — pinned float
     op order, df and dl attached via distributed cluster_join exchanges."""

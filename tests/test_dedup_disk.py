@@ -264,3 +264,44 @@ def test_triangle_counts_matches_brute_force():
             exp[c] += 1
     assert got == exp
     assert sum(got.values()) // 3 == 8  # pin the planted triangle count
+
+
+def test_kcore_peel_matches_local_replay():
+    """kcore_peel vs a literal python replay of the bounded peel; on a
+    graph whose peel converges within the round budget the result is the
+    true k-core (min surviving degree >= k)."""
+    from ocr_search_ray.stages.graph import kcore_peel
+
+    # a 5-clique (true 4-core, so 2-core too) + a tail path that 2-core
+    # peeling eats one layer per round, + dup/self-loop noise
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    tail = [(4, 10), (10, 11), (11, 12), (12, 13)]
+    noise = [(0, 0), (1, 0), (0, 1)]
+    edges = clique + tail + noise
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    k, rounds = 2, 6
+    got = {r["node"]: r["deg"] for r in
+           kcore_peel(ds, k=k, rounds=rounds).take_all()}
+
+    e = {tuple(sorted(x)) for x in edges if x[0] != x[1]}
+    for _ in range(rounds):
+        deg = {}
+        for u, v in e:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        e = {(u, v) for u, v in e if u in keep and v in keep}
+    deg = {}
+    for u, v in e:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    assert got == deg
+    # converged here: the tail is fully peeled, the clique remains
+    assert set(got) == set(range(5)) and min(got.values()) >= k
