@@ -457,6 +457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": q.q_funnel_counts,  # ordered 3-step funnel (r5)
         "event_transitions": q.q_event_transitions,  # Markov counts (r5)
         "kcore": q.q_kcore,  # bounded synchronous k-core peel (r5)
+        "winsorize_values": q.q_winsorize_values,  # p5/p95 clamp (r5)
+        "editdist1_pairs": q.q_editdist1_pairs,  # SymSpell lev<=1 (r5)
         "similar_docs": q.q_similar_docs,  # sparse doc-doc cosine (exact, r5)
         "containment_pairs": q.q_containment_pairs,  # Broder containment (exact, r5)
         "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
@@ -1414,6 +1416,41 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             LEFT JOIN na2 a ON a.node = n.node
             LEFT JOIN nh2 h ON h.node = n.node
+        """,
+        # lev<=1 URL pairs: urls rebuilt with the _WEB_CTE recipe; the
+        # length prefilter only prunes (|len diff| > 1 → lev > 1).
+        "editdist1_pairs": """
+            WITH u AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 3
+                          THEN 'https://hot.example.com/doc-'
+                               || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                          ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                               || '.example.org/doc-'
+                               || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                     END AS url
+              FROM documents
+            )
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(levenshtein(a.url, b.url) AS BIGINT) AS dist
+            FROM u a JOIN u b
+              ON a.doc_id < b.doc_id
+             AND abs(length(a.url) - length(b.url)) <= 1
+            WHERE levenshtein(a.url, b.url) <= 1
+        """,
+        # winsorize: quantile_disc bounds (selection, float-exact clamp).
+        "winsorize_values": """
+            WITH b AS (
+              SELECT event_type,
+                     quantile_disc(value, 0.05) AS lo,
+                     quantile_disc(value, 0.95) AS hi
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type,
+                   CASE WHEN e.value < b.lo THEN b.lo
+                        WHEN e.value > b.hi THEN b.hi
+                        ELSE e.value END AS value_w
+            FROM events e JOIN b USING (event_type)
         """,
         # bounded k-core peel (6 unrolled rounds, k=3) — see _kcore_sql.
         "kcore": _kcore_sql(k=3, rounds=6),

@@ -558,6 +558,28 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_editdist1_pairs(sf_dir: str):
+    """Typo-variant URL pairs at levenshtein ≤ 1 (SymSpell deletion-
+    variant blocking, stages/dedup.editdist1_pairs) over the engine's
+    deterministic URL scheme (sources/webpages.doc_url — mirrored by the
+    oracle's CASE/lpad construction)."""
+    from ..sources.webpages import doc_url
+    from ..stages.dedup import editdist1_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks()
+        urls = pa.array(
+            [doc_url(int(x)) for x in d.to_pylist()], pa.string()
+        )
+        return pa.table({"doc_id": d, "url": urls})
+
+    return editdist1_pairs(
+        docs.map_batches(add_url, batch_format="pyarrow")
+    )
+
+
 def q_containment_pairs(sf_dir: str):
     """Asymmetric partial-duplicate pairs: 100·|A∩B| ≥ 80·min(|A|,|B|)
     over word-3-gram shingle sets (Broder containment — catches a page
@@ -1700,6 +1722,18 @@ def q_funnel_counts(sf_dir: str):
     return funnel_counts(
         _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]),
         steps=["view", "click", "purchase"],
+    )
+
+
+def q_winsorize_values(sf_dir: str):
+    """Per-event-type winsorization of `value` at the [p5, p95] discrete
+    quantiles (selection-based — float-exact, quantile_disc ranks)."""
+    from ..stages.relational import winsorize_values
+
+    return winsorize_values(
+        _read(sf_dir, "events", columns=["event_id", "event_type", "value"]),
+        ["event_type"], "value", q_lo=0.05, q_hi=0.95,
+        carry_cols=["event_id"],
     )
 
 

@@ -1158,3 +1158,119 @@ def decontaminate(documents, benchmark, *, k: int = 3, id_col: str = "doc_id",
     return documents.select_columns([id_col, text_col]).map_batches(
         flag, batch_format="pyarrow"
     )
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """True iff levenshtein(a, b) <= 1 (one-pass, no DP)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def editdist1_pairs(ds, *, id_col: str = "doc_id", col: str = "url",
+                    max_len: int = 64, max_key_df: int = 1000):
+    """All pairs at levenshtein distance ≤ 1 — SymSpell-style deletion-
+    variant blocking (Garbe's symmetric delete): two strings within one
+    edit ALWAYS share a key in {s} ∪ del1(s) (equal → s; substitution at
+    i → both i-deletions equal; ins/del → the shorter string IS a
+    deletion of the longer), so candidates come from one groupby instead
+    of a cross join; each candidate pair is verified with the exact
+    one-pass ≤1 check.
+
+    Candidate generation is VECTORIZED: one ``utf8_replace_slice`` kernel
+    call per character position (≤ ``max_len``, not per row); strings
+    longer than ``max_len`` raise — callers with long columns must key on
+    a bounded prefix themselves. ``max_key_df`` drops degenerate hub keys
+    (a key shared by d strings emits d²/2 candidates) — the same guard as
+    ``ngram_jaccard_pairs``; at the default it never binds below 1000
+    same-variant collisions.
+
+    Physical plan: explode (one map) → key-group candidate+verify (one
+    ``cluster_apply``: pairs generated AND verified block-locally, the
+    carried strings arrive dictionary-encoded) → global pair distinct
+    (one ``cluster_apply`` group_by). Nothing driver-resident.
+
+    → (id1:int64, id2:int64, dist:int64) with id1 < id2, dist ∈ {0, 1}.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import cluster_apply
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        s = batch.column(col).cast(pa.string())
+        lens = pc.utf8_length(s)
+        if batch.num_rows and pc.max(lens).as_py() > max_len:
+            raise ValueError(
+                f"editdist1_pairs: {col} exceeds max_len={max_len}"
+            )
+        outs = [pa.table({"key": s, id_col: ids, "s": s})]
+        max_here = pc.max(lens).as_py() if batch.num_rows else 0
+        for i in range(max_here or 0):
+            mask = pc.greater(lens, i)
+            sub_s = s.filter(mask)
+            outs.append(
+                pa.table(
+                    {
+                        "key": pc.utf8_replace_slice(
+                            sub_s, start=i, stop=i + 1, replacement=""
+                        ),
+                        id_col: ids.filter(mask),
+                        "s": sub_s,
+                    }
+                )
+            )
+        return pa.concat_tables(outs).combine_chunks()
+
+    def pairs_in_block(block: pa.Table) -> pa.Table:
+        srt = block.sort_by([("key", "ascending"), (id_col, "ascending")])
+        keys = srt.column("key").to_pylist()
+        ids = srt.column(id_col).to_pylist()
+        ss = srt.column("s").to_pylist()
+        o1, o2, od = [], [], []
+        n = len(keys)
+        i = 0
+        while i < n:
+            j = i
+            while j < n and keys[j] == keys[i]:
+                j += 1
+            if j - i <= max_key_df:
+                for x in range(i, j):
+                    for y in range(x + 1, j):
+                        if ids[x] == ids[y]:
+                            continue
+                        if _lev_le1(ss[x], ss[y]):
+                            a, b = ids[x], ids[y]
+                            if a > b:
+                                a, b = b, a
+                            o1.append(a)
+                            o2.append(b)
+                            od.append(0 if ss[x] == ss[y] else 1)
+            i = j
+        return pa.table(
+            {"id1": pa.array(o1, pa.int64()),
+             "id2": pa.array(o2, pa.int64()),
+             "dist": pa.array(od, pa.int64())}
+        )
+
+    cand = cluster_apply(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["key"], pairs_in_block,
+    )
+    # a pair can match through several shared keys → global distinct
+    return cluster_apply(
+        cand, ["id1", "id2"],
+        lambda blk: blk.group_by(["id1", "id2"]).aggregate(
+            [("dist", "min")]
+        ).rename_columns(["id1", "id2", "dist"]),
+    )

@@ -1412,3 +1412,97 @@ def salted_cluster_join(left, right, keys: list[str], *,
         how=how, hash_fn=hash_fn,
     )
     return joined.drop_columns([_SALT])
+
+
+def winsorize_values(ds, key_cols: list[str], value_col: str, *,
+                     q_lo: float = 0.05, q_hi: float = 0.95,
+                     carry_cols: list[str] | None = None):
+    """Per-group winsorization: clamp ``value_col`` into the group's
+    [q_lo, q_hi] discrete quantiles. SELECTION-based (the bounds are
+    actual data values at ``rank = max(1, ceil(q·n))`` — the same
+    convention as :func:`grouped_percentiles` / DuckDB ``quantile_disc``)
+    and the clamp is a pure min/max, so the result is float-EXACT: no
+    arithmetic ever touches the values.
+
+    Physical plan: one group-key ``cluster_apply`` over (keys, value)
+    computes per-group bounds (block-local Arrow sort, numpy boundary
+    walk — python loops over GROUPS, not rows), then one ``cluster_join``
+    attaches the bounds row (one per group) back to the full rows for a
+    vectorized clamp — two int-key exchanges. At corpus scale the first
+    exchange carries only the projected (keys, value) pair, not the rows.
+
+    → carry_cols + key_cols + ``{value_col}_w``.
+    """
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    carry = list(carry_cols or [])
+
+    def bounds_fn(block: pa.Table) -> pa.Table:
+        tbl = block.sort_by(
+            [(k, "ascending") for k in key_cols]
+            + [(value_col, "ascending")]
+        )
+        keys_np = [
+            tbl.column(k).to_numpy(zero_copy_only=False) for k in key_cols
+        ]
+        vals = tbl.column(value_col).to_numpy(zero_copy_only=False)
+        n_rows = len(vals)
+        if n_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], tbl.column(k).type) for k in key_cols},
+                 "lo": pa.array([], tbl.column(value_col).type),
+                 "hi": pa.array([], tbl.column(value_col).type)}
+            )
+        change = np.zeros(n_rows - 1, dtype=bool)
+        for arr in keys_np:
+            change |= arr[1:] != arr[:-1]
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        ends = np.concatenate((starts[1:], [n_rows]))
+        los, his = [], []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            los.append(vals[s + max(1, math.ceil(q_lo * n)) - 1])
+            his.append(vals[s + max(1, math.ceil(q_hi * n)) - 1])
+        return pa.table(
+            {**{k: pa.array(keys_np[ki][starts],
+                            tbl.column(k).type)
+                for ki, k in enumerate(key_cols)},
+             "lo": pa.array(los, tbl.column(value_col).type),
+             "hi": pa.array(his, tbl.column(value_col).type)}
+        )
+
+    proj = ds.map_batches(
+        lambda b: b.select(key_cols + [value_col]), batch_format="pyarrow"
+    )
+    bounds = cluster_apply(proj, key_cols, bounds_fn)
+
+    in_schema = ds.schema()
+    base = getattr(in_schema, "base_schema", in_schema)
+    left_types = {
+        c: base.field(c).type for c in carry + key_cols + [value_col]
+    }
+    vtype = base.field(value_col).type
+    joined = cluster_join(
+        ds.map_batches(
+            lambda b: b.select(carry + key_cols + [value_col]),
+            batch_format="pyarrow",
+        ),
+        bounds, key_cols,
+        left_types=left_types,
+        right_types={"lo": vtype, "hi": vtype},
+    )
+
+    def clamp(b: pa.Table) -> pa.Table:
+        w = pc.min_element_wise(
+            pc.max_element_wise(b.column(value_col), b.column("lo")),
+            b.column("hi"),
+        )
+        return pa.table(
+            {**{c: b.column(c) for c in carry + key_cols},
+             f"{value_col}_w": w}
+        )
+
+    return joined.map_batches(clamp, batch_format="pyarrow")

@@ -340,3 +340,66 @@ def test_containment_catches_partial_duplication_jaccard_misses():
     # the SAME pair fails the symmetric Jaccard at 80% (3/8 = 37.5%):
     # the asymmetry is the point of the operator
     assert ngram_jaccard_pairs(ds, min_jaccard_pct=80).take_all() == []
+
+
+def test_editdist1_pairs_matches_brute_force():
+    """editdist1_pairs vs an O(n²) python levenshtein oracle — covers
+    substitution, insertion/deletion, exact dup, and non-matches."""
+    from ocr_search_ray.stages.dedup import _lev_le1, editdist1_pairs
+
+    strings = [
+        (0, "doc-000400"), (1, "doc-000407"),   # substitution (dist 1)
+        (2, "doc-00400"),                       # deletion of 0 (dist 1)
+        (3, "doc-000400"),                      # exact dup of 0 (dist 0)
+        (4, "dog-000470"),                      # dist 2 from everything
+        (5, "completely-else"),
+        (6, "xdoc-000400"),                     # insertion at front of 0
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in strings], pa.int64()),
+                "url": pa.array([s for _, s in strings], pa.string()),
+            }
+        )
+    ).repartition(3)
+    got = {(r["id1"], r["id2"]): r["dist"]
+           for r in editdist1_pairs(ds).take_all()}
+
+    def lev(a, b):
+        import itertools
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    exp = {}
+    for (i, a), (j, b) in __import__("itertools").combinations(strings, 2):
+        d = lev(a, b)
+        if d <= 1:
+            exp[(min(i, j), max(i, j))] = d
+    assert got == exp
+    assert (0, 3) in got and got[(0, 3)] == 0   # exact dup
+    assert (0, 1) in got and got[(0, 1)] == 1   # substitution
+    assert (0, 2) in got and (0, 6) in got      # del + ins
+    # _lev_le1 agrees with full DP on every pair (incl. the negatives)
+    for (i, a), (j, b) in __import__("itertools").combinations(strings, 2):
+        assert _lev_le1(a, b) == (lev(a, b) <= 1), (a, b)
+
+
+def test_editdist1_rejects_overlong_strings():
+    from ocr_search_ray.stages.dedup import editdist1_pairs
+
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([0], pa.int64()),
+             "url": pa.array(["x" * 100], pa.string())}
+        )
+    )
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="max_len"):
+        editdist1_pairs(ds, max_len=64).take_all()

@@ -591,3 +591,44 @@ def test_deterministic_shuffle_is_partitioning_invariant():
     assert runs[0] == runs[1]
     order = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
     assert [runs[0][i] for i in order] == list(range(1, len(ids) + 1))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.floats(-50, 50, allow_nan=False)),
+        min_size=1, max_size=100,
+    )
+)
+def test_winsorize_values_matches_naive(rows):
+    from ocr_search_ray.stages.relational import winsorize_values
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "k": pa.array([f"g{a}" for a, _ in rows]),
+                "v": pa.array([b for _, b in rows], pa.float64()),
+            }
+        )
+    ).repartition(3)
+    got = {
+        r["event_id"]: r["v_w"]
+        for r in winsorize_values(
+            ds, ["k"], "v", q_lo=0.05, q_hi=0.95, carry_cols=["event_id"]
+        ).take_all()
+    }
+
+    by_k = {}
+    for a, b in rows:
+        by_k.setdefault(f"g{a}", []).append(b)
+    bounds = {}
+    for k, vs in by_k.items():
+        s = sorted(vs)
+        n = len(s)
+        bounds[k] = (s[max(1, math.ceil(0.05 * n)) - 1],
+                     s[max(1, math.ceil(0.95 * n)) - 1])
+    for i, (a, b) in enumerate(rows):
+        lo, hi = bounds[f"g{a}"]
+        assert got[i] == min(max(b, lo), hi)
+    assert len(got) == len(rows)
