@@ -459,6 +459,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": q.q_kcore,  # bounded synchronous k-core peel (r5)
         "winsorize_values": q.q_winsorize_values,  # p5/p95 clamp (r5)
         "editdist1_pairs": q.q_editdist1_pairs,  # SymSpell lev<=1 (r5)
+        "ppr": q.q_ppr,  # personalized PageRank, seed teleport (r5)
+        "event_runs": q.q_event_runs,  # gaps-and-islands RLE (r5)
+        "grouped_mode": q.q_grouped_mode,  # deterministic MODE (r5)
         "similar_docs": q.q_similar_docs,  # sparse doc-doc cosine (exact, r5)
         "containment_pairs": q.q_containment_pairs,  # Broder containment (exact, r5)
         "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
@@ -1416,6 +1419,104 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             LEFT JOIN na2 a ON a.node = n.node
             LEFT JOIN nh2 h ON h.node = n.node
+        """,
+        # deterministic per-group mode: count desc, value asc tie-break.
+        "grouped_mode": """
+            SELECT user_id, event_type AS mode_event_type,
+                   CAST(n AS BIGINT) AS n
+            FROM (
+              SELECT user_id, event_type, COUNT(*) AS n,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY COUNT(*) DESC, event_type ASC
+                     ) AS rn
+              FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        """,
+        # per-user type runs: LAG break flags + windowed SUM (islands).
+        "event_runs": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN LAG(event_type) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                          ) IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+            ),
+            r AS (
+              SELECT user_id, ts, event_type,
+                     SUM(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS run
+              FROM o
+            )
+            SELECT user_id, CAST(run - 1 AS BIGINT) AS run_idx, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ts) AS start_ts, MAX(ts) AS end_ts
+            FROM r GROUP BY user_id, run, event_type
+        """,
+        # personalized PageRank: teleport only to seeds (doc_id%50==0 —
+        # doc_ids are contiguous so node%50==0 is the same predicate);
+        # pr_0 = scale//|S| on seeds, 2 rounds, integer floors throughout.
+        "ppr": """
+            WITH e AS MATERIALIZED (
+              SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+              UNION ALL SELECT doc_id, doc_id % 89 FROM documents
+              UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+            ),
+            nodes AS MATERIALIZED (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e
+                UNION ALL SELECT dst FROM e
+              )
+            ),
+            seeds AS MATERIALIZED (
+              SELECT DISTINCT doc_id AS node FROM documents
+              WHERE doc_id % 50 = 0
+            ),
+            params AS MATERIALIZED (
+              SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS pr0
+              FROM seeds
+            ),
+            deg AS MATERIALIZED (
+              SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+              FROM e GROUP BY src
+            ),
+            p0 AS MATERIALIZED (
+              SELECT node, (SELECT pr0 FROM params) AS pr FROM seeds
+            ),
+            p1 AS MATERIALIZED (
+              SELECT n.node,
+                     (CASE WHEN n.node % 50 = 0
+                           THEN (15 * (SELECT pr0 FROM params)) // 100
+                           ELSE 0 END)
+                     + (85 * COALESCE(s.sm, 0)) // 100 AS pr
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS sm
+                FROM e JOIN p0 p ON p.node = e.src
+                       JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = n.node
+            ),
+            p2 AS MATERIALIZED (
+              SELECT n.node,
+                     (CASE WHEN n.node % 50 = 0
+                           THEN (15 * (SELECT pr0 FROM params)) // 100
+                           ELSE 0 END)
+                     + (85 * COALESCE(s.sm, 0)) // 100 AS pr
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS sm
+                FROM e JOIN p1 p ON p.node = e.src
+                       JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = n.node
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(pr AS BIGINT) AS ppr_units
+            FROM p2
         """,
         # lev<=1 URL pairs: urls rebuilt with the _WEB_CTE recipe; the
         # length prefilter only prunes (|len diff| > 1 → lev > 1).

@@ -1737,6 +1737,28 @@ def q_winsorize_values(sf_dir: str):
     )
 
 
+def q_grouped_mode(sf_dir: str):
+    """Per-user modal event type (highest count, smallest type on ties —
+    a deterministic MODE the SQL ROW_NUMBER replay matches exactly)."""
+    from ..stages.relational import grouped_mode
+
+    return grouped_mode(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        ["user_id"], "event_type",
+    )
+
+
+def q_event_runs(sf_dir: str):
+    """Run-length encoding of per-user event-type streams
+    (gaps-and-islands under the (ts, event_id) total order)."""
+    from ..stages.sessionize import event_runs
+
+    return event_runs(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_type", "event_id"])
+    )
+
+
 def q_event_transitions(sf_dir: str):
     """First-order Markov transition counts over per-user event streams
     ((ts, event_id)-ordered — total order, so LEAD() replays exactly)."""
@@ -2735,6 +2757,46 @@ def q_triangle_counts(sf_dir: str):
 
     return triangle_counts(
         docs.map_batches(edges, batch_format="pyarrow").repartition(4)
+    )
+
+
+def q_ppr(sf_dir: str):
+    """Personalized PageRank (stages/graph.ppr_fixed) from the seed set
+    {doc_id % 50 == 0} over the shared deterministic multigraph — 2
+    rounds at scale 10^12, teleport only to seeds; bit-exact integer
+    lattice replayed in SQL."""
+    from ..stages.graph import ppr_fixed
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks()
+        dsts = [
+            _mod(d, 97).combine_chunks()
+            if isinstance(_mod(d, 97), pa.ChunkedArray) else _mod(d, 97),
+            _mod(d, 89).combine_chunks()
+            if isinstance(_mod(d, 89), pa.ChunkedArray) else _mod(d, 89),
+            pc.divide(d, 2),
+        ]
+        return pa.table(
+            {
+                "src": pa.chunked_array([d, d, d]),
+                "dst": pa.chunked_array(
+                    [x.combine_chunks() if isinstance(x, pa.ChunkedArray)
+                     else x for x in dsts]
+                ),
+            }
+        )
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id")
+        keep = pc.equal(_mod(d.combine_chunks(), 50), 0)
+        return pa.table({"node": d.filter(keep)})
+
+    return ppr_fixed(
+        docs.map_batches(edges, batch_format="pyarrow").repartition(4),
+        docs.map_batches(seed_rows, batch_format="pyarrow"),
+        iters=2,
     )
 
 

@@ -717,3 +717,141 @@ def kcore_peel(edges, *, k: int = 2, rounds: int = 6,
         ).repartition(n_blocks).materialize()
 
     return degrees(e)
+
+
+def ppr_fixed(edges, seeds, *, iters: int = 2, scale: int = 10**12,
+              src_col: str = "src", dst_col: str = "dst"):
+    """Personalized PageRank (Haveliwala's topic-sensitive variant) in
+    exact int64 fixed-point — teleport mass goes ONLY to ``seeds`` (a
+    dataset with a ``node`` column), so scores rank nodes by proximity to
+    the seed set (crawl frontier prioritization, seed-based curation).
+
+    Integer lattice (damping 0.85, ``iters`` synchronous rounds):
+
+    - S = distinct seed nodes; pr_0(v) = scale // |S| for v ∈ S else 0
+    - tele(v) = (15 · (scale // |S|)) // 100 for v ∈ S else 0
+    - pr_{k+1}(v) = tele(v) + (85 · Σ_{u→v} pr_k(u) // outdeg(u)) // 100
+
+    Scale shape vs ``pagerank_fixed``: absent mass is ZERO here (not a
+    closed-form default), so each round is an INNER join of the edge
+    table against the current pr table — rounds touch only the reachable
+    frontier, which grows from |S| outward instead of starting
+    corpus-wide. pr_{k+1} materializes as union(tele rows, floored
+    share-sum rows) → one grouped sum; the driver holds |S| and N only.
+
+    → (node:int64, ppr_units:int64) over all nodes (0 where unreached).
+    """
+    import pyarrow.compute as pc
+
+    from .relational import cluster_apply
+
+    edges = edges.materialize()
+
+    def srcs(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column(src_col).cast(pa.int64())})
+
+    def dsts(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column(dst_col).cast(pa.int64())})
+
+    nodes = cluster_apply(
+        edges.map_batches(srcs, batch_format="pyarrow").union(
+            edges.map_batches(dsts, batch_format="pyarrow")
+        ),
+        ["node"],
+        lambda block: block.group_by(["node"]).aggregate([]),
+    ).materialize()
+
+    seed_tbl = cluster_apply(
+        seeds.map_batches(
+            lambda b: pa.table({"node": b.column("node").cast(pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+        lambda block: block.group_by(["node"]).aggregate([]),
+    ).materialize()
+    n_seeds = seed_tbl.count()
+    pr0 = scale // n_seeds
+    tele_unit = (15 * pr0) // 100
+
+    outdeg = grouped_agg(
+        edges.map_batches(
+            lambda b: pa.table({src_col: b.column(src_col).cast(pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        [src_col], [("outdeg", src_col, "count")],
+    )
+    edges_w_deg = cluster_join(
+        edges.map_batches(
+            lambda b: pa.table(
+                {src_col: b.column(src_col).cast(pa.int64()),
+                 dst_col: b.column(dst_col).cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        outdeg,
+        [src_col],
+        left_types={src_col: pa.int64(), dst_col: pa.int64()},
+        right_types={"outdeg": pa.int64()},
+    ).materialize()
+
+    tele_rows = seed_tbl.map_batches(
+        lambda b, _t=tele_unit: pa.table(
+            {"node": b.column("node"),
+             "pr": pa.repeat(pa.scalar(_t, pa.int64()), b.num_rows)}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    pr = seed_tbl.map_batches(
+        lambda b, _p=pr0: pa.table(
+            {"node": b.column("node"),
+             "pr": pa.repeat(pa.scalar(_p, pa.int64()), b.num_rows)}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        shares = cluster_join(
+            edges_w_deg,
+            pr.map_batches(
+                lambda b: pa.table(
+                    {src_col: b.column("node"), "pr": b.column("pr")}
+                ),
+                batch_format="pyarrow",
+            ),
+            [src_col],
+            left_types={src_col: pa.int64(), dst_col: pa.int64(),
+                        "outdeg": pa.int64()},
+            right_types={"pr": pa.int64()},
+        ).map_batches(
+            lambda b: pa.table(
+                {dst_col: b.column(dst_col),
+                 "share": pc.divide(b.column("pr"), b.column("outdeg"))}
+            ),
+            batch_format="pyarrow",
+        )
+        sums = grouped_agg(shares, [dst_col], [("in_sum", "share", "sum")])
+        damped = sums.map_batches(
+            lambda b: pa.table(
+                {"node": b.column(dst_col),
+                 "pr": pc.divide(pc.multiply(b.column("in_sum"), 85), 100)}
+            ),
+            batch_format="pyarrow",
+        )
+        pr = grouped_agg(
+            tele_rows.union(damped), ["node"], [("pr", "pr", "sum")]
+        ).materialize()
+
+    final = cluster_join(
+        nodes, pr, ["node"],
+        left_types={"node": pa.int64()},
+        right_types={"pr": pa.int64()},
+        how="left",
+    )
+    return final.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"),
+             "ppr_units": pc.fill_null(b.column("pr"), 0)}
+        ),
+        batch_format="pyarrow",
+    )

@@ -1506,3 +1506,52 @@ def winsorize_values(ds, key_cols: list[str], value_col: str, *,
         )
 
     return joined.map_batches(clamp, batch_format="pyarrow")
+
+
+def grouped_mode(ds, key_cols: list[str], value_col: str):
+    """Per-group MODE with a deterministic tie-break (highest count, then
+    smallest value — SQL ``ROW_NUMBER() OVER (ORDER BY n DESC, v ASC)``):
+    → key_cols + (``mode_<value_col>``, ``n``).
+
+    Physical plan: two-phase grouped count over (keys, value) — the
+    combiner collapses repeats before the wire — then ONE key-group
+    ``cluster_apply`` that takes each group's first row under the
+    (n desc, value asc) block-local sort. The second exchange carries one
+    row per DISTINCT (key, value), never per input row.
+    """
+
+    counts = grouped_agg(ds, key_cols + [value_col],
+                         [("n", value_col, "count")])
+
+    def first_per_group(block: pa.Table) -> pa.Table:
+        srt = block.sort_by(
+            [(k, "ascending") for k in key_cols]
+            + [("n", "descending"), (value_col, "ascending")]
+        )
+        import numpy as np
+
+        keys_np = [
+            srt.column(k).to_numpy(zero_copy_only=False) for k in key_cols
+        ]
+        n_rows = srt.num_rows
+        if n_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], srt.column(k).type) for k in key_cols},
+                 f"mode_{value_col}": pa.array(
+                     [], srt.column(value_col).type),
+                 "n": pa.array([], pa.int64())}
+            )
+        # first row of each group = any key differs from the previous row
+        head = np.ones(n_rows, dtype=bool)
+        change = np.zeros(n_rows - 1, dtype=bool)
+        for arr in keys_np:
+            change |= arr[1:] != arr[:-1]
+        head[1:] = change
+        firsts = srt.take(pa.array(np.flatnonzero(head)))
+        return pa.table(
+            {**{k: firsts.column(k) for k in key_cols},
+             f"mode_{value_col}": firsts.column(value_col),
+             "n": firsts.column("n").cast(pa.int64())}
+        )
+
+    return cluster_apply(counts, key_cols, first_per_group)

@@ -507,3 +507,84 @@ def event_transitions(events, *, user_col: str = "user_id",
     )
     return grouped_agg(partials, ["prev_type", "next_type"],
                        [("n", "n", "sum")])
+
+
+def event_runs(events, *, user_col: str = "user_id", ts_col: str = "ts",
+               type_col: str = "event_type", id_col: str = "event_id"):
+    """Run-length encoding of per-user event streams (gaps-and-islands):
+    consecutive same-type events under the (ts, event_id) total order
+    collapse into runs. The standard LAG-breaks + windowed-SUM SQL shape,
+    replayed here block-locally.
+
+    Physical plan: ONE user-key ``cluster_apply`` — block-local Arrow
+    sort, numpy boundary detection (user change ∨ type change), and
+    per-run aggregation via ``np.flatnonzero`` boundaries — python loops
+    over nothing; runs per user are numbered by position. One exchange
+    total; output is run-count-sized.
+
+    → (user_id, run_idx, event_type, n_events, start_ts, end_ts).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .relational import cluster_apply
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user": b.column(user_col).cast(pa.int64()),
+             "t": b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
+             "eid": b.column(id_col).cast(pa.int64()),
+             "typ": b.column(type_col)}
+        )
+
+    def runs(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "run_idx": pa.array([], pa.int64()),
+             "event_type": pa.array([], pa.string()),
+             "n_events": pa.array([], pa.int64()),
+             "start_ts": pa.array([], pa.timestamp("us")),
+             "end_ts": pa.array([], pa.timestamp("us"))}
+        )
+        if block.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(
+            block,
+            sort_keys=[("user", "ascending"), ("t", "ascending"),
+                       ("eid", "ascending")],
+        )
+        s = block.take(idx)
+        user = s.column("user").to_numpy(zero_copy_only=False)
+        t = s.column("t").to_numpy(zero_copy_only=False)
+        typ = s.column("typ").to_numpy(zero_copy_only=False)
+        n = len(user)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (user[1:] != user[:-1]) | (typ[1:] != typ[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate((starts[1:], [n]))
+        # run_idx: runs are contiguous per user after the sort — number
+        # each run by its offset from the user's first run
+        user_start = np.ones(len(starts), dtype=bool)
+        user_start[1:] = user[starts[1:]] != user[starts[:-1]]
+        first_of_user = np.maximum.accumulate(
+            np.where(user_start, np.arange(len(starts)), 0)
+        )
+        run_idx = np.arange(len(starts)) - first_of_user
+        return pa.table(
+            {
+                "user_id": pa.array(user[starts], pa.int64()),
+                "run_idx": pa.array(run_idx, pa.int64()),
+                "event_type": pa.array(typ[starts].tolist(), pa.string()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "start_ts": pa.array(t[starts], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "end_ts": pa.array(t[ends - 1], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    return cluster_apply(
+        events.map_batches(prep, batch_format="pyarrow"), ["user"], runs
+    )

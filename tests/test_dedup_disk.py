@@ -305,3 +305,43 @@ def test_kcore_peel_matches_local_replay():
     assert got == deg
     # converged here: the tail is fully peeled, the clique remains
     assert set(got) == set(range(5)) and min(got.values()) >= k
+
+
+def test_ppr_fixed_matches_local_replay():
+    """ppr_fixed vs a literal integer replay — mass concentrates near the
+    seed, unreachable nodes read exactly 0."""
+    from ocr_search_ray.stages.graph import ppr_fixed
+
+    # seed 0 → 1 → 2 → 3 chain, plus an unreachable island 50-51
+    edges = [(0, 1), (1, 2), (2, 3), (1, 3), (50, 51), (51, 50)]
+    seeds = [0]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    sd = rd.from_arrow(pa.table({"node": pa.array(seeds, pa.int64())}))
+    scale, iters = 10**12, 3
+    got = {
+        r["node"]: r["ppr_units"]
+        for r in ppr_fixed(ds, sd, iters=iters, scale=scale).take_all()
+    }
+
+    nodes = sorted({v for e in edges for v in e})
+    pr0 = scale // len(seeds)
+    tele = {v: (15 * pr0) // 100 if v in seeds else 0 for v in nodes}
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    pr = {v: (pr0 if v in seeds else 0) for v in nodes}
+    for _ in range(iters):
+        sums = {}
+        for a, b in edges:
+            sums[b] = sums.get(b, 0) + pr[a] // outdeg[a]
+        pr = {v: tele[v] + (85 * sums.get(v, 0)) // 100 for v in nodes}
+    assert got == pr
+    assert got[50] == 0 and got[51] == 0       # unreachable
+    assert got[0] > 0 and got[1] > 0 and got[3] > 0

@@ -632,3 +632,37 @@ def test_winsorize_values_matches_naive(rows):
         lo, hi = bounds[f"g{a}"]
         assert got[i] == min(max(b, lo), hi)
     assert len(got) == len(rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from("abcde")),
+        min_size=1, max_size=100,
+    )
+)
+def test_grouped_mode_matches_naive(rows):
+    from collections import Counter
+
+    from ocr_search_ray.stages.relational import grouped_mode
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([a for a, _ in rows], pa.int64()),
+                "v": pa.array([b for _, b in rows]),
+            }
+        )
+    ).repartition(3)
+    got = {r["k"]: (r["mode_v"], r["n"])
+           for r in grouped_mode(ds, ["k"], "v").take_all()}
+
+    by_k = {}
+    for a, b in rows:
+        by_k.setdefault(a, []).append(b)
+    exp = {}
+    for k, vs in by_k.items():
+        c = Counter(vs)
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp[k] = best
+    assert got == exp

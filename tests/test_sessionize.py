@@ -256,3 +256,36 @@ def test_event_transitions_tie_break_by_event_id():
     got = {(r["prev_type"], r["next_type"]): r["n"]
            for r in event_transitions(ds).take_all()}
     assert got == {("a", "b"): 1}
+
+
+def test_event_runs_gaps_and_islands():
+    from ocr_search_ray.stages.sessionize import event_runs
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, "view"), (1, t0 + m, "view"), (1, t0 + 2 * m, "click"),
+        (1, t0 + 3 * m, "view"),
+        (2, t0, "error"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "event_id": pa.array(list(range(len(rows))), pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = {
+        (r["user_id"], r["run_idx"]):
+            (r["event_type"], r["n_events"], r["start_ts"], r["end_ts"])
+        for r in event_runs(ds).take_all()
+    }
+    assert got == {
+        (1, 0): ("view", 2, t0, t0 + m),
+        (1, 1): ("click", 1, t0 + 2 * m, t0 + 2 * m),
+        (1, 2): ("view", 1, t0 + 3 * m, t0 + 3 * m),
+        (2, 0): ("error", 1, t0, t0),
+    }
