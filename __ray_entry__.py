@@ -462,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr": q.q_ppr,  # personalized PageRank, seed teleport (r5)
         "event_runs": q.q_event_runs,  # gaps-and-islands RLE (r5)
         "grouped_mode": q.q_grouped_mode,  # deterministic MODE (r5)
+        "interval_coverage": q.q_interval_coverage,  # interval merge (r5)
         "similar_docs": q.q_similar_docs,  # sparse doc-doc cosine (exact, r5)
         "containment_pairs": q.q_containment_pairs,  # Broder containment (exact, r5)
         "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
@@ -1419,6 +1420,40 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             LEFT JOIN na2 a ON a.node = n.node
             LEFT JOIN nh2 h ON h.node = n.node
+        """,
+        # interval merge: running-max islands (strictly-after opens one),
+        # durations quantized round-half-away to integer microseconds.
+        "interval_coverage": """
+            WITH iv AS (
+              SELECT user_id,
+                     epoch_us(ts) AS s,
+                     epoch_us(ts) + GREATEST(
+                       0, CAST(round(value * 1000000) AS BIGINT)) AS e
+              FROM events
+            ),
+            o AS (
+              SELECT user_id, s, e,
+                     MAX(e) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS pm
+              FROM iv
+            ),
+            g AS (
+              SELECT user_id, s, e,
+                     SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS island
+              FROM o
+            ),
+            isl AS (
+              SELECT user_id, island, MIN(s) AS is_, MAX(e) AS ie
+              FROM g GROUP BY user_id, island
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_islands,
+                   CAST(SUM(ie - is_) AS BIGINT) AS covered_us
+            FROM isl GROUP BY user_id
         """,
         # deterministic per-group mode: count desc, value asc tie-break.
         "grouped_mode": """

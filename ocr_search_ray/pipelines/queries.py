@@ -1737,6 +1737,17 @@ def q_winsorize_values(sf_dir: str):
     )
 
 
+def q_interval_coverage(sf_dir: str):
+    """Merged-interval union length per user: each event spans `value`
+    seconds (quantized to integer µs); islands merge on the running-max
+    rule — exact integer output."""
+    from ..stages.sessionize import interval_coverage
+
+    return interval_coverage(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    )
+
+
 def q_grouped_mode(sf_dir: str):
     """Per-user modal event type (highest count, smallest type on ties —
     a deterministic MODE the SQL ROW_NUMBER replay matches exactly)."""

@@ -588,3 +588,107 @@ def event_runs(events, *, user_col: str = "user_id", ts_col: str = "ts",
     return cluster_apply(
         events.map_batches(prep, batch_format="pyarrow"), ["user"], runs
     )
+
+
+def interval_coverage(events, *, user_col: str = "user_id",
+                      ts_col: str = "ts", dur_col: str = "value",
+                      unit_us: int = 1_000_000):
+    """Merged-interval coverage per user: each event spans
+    [ts, ts + max(0, round(dur·unit_us))); overlapping/touching-inside
+    spans merge into islands (strictly-after starts open a new island —
+    the running-max formulation); output counts islands and the exact
+    union length in integer microseconds.
+
+    Duration quantizes with round-half-away (the repo's oracle rounding
+    convention), so everything downstream is int64 — exact.
+
+    Physical plan: ONE user-key ``cluster_apply``: block-local (user, s,
+    e) sort, ``np.maximum.accumulate`` running max per user for island
+    breaks, per-island min-start/max-end via boundary indexing — python
+    loops over nothing. Output is user-count-sized.
+
+    → (user_id, n_islands:int64, covered_us:int64).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .relational import cluster_apply
+
+    def prep(b: pa.Table) -> pa.Table:
+        away = pc.RoundOptions(round_mode="half_towards_infinity")
+        s = b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        dur = pc.max_element_wise(
+            pc.cast(
+                pc.round(pc.multiply(b.column(dur_col), unit_us),
+                         options=away),
+                pa.int64(),
+            ),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {"user": b.column(user_col).cast(pa.int64()),
+             "s": s, "e": pc.add(s, dur)}
+        )
+
+    def cover(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "n_islands": pa.array([], pa.int64()),
+                 "covered_us": pa.array([], pa.int64())}
+            )
+        srt = block.sort_by(
+            [("user", "ascending"), ("s", "ascending"), ("e", "ascending")]
+        )
+        user = srt.column("user").to_numpy(zero_copy_only=False)
+        s = srt.column("s").to_numpy(zero_copy_only=False)
+        e = srt.column("e").to_numpy(zero_copy_only=False)
+        n = len(user)
+        user_head = np.ones(n, dtype=bool)
+        user_head[1:] = user[1:] != user[:-1]
+        # per-user running max of e: maximum.accumulate, reset at user
+        # boundaries by segment trick (subtract per-user offset is wrong
+        # for max — instead accumulate over (user, e) pairs: within a
+        # user the plain accumulate is correct, and at a user head we
+        # restart by taking e as-is; do it segment-wise via np.fmax with
+        # a reset mask loop-free using the standard "grouped cummax":
+        run = e.copy()
+        # grouped cummax: iterate log(n) doubling — O(n log n), loop-free
+        shift = 1
+        while shift < n:
+            prev = np.empty(n, dtype=run.dtype)
+            prev[:shift] = run[:shift]
+            prev[shift:] = run[:-shift]
+            same = np.zeros(n, dtype=bool)
+            same[shift:] = user[shift:] == user[:-shift]
+            # only allow carrying where the whole shifted span stays
+            # within one user — user array is sorted, so equality of the
+            # endpoints implies the span is one user
+            np.maximum(run, np.where(same, prev, run), out=run)
+            shift *= 2
+        prev_max = np.empty(n, dtype=e.dtype)
+        prev_max[0] = 0
+        prev_max[1:] = run[:-1]
+        new_island = user_head | (s > prev_max)
+        starts = np.flatnonzero(new_island)
+        ends = np.concatenate((starts[1:], [n]))
+        isl_user = user[starts]
+        isl_s = s[starts]
+        isl_e = run[ends - 1]
+        lengths = isl_e - isl_s
+        # per-user rollup (islands are contiguous per user after sort)
+        u_head = np.ones(len(starts), dtype=bool)
+        u_head[1:] = isl_user[1:] != isl_user[:-1]
+        u_starts = np.flatnonzero(u_head)
+        u_ends = np.concatenate((u_starts[1:], [len(starts)]))
+        cum = np.concatenate(([0], np.cumsum(lengths)))
+        return pa.table(
+            {"user_id": pa.array(isl_user[u_starts], pa.int64()),
+             "n_islands": pa.array(u_ends - u_starts, pa.int64()),
+             "covered_us": pa.array(
+                 cum[u_ends] - cum[u_starts], pa.int64())}
+        )
+
+    return cluster_apply(
+        events.map_batches(prep, batch_format="pyarrow"), ["user"], cover
+    )

@@ -289,3 +289,35 @@ def test_event_runs_gaps_and_islands():
         (1, 2): ("view", 1, t0 + 3 * m, t0 + 3 * m),
         (2, 0): ("error", 1, t0, t0),
     }
+
+
+def test_interval_coverage_merges_islands():
+    from ocr_search_ray.stages.sessionize import interval_coverage
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    # user 1: [0,10) + [5,15) overlap → one island of 15 s;
+    #         [20,21) touching nothing → second island of 1 s
+    # user 2: [0,2) then [2,3) TOUCHING (s == prev max) → ONE island 3 s
+    # user 3: zero/negative durations clamp to empty intervals
+    rows = [
+        (1, t0, 10.0), (1, t0 + 5 * s, 10.0), (1, t0 + 20 * s, 1.0),
+        (2, t0, 2.0), (2, t0 + 2 * s, 1.0),
+        (3, t0, 0.0), (3, t0 + 1 * s, -5.0),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+    ).repartition(3)
+    got = {r["user_id"]: (r["n_islands"], r["covered_us"])
+           for r in interval_coverage(ds).take_all()}
+    assert got[1] == (2, 16_000_000)
+    assert got[2] == (1, 3_000_000)
+    # zero-length intervals: s > prev_max(e=s) is False only when equal;
+    # second event starts 1 s after the first empty interval → 2 islands
+    assert got[3] == (2, 0)
