@@ -107,6 +107,16 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
         seq = (sym,)
     if seq:
         bw.write(table[seq], width)
+    # The decoder appends one table entry upon reading that FINAL data
+    # code (its appends lag the encoder's assigns by one code, and the
+    # flush write closes the lag), so its table size becomes exactly
+    # next_code BEFORE it reads EOI — and it widens if that hits the
+    # width boundary. Mirror it, or the EOI is written one bit narrower
+    # than the decoder reads it (hypothesis-found: 12px, 3 colors, the
+    # final assign landing on 2^width - 1).
+    if next_code > eoi + 1 and next_code == (1 << width) \
+            and width < _MAX_CODE_BITS:
+        width += 1
     bw.write(eoi, width)
     return bw.finish()
 
@@ -187,6 +197,15 @@ def encode_gif(img: np.ndarray) -> bytes:
 
 def decode_gif(payload: bytes) -> np.ndarray:
     """Single-frame GIF87a/89a bytes → (h, w, 3) uint8."""
+    try:
+        return _decode_gif(payload)
+    except (struct.error, IndexError) as e:
+        # truncated header/descriptor/sub-block walk — same loud contract
+        # as a truncated LZW stream
+        raise ValueError(f"GIF: truncated structure ({e})") from e
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h = struct.unpack_from("<HH", payload, 6)

@@ -222,3 +222,14 @@ def test_variable_delay_frame_sampling():
     expect_frame = [0, 0, 0, 1, 2, 2, 2, 2, 2]
     for r, want in zip(rows, expect_frame):
         assert (decode_gif(r["payload"]) == frames[want]).all(), r["ts_ms"]
+
+
+def test_round_trip_final_code_on_width_boundary():
+    """Regression: when the final data code's decoder-side table append
+    lands exactly on 2^width, the decoder widens BEFORE reading EOI —
+    the encoder must write EOI at the widened width (hypothesis example
+    h=3, w=4, ncolors=3, seed=245)."""
+    rng = np.random.default_rng(245)
+    palette = rng.integers(0, 256, size=(3, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, 3, size=(3, 4))]
+    assert (decode_gif(encode_gif(img)) == img).all()
