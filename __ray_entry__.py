@@ -463,6 +463,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_runs": q.q_event_runs,  # gaps-and-islands RLE (r5)
         "grouped_mode": q.q_grouped_mode,  # deterministic MODE (r5)
         "interval_coverage": q.q_interval_coverage,  # interval merge (r5)
+        "novelty_counts": q.q_novelty_counts,  # corpus-first shingles (r5)
+        "term_burstiness": q.q_term_burstiness,  # df/Σtf/Σtf² moments (r5)
         "similar_docs": q.q_similar_docs,  # sparse doc-doc cosine (exact, r5)
         "containment_pairs": q.q_containment_pairs,  # Broder containment (exact, r5)
         "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
@@ -1420,6 +1422,27 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             LEFT JOIN na2 a ON a.node = n.node
             LEFT JOIN nh2 h ON h.node = n.node
+        """,
+        # term dispersion moments over the locked postings chain.
+        "term_burstiness": f"""
+            {_POSTINGS_PREFIX}
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(tf) AS BIGINT) AS sum_tf,
+                   CAST(SUM(tf * tf) AS BIGINT) AS sum_tf2
+            FROM postings GROUP BY term
+        """,
+        # content novelty: shingle ownership by min doc_id.
+        "novelty_counts": f"""
+            WITH {_SHINGLE_CTE.strip()},
+            firsts AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
+            nov AS (
+              SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+              FROM firsts GROUP BY first_doc
+            )
+            SELECT z.doc_id,
+                   CAST(z.n AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel
+            FROM sizes z LEFT JOIN nov v ON v.doc_id = z.doc_id
         """,
         # interval merge: running-max islands (strictly-after opens one),
         # durations quantized round-half-away to integer microseconds.

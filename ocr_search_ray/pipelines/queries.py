@@ -74,6 +74,27 @@ def q_term_stats(sf_dir: str):
     return term_stats(_postings(sf_dir))
 
 
+def q_term_burstiness(sf_dir: str):
+    """Per-term dispersion moments (df, Σtf, Σtf²) over the
+    reference-locked postings — the burstiness/Katz raw material
+    (variance and Church-Gale B are consumer-side ratios); exact
+    order-free integer sums."""
+    from ..stages.relational import grouped_agg
+
+    def sq(b: pa.Table) -> pa.Table:
+        tf = b.column("tf").cast(pa.int64())
+        return pa.table(
+            {"term": b.column("term"), "tf": tf, "tf2": pc.multiply(tf, tf)}
+        )
+
+    prepped = _postings(sf_dir).map_batches(sq, batch_format="pyarrow")
+    return grouped_agg(
+        prepped, ["term"],
+        [("df", "tf", "count"), ("sum_tf", "tf", "sum"),
+         ("sum_tf2", "tf2", "sum")],
+    )
+
+
 def q_search(sf_dir: str):
     stages = ingest(read_webpages(sf_dir))
     return search(
@@ -555,6 +576,14 @@ def q_minhash_lsh_pairs(sf_dir: str):
 def q_ngram_jaccard_pairs(sf_dir: str):
     return dedup_stage.ngram_jaccard_pairs(
         _read(sf_dir, "documents", columns=["doc_id", "text"]), min_jaccard_pct=30
+    )
+
+
+def q_novelty_counts(sf_dir: str):
+    """Per-doc corpus-first shingle counts (content novelty; min-doc_id
+    ownership) over word-3-gram shingles."""
+    return dedup_stage.novelty_counts(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), k=3
     )
 
 

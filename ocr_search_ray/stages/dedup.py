@@ -1274,3 +1274,68 @@ def editdist1_pairs(ds, *, id_col: str = "doc_id", col: str = "url",
             [("dist", "min")]
         ).rename_columns(["id1", "id2", "dist"]),
     )
+
+
+def novelty_counts(documents, *, k: int = 3):
+    """Per-document content novelty: how many of a document's word-k-gram
+    shingles appear in NO lower-numbered document (corpus-first shingles,
+    ownership by min doc_id — the deterministic tie-break). The novelty
+    ratio n_novel/n_shingles is the classic "marginal new content" signal
+    for curation ordering; kept as exact integers (ratios are
+    consumer-side, the repo convention).
+
+    Physical plan: shingle explode (one map; distinct-per-doc via the
+    shared ``shingles`` generator), then per-shingle min (``grouped_agg``
+    on the shingle key — dictionary-encoded on the wire), a count of
+    firsts per owner doc, a per-doc total count, and one left
+    ``cluster_join`` — 4 int-key exchanges, nothing driver-resident.
+
+    → (doc_id, n_shingles:int64, n_novel:int64), docs with ≥ k words.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import cluster_join, grouped_agg
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_sh = [], []
+        for did, text in zip(ids, texts):
+            for s in shingles(text or "", k):
+                out_id.append(did)
+                out_sh.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "sh": pa.array(out_sh, pa.string()),
+            }
+        )
+
+    exploded = documents.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    ).materialize()  # feeds firsts AND totals
+
+    firsts = grouped_agg(exploded, ["sh"], [("first_doc", "doc_id", "min")])
+    nov = grouped_agg(
+        firsts.map_batches(
+            lambda b: pa.table({"doc_id": b.column("first_doc")}),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"], [("n_novel", "doc_id", "count")],
+    )
+    tot = grouped_agg(exploded, ["doc_id"],
+                      [("n_shingles", "doc_id", "count")])
+    joined = cluster_join(
+        tot, nov, ["doc_id"],
+        left_types={"doc_id": pa.int64(), "n_shingles": pa.int64()},
+        right_types={"n_novel": pa.int64()},
+        how="left",
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"),
+             "n_shingles": b.column("n_shingles"),
+             "n_novel": pc.fill_null(b.column("n_novel"), 0)}
+        ),
+        batch_format="pyarrow",
+    )

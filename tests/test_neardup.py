@@ -403,3 +403,17 @@ def test_editdist1_rejects_overlong_strings():
     import pytest as _pytest
     with _pytest.raises(Exception, match="max_len"):
         editdist1_pairs(ds, max_len=64).take_all()
+
+
+def test_novelty_counts_min_doc_ownership():
+    from ocr_search_ray.stages.dedup import novelty_counts
+
+    docs = _docs([
+        "a b c d",        # doc 0: shingles {abc, bcd} — both novel
+        "a b c e",        # doc 1: {abc, bce} — abc owned by 0 → 1 novel
+        "a b c d",        # doc 2: exact dup of 0 → 0 novel
+        "x",              # doc 3: < k words → absent from output
+    ])
+    got = {r["doc_id"]: (r["n_shingles"], r["n_novel"])
+           for r in novelty_counts(docs, k=3).take_all()}
+    assert got == {0: (2, 2), 1: (2, 1), 2: (2, 0)}
