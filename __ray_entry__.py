@@ -465,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": q.q_interval_coverage,  # interval merge (r5)
         "novelty_counts": q.q_novelty_counts,  # corpus-first shingles (r5)
         "term_burstiness": q.q_term_burstiness,  # df/Σtf/Σtf² moments (r5)
+        "ntile_values": q.q_ntile_values,  # exact NTILE(4) buckets (r5)
         "similar_docs": q.q_similar_docs,  # sparse doc-doc cosine (exact, r5)
         "containment_pairs": q.q_containment_pairs,  # Broder containment (exact, r5)
         "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
@@ -1422,6 +1423,14 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             LEFT JOIN na2 a ON a.node = n.node
             LEFT JOIN nh2 h ON h.node = n.node
+        """,
+        # exact NTILE under a (value, event_id) total order.
+        "ntile_values": """
+            SELECT event_type, event_id, value,
+                   CAST(NTILE(4) OVER (
+                     PARTITION BY event_type ORDER BY value, event_id
+                   ) AS BIGINT) AS bucket
+            FROM events
         """,
         # term dispersion moments over the locked postings chain.
         "term_burstiness": f"""

@@ -1766,6 +1766,17 @@ def q_winsorize_values(sf_dir: str):
     )
 
 
+def q_ntile_values(sf_dir: str):
+    """Exact NTILE(4) of value per event_type under the (value,
+    event_id) total order — SQL's remainder rule replayed."""
+    from ..stages.relational import ntile_values
+
+    return ntile_values(
+        _read(sf_dir, "events", columns=["event_type", "value", "event_id"]),
+        ["event_type"], "value", n_buckets=4, order_cols=["event_id"],
+    )
+
+
 def q_interval_coverage(sf_dir: str):
     """Merged-interval union length per user: each event spans `value`
     seconds (quantized to integer µs); islands merge on the running-max

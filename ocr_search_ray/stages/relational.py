@@ -1555,3 +1555,62 @@ def grouped_mode(ds, key_cols: list[str], value_col: str):
         )
 
     return cluster_apply(counts, key_cols, first_per_group)
+
+
+def ntile_values(ds, key_cols: list[str], value_col: str, *,
+                 n_buckets: int = 4, order_cols: list[str] | None = None):
+    """Exact per-group NTILE: rows of each group are ranked under the
+    (value, *order_cols) TOTAL order (callers must pass a tie-breaking
+    id column, or equal rows make the rank — and thus the bucket —
+    nondeterministic) and dealt into ``n_buckets`` with SQL's remainder
+    rule: the first ``n mod b`` buckets get ``⌈n/b⌉`` rows, the rest
+    ``⌊n/b⌋``. 1-based buckets, exactly DuckDB's ``NTILE``.
+
+    Physical plan: ONE group-key ``cluster_apply`` — block-local Arrow
+    sort, numpy group boundaries, vectorized bucket assignment from the
+    closed-form rank→bucket map. The exchange carries only the projected
+    (keys, value, order) columns.
+
+    → key_cols + order_cols + value_col + ``bucket``:int64.
+    """
+    import numpy as np
+
+    order_cols = list(order_cols or [])
+
+    def assign(block: pa.Table) -> pa.Table:
+        srt = block.sort_by(
+            [(k, "ascending") for k in key_cols]
+            + [(value_col, "ascending")]
+            + [(c, "ascending") for c in order_cols]
+        )
+        n_rows = srt.num_rows
+        if n_rows == 0:
+            return srt.append_column("bucket", pa.array([], pa.int64()))
+        keys_np = [
+            srt.column(k).to_numpy(zero_copy_only=False) for k in key_cols
+        ]
+        change = np.zeros(n_rows - 1, dtype=bool)
+        for arr in keys_np:
+            change |= arr[1:] != arr[:-1]
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        ends = np.concatenate((starts[1:], [n_rows]))
+        # rank within group (0-based)
+        group_start_per_row = np.repeat(starts, ends - starts)
+        rank = np.arange(n_rows) - group_start_per_row
+        n_per_row = np.repeat(ends - starts, ends - starts)
+        big = n_per_row // n_buckets + 1          # rows in the first r buckets
+        r = n_per_row % n_buckets
+        cutoff = r * big                          # ranks below this → big buckets
+        small = np.maximum(n_per_row // n_buckets, 1)
+        bucket = np.where(
+            rank < cutoff,
+            rank // np.maximum(big, 1) + 1,
+            r + (rank - cutoff) // small + 1,
+        )
+        return srt.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    proj = ds.map_batches(
+        lambda b: b.select(key_cols + [value_col] + order_cols),
+        batch_format="pyarrow",
+    )
+    return cluster_apply(proj, key_cols, assign)

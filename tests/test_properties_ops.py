@@ -666,3 +666,43 @@ def test_grouped_mode_matches_naive(rows):
         best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
         exp[k] = best
     assert got == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.floats(-10, 10, allow_nan=False)),
+        min_size=1, max_size=60,
+    ),
+    st.integers(1, 6),
+)
+def test_ntile_values_matches_sql_remainder_rule(rows, b):
+    from ocr_search_ray.stages.relational import ntile_values
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([a for a, _ in rows], pa.int64()),
+                "v": pa.array([x for _, x in rows], pa.float64()),
+                "rid": pa.array(range(len(rows)), pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = {r["rid"]: r["bucket"]
+           for r in ntile_values(ds, ["k"], "v", n_buckets=b,
+                                 order_cols=["rid"]).take_all()}
+
+    by_k = {}
+    for i, (a, x) in enumerate(rows):
+        by_k.setdefault(a, []).append((x, i))
+    exp = {}
+    for vs in by_k.values():
+        vs.sort()
+        n = len(vs)
+        big, r = n // b + 1, n % b
+        for rank, (_x, i) in enumerate(vs):
+            if rank < r * big:
+                exp[i] = rank // big + 1
+            else:
+                exp[i] = r + (rank - r * big) // max(n // b, 1) + 1
+    assert got == exp
