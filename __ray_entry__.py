@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novelty_counts": q.q_novelty_counts,  # corpus-first shingles (r5)
         "term_burstiness": q.q_term_burstiness,  # df/Σtf/Σtf² moments (r5)
         "ntile_values": q.q_ntile_values,  # exact NTILE(4) buckets (r5)
+        "pareto_frontier": q.q_pareto_frontier,  # 2-D skyline (r5)
         "similar_docs": q.q_similar_docs,  # sparse doc-doc cosine (exact, r5)
         "containment_pairs": q.q_containment_pairs,  # Broder containment (exact, r5)
         "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
@@ -1423,6 +1424,20 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             LEFT JOIN na2 a ON a.node = n.node
             LEFT JOIN nh2 h ON h.node = n.node
+        """,
+        # 2-D skyline: exact NOT-EXISTS dominance (both dims maximized).
+        "pareto_frontier": """
+            WITH pts AS (
+              SELECT event_id, value, epoch_us(ts) AS t_us
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, p.value, CAST(p.t_us AS BIGINT) AS t_us
+            FROM pts p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pts q
+              WHERE q.value >= p.value AND q.t_us >= p.t_us
+                AND (q.value > p.value OR q.t_us > p.t_us)
+            )
         """,
         # exact NTILE under a (value, event_id) total order.
         "ntile_values": """

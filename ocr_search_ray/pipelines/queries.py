@@ -1766,6 +1766,30 @@ def q_winsorize_values(sf_dir: str):
     )
 
 
+def q_pareto_frontier(sf_dir: str):
+    """2-D skyline of purchase events (maximize value AND recency) —
+    exact NOT-EXISTS dominance semantics."""
+    from ..stages.relational import pareto_frontier
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("event_type"), "purchase")
+        f = b.filter(keep)
+        return pa.table(
+            {"event_id": f.column("event_id"),
+             "value": f.column("value"),
+             "t_us": f.column("ts").cast(pa.timestamp("us")).cast(
+                 pa.int64())}
+        )
+
+    return pareto_frontier(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "value", "t_us", carry_cols=["event_id"],
+    )
+
+
 def q_ntile_values(sf_dir: str):
     """Exact NTILE(4) of value per event_type under the (value,
     event_id) total order — SQL's remainder rule replayed."""

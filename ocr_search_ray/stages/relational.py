@@ -1614,3 +1614,61 @@ def ntile_values(ds, key_cols: list[str], value_col: str, *,
         batch_format="pyarrow",
     )
     return cluster_apply(proj, key_cols, assign)
+
+
+def pareto_frontier(ds, x_col: str, y_col: str, *,
+                    carry_cols: list[str] | None = None):
+    """2-D Pareto frontier (skyline), both dimensions MAXIMIZED: keep
+    rows not dominated — q dominates p iff q.x ≥ p.x ∧ q.y ≥ p.y with at
+    least one strict. Exact duplicates of a frontier point all survive
+    (mutual non-domination), matching the SQL NOT-EXISTS definition.
+
+    Skylines are decomposable — skyline(S) = skyline(skyline(S₁) ∪
+    skyline(S₂)) — so the plan is: per-block skyline (one map, numpy:
+    sort by (x desc, y desc), survive iff y == its x-group max AND y >
+    the strictly-greater-x prefix max), then the tiny union coalesces to
+    one block for the identical final pass. Partitioning assumption
+    (documented per the custom-operator brief): the FRONTIER fits one
+    block — frontier size on real 2-D data is O(log n) in expectation;
+    the corpus never coalesces.
+
+    → carry_cols + x_col + y_col, frontier rows only.
+    """
+    import numpy as np
+
+    carry = list(carry_cols or [])
+
+    def block_skyline(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return block
+        x = block.column(x_col).to_numpy(zero_copy_only=False)
+        y = block.column(y_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((-y, -x))
+        xs, ys = x[order], y[order]
+        grp_head = np.ones(n, dtype=bool)
+        grp_head[1:] = xs[1:] != xs[:-1]
+        grp_id = np.cumsum(grp_head) - 1
+        # per x-group max y = y of the group's first row (y desc inside x)
+        grp_max_y = ys[grp_head][grp_id]
+        # prefix max y over STRICTLY greater x = running max up to the
+        # previous group's end
+        run_max_at_head = np.maximum.accumulate(ys[grp_head])
+        # compare in the column's native dtype (a float -inf sentinel
+        # would promote int64 y to float64 and lose precision past 2^53)
+        has_prefix = grp_id >= 1
+        beats_prefix = np.ones(n, dtype=bool)
+        beats_prefix[has_prefix] = (
+            ys[has_prefix] > run_max_at_head[grp_id[has_prefix] - 1]
+        )
+        survive = (ys == grp_max_y) & beats_prefix
+        keep_idx = order[survive]
+        return block.take(pa.array(np.sort(keep_idx)))
+
+    local = ds.map_batches(
+        lambda b, _c=carry: block_skyline(b.select(_c + [x_col, y_col])),
+        batch_format="pyarrow",
+    )
+    return local.repartition(1).map_batches(
+        block_skyline, batch_format="pyarrow", batch_size=None
+    )

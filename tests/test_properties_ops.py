@@ -706,3 +706,40 @@ def test_ntile_values_matches_sql_remainder_rule(rows, b):
             else:
                 exp[i] = r + (rank - r * big) // max(n // b, 1) + 1
     assert got == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-5, 5), st.integers(-5, 5)),
+        min_size=1, max_size=60,
+    )
+)
+def test_pareto_frontier_matches_dominance_oracle(rows):
+    from ocr_search_ray.stages.relational import pareto_frontier
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "rid": pa.array(range(len(rows)), pa.int64()),
+                "x": pa.array([a for a, _ in rows], pa.int64()),
+                "y": pa.array([b for _, b in rows], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = {r["rid"] for r in
+           pareto_frontier(ds, "x", "y", carry_cols=["rid"]).take_all()}
+
+    exp = set()
+    for i, (xi, yi) in enumerate(rows):
+        dominated = any(
+            (xq >= xi and yq >= yi and (xq > xi or yq > yi))
+            for j, (xq, yq) in enumerate(rows) if j != i
+        )
+        # exact duplicates never dominate each other — but a duplicate
+        # PAIR is dominated together or survives together; the naive
+        # check above treats a duplicate as a dominator only when strict
+        # somewhere, so it already matches the NOT-EXISTS oracle
+        if not dominated:
+            exp.add(i)
+    assert got == exp
