@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_burstiness": q.q_term_burstiness,  # df/Σtf/Σtf² moments (r5)
         "ntile_values": q.q_ntile_values,  # exact NTILE(4) buckets (r5)
         "pareto_frontier": q.q_pareto_frontier,  # 2-D skyline (r5)
+        "value_ranks": q.q_value_ranks,  # no-sort global ranks (r5)
         "similar_docs": q.q_similar_docs,  # sparse doc-doc cosine (exact, r5)
         "containment_pairs": q.q_containment_pairs,  # Broder containment (exact, r5)
         "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
@@ -1424,6 +1425,16 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             LEFT JOIN na2 a ON a.node = n.node
             LEFT JOIN nh2 h ON h.node = n.node
+        """,
+        # global rank = count of strictly smaller values (window replay).
+        "value_ranks": """
+            SELECT doc_id, n_chars,
+                   CAST(COUNT(*) OVER (
+                     ORDER BY n_chars RANGE BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING
+                   ) AS BIGINT) AS n_smaller,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n_total
+            FROM documents
         """,
         # 2-D skyline: exact NOT-EXISTS dominance (both dims maximized).
         "pareto_frontier": """

@@ -1766,6 +1766,18 @@ def q_winsorize_values(sf_dir: str):
     )
 
 
+def q_value_ranks(sf_dir: str):
+    """Exact global rank of every document's n_chars (count of strictly
+    smaller values) via the bounded-domain histogram + broadcast — no
+    global sort."""
+    from ..stages.relational import value_ranks
+
+    return value_ranks(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]),
+        "n_chars", carry_cols=["doc_id"],
+    )
+
+
 def q_pareto_frontier(sf_dir: str):
     """2-D skyline of purchase events (maximize value AND recency) —
     exact NOT-EXISTS dominance semantics."""

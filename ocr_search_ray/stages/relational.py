@@ -1672,3 +1672,49 @@ def pareto_frontier(ds, x_col: str, y_col: str, *,
     return local.repartition(1).map_batches(
         block_skyline, batch_format="pyarrow", batch_size=None
     )
+
+
+def value_ranks(ds, value_col: str, *, carry_cols: list[str] | None = None,
+                max_domain: int = 1_000_000):
+    """Exact GLOBAL rank statistics for a bounded-domain integer column
+    WITHOUT a global sort: two-phase histogram over the value domain
+    (combiner collapses repeats), a driver-side cumulative sum over the
+    ≤ ``max_domain`` distinct values, then a broadcast probe — the rank
+    of every row is the count of strictly-smaller values. The histogram
+    is bounded by the VALUE DOMAIN, never the corpus (the same trick as
+    ``grouped_percentiles``); raises if the domain exceeds
+    ``max_domain`` rather than silently collecting big state.
+
+    → carry_cols + value_col + (``n_smaller``:int64, ``n_total``:int64);
+    percent-rank / CDF position are consumer-side ratios.
+    """
+    import pyarrow.compute as pc
+
+    carry = list(carry_cols or [])
+
+    hist = grouped_agg(
+        ds.map_batches(
+            lambda b: b.select([value_col]), batch_format="pyarrow"
+        ),
+        [value_col], [("c", value_col, "count")],
+    ).take_all()
+    if len(hist) > max_domain:
+        raise ValueError(
+            f"value_ranks: {len(hist)} distinct values exceeds "
+            f"max_domain={max_domain}"
+        )
+    hist.sort(key=lambda r: r[value_col])
+    total = sum(r["c"] for r in hist)
+    lookup, below = {}, 0
+    for r in hist:
+        lookup[r[value_col]] = (below, total)
+        below += r["c"]
+
+    return broadcast_lookup_join(
+        ds.map_batches(
+            lambda b, _c=carry: b.select(_c + [value_col]),
+            batch_format="pyarrow",
+        ),
+        lookup, value_col,
+        {"n_smaller": pa.int64(), "n_total": pa.int64()},
+    )

@@ -743,3 +743,31 @@ def test_pareto_frontier_matches_dominance_oracle(rows):
         if not dominated:
             exp.add(i)
     assert got == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=80))
+def test_value_ranks_matches_naive(vals):
+    from ocr_search_ray.stages.relational import value_ranks
+
+    ds = rd.from_arrow(
+        pa.table(
+            {"rid": pa.array(range(len(vals)), pa.int64()),
+             "v": pa.array(vals, pa.int64())}
+        )
+    ).repartition(3)
+    got = {r["rid"]: (r["n_smaller"], r["n_total"])
+           for r in value_ranks(ds, "v", carry_cols=["rid"]).take_all()}
+    for i, v in enumerate(vals):
+        assert got[i] == (sum(1 for x in vals if x < v), len(vals))
+
+
+def test_value_ranks_domain_guard():
+    from ocr_search_ray.stages.relational import value_ranks
+
+    ds = rd.from_arrow(
+        pa.table({"v": pa.array(range(100), pa.int64())})
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_domain"):
+        value_ranks(ds, "v", max_domain=10)
