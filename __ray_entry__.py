@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_values": q.q_ntile_values,  # exact NTILE(4) buckets (r5)
         "pareto_frontier": q.q_pareto_frontier,  # 2-D skyline (r5)
         "value_ranks": q.q_value_ranks,  # no-sort global ranks (r5)
+        "leakage_free_split": q.q_leakage_free_split,  # cluster split (r5)
         "similar_docs": q.q_similar_docs,  # sparse doc-doc cosine (exact, r5)
         "containment_pairs": q.q_containment_pairs,  # Broder containment (exact, r5)
         "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
@@ -1425,6 +1426,47 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             LEFT JOIN na2 a ON a.node = n.node
             LEFT JOIN nh2 h ON h.node = n.node
+        """,
+        # leakage-free split: near-dup clusters (same chain as
+        # neardup_clusters) + rep_id % 10 assignment (8/1/1).
+        "leakage_free_split": f"""
+            WITH RECURSIVE {_SHINGLE_CTE.strip()},
+            inter AS (
+              SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS inter
+              FROM sh s1 JOIN sh s2
+                ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT i.d1, i.d2
+              FROM inter i
+              JOIN sizes z1 ON z1.doc_id = i.d1
+              JOIN sizes z2 ON z2.doc_id = i.d2
+              WHERE 100 * i.inter >= 30 * (z1.n + z2.n - i.inter)
+            ),
+            edges AS (
+              SELECT d1 AS u, d2 AS v FROM pairs
+              UNION ALL SELECT d2, d1 FROM pairs
+            ),
+            reach AS (
+              SELECT u AS n, v AS m FROM edges
+              UNION
+              SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+            ),
+            lbl AS (
+              SELECT n, LEAST(n, MIN(m)) AS component FROM reach GROUP BY n
+            ),
+            reps AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(l.component, d.doc_id) AS BIGINT)
+                       AS rep_id
+              FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id
+            )
+            SELECT doc_id, rep_id,
+                   CASE WHEN rep_id % 10 < 8 THEN 'train'
+                        WHEN rep_id % 10 = 8 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM reps
         """,
         # global rank = count of strictly smaller values (window replay).
         "value_ranks": """

@@ -1766,6 +1766,29 @@ def q_winsorize_values(sf_dir: str):
     )
 
 
+def q_leakage_free_split(sf_dir: str):
+    """Near-dup-aware train/valid/test split: every member of a fuzzy-dup
+    cluster (q_neardup_clusters: Jaccard ≥ 30% pairs → transitive
+    closure) inherits its representative's split, so no near-duplicate
+    ever straddles train and eval — the leakage-free split best
+    practice. Assignment = rep_id % 10 (8/1/1)."""
+    clusters = q_neardup_clusters(sf_dir)
+
+    def assign(b: pa.Table) -> pa.Table:
+        rep = b.column("rep_id").combine_chunks()
+        m = _mod(rep, 10)
+        split = pc.if_else(
+            pc.less(m, 8), pa.scalar("train"),
+            pc.if_else(pc.equal(m, 8), pa.scalar("valid"),
+                       pa.scalar("test")),
+        )
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "rep_id": rep, "split": split}
+        )
+
+    return clusters.map_batches(assign, batch_format="pyarrow")
+
+
 def q_value_ranks(sf_dir: str):
     """Exact global rank of every document's n_chars (count of strictly
     smaller values) via the bounded-domain histogram + broadcast — no

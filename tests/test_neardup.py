@@ -417,3 +417,34 @@ def test_novelty_counts_min_doc_ownership():
     got = {r["doc_id"]: (r["n_shingles"], r["n_novel"])
            for r in novelty_counts(docs, k=3).take_all()}
     assert got == {0: (2, 2), 1: (2, 1), 2: (2, 0)}
+
+
+def test_leakage_free_split_keeps_clusters_together(tmp_path):
+    """Every member of a near-dup cluster gets its rep's split — no
+    cluster straddles train/eval. Runs the composed query entry on a
+    tiny parquet dir shaped like the testdata."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocr_search_ray.pipelines import queries as q
+
+    base = " ".join(f"w{i}" for i in range(20))
+    rows = {
+        "doc_id": pa.array([0, 1, 2, 8, 19], pa.int64()),
+        # 0 ≈ 1 (near-dup), 2 standalone; 8 → valid bucket, 19 → test
+        "text": pa.array(
+            [base, base + " tail", "totally different words here",
+             "another standalone", "third standalone"], pa.string()
+        ),
+    }
+    d = tmp_path / "sf"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+
+    out = {r["doc_id"]: (r["rep_id"], r["split"])
+           for r in q.q_leakage_free_split(str(d)).take_all()}
+    assert out[0] == (0, "train") and out[1] == (0, "train")  # same split
+    assert out[2] == (2, "train")
+    assert out[8] == (8, "valid")
+    assert out[19] == (19, "test")
