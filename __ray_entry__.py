@@ -469,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_frontier": q.q_pareto_frontier,  # 2-D skyline (r5)
         "value_ranks": q.q_value_ranks,  # no-sort global ranks (r5)
         "leakage_free_split": q.q_leakage_free_split,  # cluster split (r5)
+        "cocitation": q.q_cocitation,  # shared in-link sources (r5)
         "similar_docs": q.q_similar_docs,  # sparse doc-doc cosine (exact, r5)
         "containment_pairs": q.q_containment_pairs,  # Broder containment (exact, r5)
         "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
@@ -1426,6 +1427,20 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             LEFT JOIN na2 a ON a.node = n.node
             LEFT JOIN nh2 h ON h.node = n.node
+        """,
+        # co-citation: distinct edges, unordered target pairs per source.
+        "cocitation": """
+            WITH e AS (
+              SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+              UNION ALL SELECT doc_id, doc_id % 89 FROM documents
+              UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+            ),
+            e2 AS (SELECT DISTINCT src, dst FROM e)
+            SELECT a.dst AS node1, b.dst AS node2,
+                   CAST(COUNT(*) AS BIGINT) AS n_common_sources
+            FROM e2 a JOIN e2 b
+              ON a.src = b.src AND a.dst < b.dst
+            GROUP BY 1, 2
         """,
         # leakage-free split: near-dup clusters (same chain as
         # neardup_clusters) + rep_id % 10 assignment (8/1/1).

@@ -2910,6 +2910,37 @@ def q_ppr(sf_dir: str):
     )
 
 
+def q_cocitation(sf_dir: str):
+    """Co-citation counts (distinct shared in-link sources per target
+    pair) over the deterministic doc multigraph."""
+    from ..stages.graph import cocitation_counts
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks()
+        dsts = [
+            _mod(d, 97).combine_chunks()
+            if isinstance(_mod(d, 97), pa.ChunkedArray) else _mod(d, 97),
+            _mod(d, 89).combine_chunks()
+            if isinstance(_mod(d, 89), pa.ChunkedArray) else _mod(d, 89),
+            pc.divide(d, 2),
+        ]
+        return pa.table(
+            {
+                "src": pa.chunked_array([d, d, d]),
+                "dst": pa.chunked_array(
+                    [x.combine_chunks() if isinstance(x, pa.ChunkedArray)
+                     else x for x in dsts]
+                ),
+            }
+        )
+
+    return cocitation_counts(
+        docs.map_batches(edges, batch_format="pyarrow").repartition(4)
+    )
+
+
 def q_kcore(sf_dir: str):
     """Bounded synchronous k-core peel (k=3, 6 rounds,
     stages/graph.kcore_peel) over the deterministic doc multigraph —

@@ -345,3 +345,34 @@ def test_ppr_fixed_matches_local_replay():
     assert got == pr
     assert got[50] == 0 and got[51] == 0       # unreachable
     assert got[0] > 0 and got[1] > 0 and got[3] > 0
+
+
+def test_cocitation_counts_matches_brute_force():
+    from ocr_search_ray.stages.graph import cocitation_counts
+
+    edges = [(0, 1), (0, 2), (0, 2), (1, 2), (1, 3), (2, 1), (2, 3),
+             (3, 3)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = {(r["node1"], r["node2"]): r["n_common_sources"]
+           for r in cocitation_counts(ds).take_all()}
+
+    from collections import defaultdict
+    outs = defaultdict(set)
+    for s, d in edges:
+        outs[s].add(d)
+    exp = defaultdict(int)
+    for _s, ds_ in outs.items():
+        ds_ = sorted(ds_)
+        for i in range(len(ds_)):
+            for j in range(i + 1, len(ds_)):
+                exp[(ds_[i], ds_[j])] += 1
+    assert got == dict(exp)
+    # dup edge 0→2 counts once: pair (1,2) has the single source 0
+    assert got[(1, 2)] == 1 and got[(2, 3)] == 1 and got[(1, 3)] == 1
