@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
+        "bfs_hops": q.q_bfs_hops,  # multi-source BFS distances (r5)
         "hits": q.q_hits,  # Kleinberg hubs/authorities, int64 exact (r5)
         "triangle_counts": q.q_triangle_counts,  # oriented wedge-close (r5)
         "rademacher_project": q.q_rademacher_project,  # int-exact JL (r5)
@@ -1373,6 +1374,43 @@ def oracle_sql() -> dict[str, str]:
         # HITS: same deterministic multigraph as pagerank; 2 rounds at
         # scale 10^6; floor-divisor normalization (a // max(1, Σa // s))
         # keeps everything int64 — bit-exact replay.
+        # BFS hop distances: unrolled walk levels (distinct dst per level)
+        # + MIN level per node == shortest hops within the 3-hop bound —
+        # identical to the engine's frontier-delta BFS (a node's first
+        # reachable level is its BFS distance; later walk re-visits lose
+        # the MIN). MATERIALIZED per the _kcore_sql lesson (each level
+        # feeds the next + the final union).
+        "bfs_hops": """
+            WITH e AS MATERIALIZED (
+              SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+              UNION ALL SELECT doc_id, doc_id % 89 FROM documents
+              UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+            ),
+            s0 AS MATERIALIZED (
+              SELECT DISTINCT doc_id AS node FROM documents
+              WHERE doc_id % 67 = 5
+            ),
+            n1 AS MATERIALIZED (
+              SELECT DISTINCT e.dst AS node FROM e
+              JOIN s0 ON e.src = s0.node
+            ),
+            n2 AS MATERIALIZED (
+              SELECT DISTINCT e.dst AS node FROM e
+              JOIN n1 ON e.src = n1.node
+            ),
+            n3 AS MATERIALIZED (
+              SELECT DISTINCT e.dst AS node FROM e
+              JOIN n2 ON e.src = n2.node
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(MIN(lvl) AS BIGINT) AS hops
+            FROM (
+              SELECT node, 0 AS lvl FROM s0
+              UNION ALL SELECT node, 1 FROM n1
+              UNION ALL SELECT node, 2 FROM n2
+              UNION ALL SELECT node, 3 FROM n3
+            ) GROUP BY node
+        """,
         "hits": """
             WITH e AS (
               SELECT doc_id AS src, doc_id % 97 AS dst FROM documents

@@ -2941,6 +2941,47 @@ def q_cocitation(sf_dir: str):
     )
 
 
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distances (stages/graph.bfs_hops): frontier-
+    delta expansion from the seed set {doc_id % 67 == 5} over the shared
+    deterministic doc multigraph, 3 bounded hops. The oracle replays it
+    as unrolled walk levels (distinct dst per level, MIN level per node
+    — identical to BFS shortest hops within the bound)."""
+    from ..stages.graph import bfs_hops
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks()
+        dsts = [
+            _mod(d, 97).combine_chunks()
+            if isinstance(_mod(d, 97), pa.ChunkedArray) else _mod(d, 97),
+            _mod(d, 89).combine_chunks()
+            if isinstance(_mod(d, 89), pa.ChunkedArray) else _mod(d, 89),
+            pc.divide(d, 2),
+        ]
+        return pa.table(
+            {
+                "src": pa.chunked_array([d, d, d]),
+                "dst": pa.chunked_array(
+                    [x.combine_chunks() if isinstance(x, pa.ChunkedArray)
+                     else x for x in dsts]
+                ),
+            }
+        )
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id")
+        keep = pc.equal(_mod(d.combine_chunks(), 67), 5)
+        return pa.table({"node": d.filter(keep)})
+
+    return bfs_hops(
+        docs.map_batches(edges, batch_format="pyarrow").repartition(4),
+        docs.map_batches(seed_rows, batch_format="pyarrow"),
+        max_hops=3,
+    )
+
+
 def q_kcore(sf_dir: str):
     """Bounded synchronous k-core peel (k=3, 6 rounds,
     stages/graph.kcore_peel) over the deterministic doc multigraph —

@@ -857,6 +857,110 @@ def ppr_fixed(edges, seeds, *, iters: int = 2, scale: int = 10**12,
     )
 
 
+def bfs_hops(edges, seeds, *, max_hops: int = 4,
+             src_col: str = "src", dst_col: str = "dst",
+             n_blocks: int | None = None):
+    """Multi-source BFS hop distances over a DIRECTED edge table: for
+    every node reachable from the seed set within ``max_hops`` link
+    follows, the minimum hop count (0 for seeds). The crawl-frontier /
+    seed-expansion primitive (how far is every page from a trusted seed
+    set — TrustRank-style distance features, wiki-distance curation
+    signals); the reference has no graph ops, this is a
+    beyond-reference web-curation operator.
+
+    Frontier-delta plan (the ``connected_components`` trick applied to
+    BFS, where it is the textbook formulation): the per-round join
+    touches ONLY last round's newly-discovered frontier, never the
+    visited set —
+
+    - dist_0 = distinct seeds at hops 0; frontier_0 = dist_0
+    - per round h: candidates = frontier ⋈ edges on src (one
+      ``cluster_join``) → distinct dst (one ``cluster_apply``
+      group_by); new = candidates ANTI dist (one ``cluster_join``,
+      visited-set subtraction WITHOUT driver state); dist += new at
+      hops h; frontier = new
+    - stop early when new is empty (driver holds one count per round).
+
+    BFS min-hop correctness needs no min-merge: a node enters dist the
+    first round it is reachable, and the anti-join guarantees it never
+    re-enters — so hops is exactly the shortest distance. Every
+    exchange is int64-keyed; dist/frontier materialize per round
+    (iterative-fixpoint requirement) and stay object-store-resident.
+
+    ``n_blocks``: width pin for the iterated tables (same growth issue
+    as ``kcore_peel`` — per-round unions/joins multiply block counts on
+    small inputs; defaults to the edge table's own block count).
+
+    → (node:int64, hops:int64), one row per reached node.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import cluster_apply
+
+    e64 = edges.map_batches(
+        lambda b: pa.table(
+            {src_col: b.column(src_col).cast(pa.int64()),
+             dst_col: b.column(dst_col).cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if n_blocks is None:
+        n_blocks = max(1, e64.num_blocks())
+
+    def with_hops(h):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": b.column("node"),
+                 "hops": pa.repeat(pa.scalar(h, pa.int64()), b.num_rows)}
+            )
+        return f
+
+    dist = cluster_apply(
+        seeds.map_batches(
+            lambda b: pa.table({"node": b.column("node").cast(pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+        lambda blk: blk.group_by(["node"]).aggregate([]),
+    ).map_batches(with_hops(0), batch_format="pyarrow") \
+     .repartition(n_blocks).materialize()
+    frontier = dist
+
+    for h in range(1, max_hops + 1):
+        reached = cluster_join(
+            e64,
+            frontier.map_batches(
+                lambda b: pa.table({src_col: b.column("node")}),
+                batch_format="pyarrow",
+            ),
+            [src_col],
+            left_types={src_col: pa.int64(), dst_col: pa.int64()},
+            right_types={},
+            how="semi",
+        )
+        cand = cluster_apply(
+            reached.map_batches(
+                lambda b: pa.table({"node": b.column(dst_col)}),
+                batch_format="pyarrow",
+            ),
+            ["node"],
+            lambda blk: blk.group_by(["node"]).aggregate([]),
+        )
+        new = cluster_join(
+            cand, dist, ["node"],
+            left_types={"node": pa.int64()},
+            right_types={},
+            how="anti",
+        ).map_batches(with_hops(h), batch_format="pyarrow") \
+         .repartition(n_blocks).materialize()
+        if new.count() == 0:
+            break
+        dist = dist.union(new).repartition(n_blocks).materialize()
+        frontier = new
+
+    return dist
+
+
 def cocitation_counts(edges, *, src_col: str = "src", dst_col: str = "dst",
                       max_out: int = 10_000):
     """Co-citation counts (Small 1973): for every unordered pair of

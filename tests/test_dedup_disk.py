@@ -376,3 +376,47 @@ def test_cocitation_counts_matches_brute_force():
     assert got == dict(exp)
     # dup edge 0→2 counts once: pair (1,2) has the single source 0
     assert got[(1, 2)] == 1 and got[(2, 3)] == 1 and got[(1, 3)] == 1
+
+def test_bfs_hops_matches_local_bfs():
+    """bfs_hops vs a literal BFS replay: min hop distances, directed
+    edges, bound respected, unreachable nodes absent, early exit on a
+    converged frontier."""
+    from ocr_search_ray.stages.graph import bfs_hops
+
+    # two seeds; diamond + chain past the bound + unreachable island +
+    # a back-edge revisiting a closer node (anti-join must drop it)
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6),
+             (3, 0), (20, 21), (9, 1)]
+    seeds = [0, 9]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    sd = rd.from_arrow(pa.table({"node": pa.array(seeds, pa.int64())}))
+    max_hops = 3
+    got = {r["node"]: r["hops"]
+           for r in bfs_hops(ds, sd, max_hops=max_hops).take_all()}
+
+    from collections import deque
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    exp, dq = {s: 0 for s in seeds}, deque(seeds)
+    while dq:
+        u = dq.popleft()
+        if exp[u] >= max_hops:
+            continue
+        for v in adj.get(u, []):
+            if v not in exp:
+                exp[v] = exp[u] + 1
+                dq.append(v)
+    assert got == exp
+    assert 20 not in got and 21 not in got      # unreachable island
+    assert got[3] == 1 or got[3] == 2           # diamond min path
+    assert got[3] == min(2, got[3])
+    assert 5 not in got and 6 not in got         # past the 3-hop bound
+    assert got[4] == 3
