@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
         "bfs_hops": q.q_bfs_hops,  # multi-source BFS distances (r5)
+        "collocations": q.q_collocations,  # integer PMI-lift bigrams (r5)
         "hits": q.q_hits,  # Kleinberg hubs/authorities, int64 exact (r5)
         "triangle_counts": q.q_triangle_counts,  # oriented wedge-close (r5)
         "rademacher_project": q.q_rademacher_project,  # int-exact JL (r5)
@@ -1374,6 +1375,41 @@ def oracle_sql() -> dict[str, str]:
         # HITS: same deterministic multigraph as pagerank; 2 rounds at
         # scale 10^6; floor-divisor normalization (a // max(1, Σa // s))
         # keeps everything int64 — bit-exact replay.
+        # PMI-lift collocations: tokens = single-space split, empties
+        # excluded (ngram_counts convention); lift = ((1e9·pair)//c1)//c2
+        # — left-associative positive floor division on both sides, so
+        # the hash compare is bit-exact.
+        "collocations": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS words
+              FROM documents
+            ),
+            uni AS (
+              SELECT list_extract(words, i) AS tok,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(1, len(words))) AS i) g
+              GROUP BY 1
+            ),
+            big AS (
+              SELECT list_extract(words, i) AS w1,
+                     list_extract(words, i + 1) AS w2,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM w, LATERAL (
+                SELECT unnest(
+                  generate_series(1, greatest(len(words) - 1, 0))) AS i) g
+              GROUP BY 1, 2
+            )
+            SELECT b.w1, b.w2, b.c AS pair_n, u1.c AS w1_n, u2.c AS w2_n,
+                   CAST((1000000000 * b.c) // u1.c // u2.c AS BIGINT)
+                     AS lift_scaled
+            FROM big b
+            JOIN uni u1 ON u1.tok = b.w1
+            JOIN uni u2 ON u2.tok = b.w2
+            WHERE b.c >= 3
+        """,
         # BFS hop distances: unrolled walk levels (distinct dst per level)
         # + MIN level per node == shortest hops within the 3-hop bound —
         # identical to the engine's frontier-delta BFS (a node's first

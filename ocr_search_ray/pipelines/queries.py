@@ -2078,6 +2078,16 @@ def q_ngram_counts(sf_dir: str):
     )
 
 
+def q_collocations(sf_dir: str):
+    """Integer-scaled PMI-lift bigram collocations
+    (stages/textstats.collocations) over documents, pair count >= 3 —
+    all-integer lattice, bit-exact oracle."""
+    return textstats.collocations(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        min_count=3,
+    )
+
+
 def q_domain_stats(sf_dir: str):
     """Per-domain page/url volume over the ingested pages (skew monitor)."""
     pages = ingest(read_webpages(sf_dir))["pages"]

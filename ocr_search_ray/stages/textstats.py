@@ -518,6 +518,102 @@ def ngram_counts(documents, *, n: int = 2, min_count: int = 1,
     return cluster_apply(partials, ["ngram"], block_sum)
 
 
+def collocations(documents, *, min_count: int = 3, scale: int = 10**9,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """→ (w1, w2, pair_n, w1_n, w2_n, lift_scaled): corpus bigram
+    collocations scored by integer-scaled PMI lift (Church & Hanks 1990
+    association ratio): lift_scaled = ((scale·pair_n) // w1_n) // w2_n.
+    Ranking by that ratio ranks by PMI (the NW²/NB normalization is a
+    constant across pairs, and floor division preserves order up to the
+    quantization the scale makes explicit); keeping the raw integer
+    counts alongside lets callers recompute any PMI variant exactly.
+
+    Scale shape: both count tables come from ``ngram_counts``'s
+    combiner-collapsed partial-sum plan (one row per distinct gram per
+    batch crosses the exchange — the Zipf head collapses block-locally);
+    the pair table is min_count-pruned BEFORE the two unigram-attach
+    ``cluster_join`` passes, so the joins move only surviving pairs.
+    All-integer lattice → a DuckDB oracle replays it bit-exactly
+    (a // b // c == a // (b·c) for positive ints, both sides
+    left-associative floor). Overflow bound: scale·pair_n must fit
+    int64 — pair_n < 9.2·10^9 at the default scale; raise min_count /
+    lower scale past that (hot "of the"-class pairs at 10^13-token
+    corpora), the counts themselves never overflow.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import cluster_join
+
+    big = ngram_counts(documents, n=2, min_count=min_count,
+                       id_col=id_col, text_col=text_col)
+    # uni feeds BOTH attach joins — pin it or each join re-runs the
+    # count (and re-scans documents) from scratch. documents itself is
+    # scanned twice (bigram + unigram pass) by design: the scans stream
+    # and the alternative (materializing the text column) costs more.
+    uni = ngram_counts(
+        documents, n=1, id_col=id_col, text_col=text_col
+    ).materialize()
+
+    def split_pair(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("ngram"), " ")
+        return pa.table(
+            {
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+                "pair_n": batch.column("count"),
+            }
+        )
+
+    pairs = big.map_batches(split_pair, batch_format="pyarrow")
+    with_c1 = cluster_join(
+        pairs,
+        uni.map_batches(
+            lambda b: pa.table(
+                {"w1": b.column("ngram"), "w1_n": b.column("count")}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["w1"],
+        left_types={"w1": pa.string(), "w2": pa.string(),
+                    "pair_n": pa.int64()},
+        right_types={"w1_n": pa.int64()},
+    )
+    with_both = cluster_join(
+        with_c1,
+        uni.map_batches(
+            lambda b: pa.table(
+                {"w2": b.column("ngram"), "w2_n": b.column("count")}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["w2"],
+        left_types={"w1": pa.string(), "w2": pa.string(),
+                    "pair_n": pa.int64(), "w1_n": pa.int64()},
+        right_types={"w2_n": pa.int64()},
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        lift = pc.divide(
+            pc.divide(
+                pc.multiply(batch.column("pair_n"), scale),
+                batch.column("w1_n"),
+            ),
+            batch.column("w2_n"),
+        )
+        return pa.table(
+            {
+                "w1": batch.column("w1"),
+                "w2": batch.column("w2"),
+                "pair_n": batch.column("pair_n"),
+                "w1_n": batch.column("w1_n"),
+                "w2_n": batch.column("w2_n"),
+                "lift_scaled": lift.cast(pa.int64()),
+            }
+        )
+
+    return with_both.map_batches(score, batch_format="pyarrow")
+
+
 def domain_cap(docs, cap: int, *, url_col: str = "url"):
     """→ input rows, at most ``cap`` per registrable host — per-domain
     frequency capping, the standard web-corpus skew guard (a handful of

@@ -292,3 +292,34 @@ def test_quality_filter_rules_and_reasons():
     # doc 0: 42 tokens, 9/42 stopwords >= 1/25, ttr 10/42 < 3/10 → ttr fail?
     # types: informative + 9 distinct stopwords = 10; 10*10 < 42*3 → fails ttr
     assert got[0] == (False, "ttr")
+
+def test_collocations_matches_brute_force():
+    """collocations vs a literal Counter replay — integer lift lattice,
+    min_count prune, multi-space/empty-token convention."""
+    import ray.data as rd
+    from collections import Counter
+    from ocr_search_ray.stages.textstats import collocations
+
+    texts = [
+        "a b a b c", "a b  x", "b c a b", "x y", "",
+        "a b c a b", None,
+    ]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(3)
+    got = {(r["w1"], r["w2"]): (r["pair_n"], r["w1_n"], r["w2_n"],
+                                r["lift_scaled"])
+           for r in collocations(ds, min_count=2).take_all()}
+
+    uni, big = Counter(), Counter()
+    for t in texts:
+        toks = [w for w in (t or "").split(" ") if w]
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    exp = {}
+    for (w1, w2), c in big.items():
+        if c >= 2:
+            exp[(w1, w2)] = (c, uni[w1], uni[w2],
+                             (10**9 * c) // uni[w1] // uni[w2])
+    assert got == exp
+    assert ("a", "b") in got and got[("a", "b")][0] == 6
