@@ -452,6 +452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # this round (r5) lead; the window covers the first 50 ---
         "bfs_hops": q.q_bfs_hops,  # multi-source BFS distances (r5)
         "collocations": q.q_collocations,  # integer PMI-lift bigrams (r5)
+        "grouped_mad": q.q_grouped_mad,  # median/MAD + Hampel outliers (r5)
+        "search_rrf": q.q_search_rrf,  # reciprocal-rank fusion tf+bm25 (r5)
         "hits": q.q_hits,  # Kleinberg hubs/authorities, int64 exact (r5)
         "triangle_counts": q.q_triangle_counts,  # oriented wedge-close (r5)
         "rademacher_project": q.q_rademacher_project,  # int-exact JL (r5)
@@ -1375,6 +1377,32 @@ def oracle_sql() -> dict[str, str]:
         # HITS: same deterministic multigraph as pagerank; 2 rounds at
         # scale 10^6; floor-divisor normalization (a // max(1, Σa // s))
         # keeps everything int64 — bit-exact replay.
+        # Grouped median/MAD + Hampel outlier count: both quantiles are
+        # quantile_disc selections, dev = one IEEE abs-subtract, cutoff =
+        # one IEEE multiply — bitwise-identical lattice to the engine.
+        "grouped_mad": """
+            WITH m AS (
+              SELECT event_type, quantile_disc(value, 0.5) AS med,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type
+            ),
+            d AS (
+              SELECT e.event_type, abs(e.value - m.med) AS dev
+              FROM events e JOIN m USING (event_type)
+            ),
+            s AS (
+              SELECT event_type, quantile_disc(dev, 0.5) AS mad
+              FROM d GROUP BY event_type
+            ),
+            o AS (
+              SELECT d.event_type,
+                     CAST(COUNT(*) FILTER (WHERE d.dev > 3.0 * s.mad)
+                          AS BIGINT) AS n_outliers
+              FROM d JOIN s USING (event_type) GROUP BY d.event_type
+            )
+            SELECT m.event_type, m.med, s.mad, m.n, o.n_outliers
+            FROM m JOIN s USING (event_type) JOIN o USING (event_type)
+        """,
         # PMI-lift collocations: tokens = single-space split, empties
         # excluded (ngram_counts convention); lift = ((1e9·pair)//c1)//c2
         # — left-associative positive floor division on both sides, so
@@ -2055,6 +2083,78 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY h.score DESC, h.doc_id
             LIMIT 20
         """,
+        # RRF fusion of the tf and bm25 top-20 lists: 1-based ranks under
+        # (score desc, doc_id asc) — the exact truncation order both
+        # engine scorers use — fused as 10^9 // (60 + rank) integer
+        # contributions (Cormack et al. 2009 k=60).
+        "search_rrf": f"""
+            {{pfx}},
+            htf AS (
+              SELECT doc_id, CAST(MAX(tf) AS BIGINT) AS score
+              FROM postings
+              WHERE term IN ('spark', 'merge', 'datum')
+              GROUP BY doc_id
+            ),
+            ltf AS (
+              SELECT doc_id, score FROM htf
+              ORDER BY score DESC, doc_id LIMIT 20
+            ),
+            rtf AS (
+              SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                          AS BIGINT) AS r
+              FROM ltf
+            ),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM pages_full),
+            tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS t FROM postings),
+            dl AS (
+              SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+              FROM postings GROUP BY doc_id
+            ),
+            qp AS (
+              SELECT doc_id, term, tf FROM postings
+              WHERE term IN ('spark', 'merge', 'datum')
+            ),
+            df AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM qp GROUP BY term
+            ),
+            units AS (
+              SELECT p.doc_id,
+                     CAST(trunc(
+                       (ln(((CAST(n.n_docs AS DOUBLE)
+                             - CAST(df.df AS DOUBLE)) + 0.5)
+                          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                        * ((CAST(p.tf AS DOUBLE) * 2.2)
+                           / (CAST(p.tf AS DOUBLE)
+                              + 1.2 * (0.25 + 0.75
+                                       * (CAST(dl.dl AS DOUBLE)
+                                          / (CAST(tot.t AS DOUBLE)
+                                             / CAST(n.n_docs AS DOUBLE)))))))
+                       * 1000000000.0) AS BIGINT) AS u
+              FROM qp p JOIN df USING (term) JOIN dl USING (doc_id), n, tot
+            ),
+            hbm AS (
+              SELECT doc_id, CAST(SUM(u) AS BIGINT) AS score
+              FROM units GROUP BY doc_id
+            ),
+            lbm AS (
+              SELECT doc_id, score FROM hbm
+              ORDER BY score DESC, doc_id LIMIT 20
+            ),
+            rbm AS (
+              SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                          AS BIGINT) AS r
+              FROM lbm
+            )
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   a.r AS rank_tf, b.r AS rank_bm25,
+                   CAST(COALESCE(1000000000 // (60 + a.r), 0)
+                        + COALESCE(1000000000 // (60 + b.r), 0)
+                        AS BIGINT) AS rrf_units
+            FROM rtf a FULL OUTER JOIN rbm b ON a.doc_id = b.doc_id
+        """.replace("{pfx}", _POSTINGS_PREFIX),
         "search_bm25_disk": f"""
             {_POSTINGS_PREFIX},
             n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM pages_full),

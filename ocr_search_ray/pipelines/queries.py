@@ -1766,6 +1766,19 @@ def q_winsorize_values(sf_dir: str):
     )
 
 
+def q_grouped_mad(sf_dir: str):
+    """Per-event-type robust dispersion (stages/relational.grouped_mad):
+    selection-exact median + MAD and the Hampel z=3 outlier count —
+    float-exact lattice (one subtraction, one abs, one multiply per
+    value), bit-exact oracle."""
+    from ..stages.relational import grouped_mad
+
+    return grouped_mad(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        ["event_type"], "value", z=3.0,
+    )
+
+
 def q_leakage_free_split(sf_dir: str):
     """Near-dup-aware train/valid/test split: every member of a fuzzy-dup
     cluster (q_neardup_clusters: Jaccard ≥ 30% pairs → transitive
@@ -3045,6 +3058,20 @@ def q_search_bm25(sf_dir: str):
         stages["postings"], stages["pages"], "Spark MERGE data!",
         max_return=20,
     )
+
+
+def q_search_rrf(sf_dir: str):
+    """Reciprocal-rank fusion (stages/search.rrf_fuse) of the raw-tf and
+    BM25 top-20 rankings for the shared query — one ingest, both scorers
+    over the same pinned postings/pages, exact integer RRF lattice."""
+    from ..stages.search import bm25_search, rrf_fuse, search
+
+    stages = ingest(read_webpages(sf_dir))
+    postings = stages["postings"].materialize()
+    pages = stages["pages"].materialize()
+    tf = search(postings, pages, "Spark MERGE data!", max_return=20)
+    bm = bm25_search(postings, pages, "Spark MERGE data!", max_return=20)
+    return rrf_fuse([tf, bm], ["tf", "bm25"])
 
 
 def q_neardup_incremental(sf_dir: str):

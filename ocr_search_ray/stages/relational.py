@@ -1414,6 +1414,85 @@ def salted_cluster_join(left, right, keys: list[str], *,
     return joined.drop_columns([_SALT])
 
 
+def grouped_mad(ds, key_cols: list[str], value_col: str, *,
+                z: float = 3.0):
+    """Per-group robust dispersion: median, median absolute deviation
+    (Hampel's MAD — the 50%-breakdown outlier scale a mean/std pair
+    lacks), group size, and the count of ``|x − med| > z·mad`` outliers
+    (the Hampel identifier at cutoff ``z``).
+
+    Float-EXACT despite float inputs: both the median and the MAD are
+    SELECTION-based (``rank = max(1, ceil(q·n))`` — the
+    :func:`winsorize_values` / DuckDB ``quantile_disc`` convention), the
+    deviation is one IEEE subtraction + abs, and the cutoff is one IEEE
+    multiply — every arithmetic op is a single deterministic rounding
+    that DuckDB replays bitwise, so the oracle hash-compare is exact.
+
+    Physical plan: ONE group-key ``cluster_apply`` over the projected
+    (keys, value) pairs; each group is co-located, so median, MAD and
+    the outlier count all happen block-locally (python loops over
+    GROUPS, numpy over rows). Output is one row per group.
+
+    → key_cols + (med, mad, n, n_outliers).
+    """
+    import math
+
+    import numpy as np
+
+    def stats_fn(block: pa.Table) -> pa.Table:
+        tbl = block.sort_by(
+            [(k, "ascending") for k in key_cols]
+            + [(value_col, "ascending")]
+        )
+        keys_np = [
+            tbl.column(k).to_numpy(zero_copy_only=False) for k in key_cols
+        ]
+        vals = tbl.column(value_col).to_numpy(zero_copy_only=False)
+        vtype = tbl.column(value_col).type
+        n_rows = len(vals)
+        if n_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], tbl.column(k).type) for k in key_cols},
+                 "med": pa.array([], vtype), "mad": pa.array([], vtype),
+                 "n": pa.array([], pa.int64()),
+                 "n_outliers": pa.array([], pa.int64())}
+            )
+        change = np.zeros(n_rows - 1, dtype=bool)
+        for arr in keys_np:
+            change |= arr[1:] != arr[:-1]
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        ends = np.concatenate((starts[1:], [n_rows]))
+        meds, mads, ns, outs = [], [], [], []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            med = vals[s + max(1, math.ceil(0.5 * n)) - 1]
+            dev = np.abs(vals[s:e] - med)
+            mad = np.sort(dev, kind="stable")[max(1, math.ceil(0.5 * n)) - 1]
+            meds.append(med)
+            mads.append(mad)
+            ns.append(n)
+            outs.append(int(np.count_nonzero(dev > z * mad)))
+        return pa.table(
+            {**{k: pa.array(keys_np[ki][starts], tbl.column(k).type)
+                for ki, k in enumerate(key_cols)},
+             "med": pa.array(meds, vtype), "mad": pa.array(mads, vtype),
+             "n": pa.array(ns, pa.int64()),
+             "n_outliers": pa.array(outs, pa.int64())}
+        )
+
+    def proj_fn(b: pa.Table) -> pa.Table:
+        # float64 BEFORE any arithmetic: DuckDB computes in DOUBLE, and a
+        # float32 subtraction rounds differently than cast-then-subtract
+        # (the cast itself is exact) — the same promotion order keeps the
+        # lattice bitwise.
+        cols = {k: b.column(k) for k in key_cols}
+        cols[value_col] = b.column(value_col).cast(pa.float64())
+        return pa.table(cols)
+
+    proj = ds.map_batches(proj_fn, batch_format="pyarrow")
+    return cluster_apply(proj, key_cols, stats_fn)
+
+
 def winsorize_values(ds, key_cols: list[str], value_col: str, *,
                      q_lo: float = 0.05, q_hi: float = 0.95,
                      carry_cols: list[str] | None = None):

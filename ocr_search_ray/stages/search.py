@@ -400,3 +400,45 @@ def bm25_search(postings, pages, query: str,
         out, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
     )[:max_return])
     return out.select(_RESULT_COLUMNS)
+
+
+def rrf_fuse(ranked: "list[pa.Table]", names: list[str], *,
+             k: int = 60, scale: int = 10**9) -> pa.Table:
+    """Reciprocal rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    two or more ranked result lists — the standard zero-training way to
+    combine scorers whose scales don't compare (raw-tf vs BM25 here; the
+    reference has a single scorer, this is the beyond-reference ensemble
+    step). Exact integer lattice: each list contributes
+    ``scale // (k + rank)`` with 1-based ranks under (score desc, doc_id
+    asc) — k=60 per the paper — so a DuckDB oracle replays it bitwise.
+
+    Inputs are ALREADY top-k-bounded search results (≤ max_return rows
+    each, the documented query-path driver bound), so fusing is a
+    driver-side merge of answer-sized lists — the same collect class as
+    the final ranking step it follows. Docs absent from a list get no
+    contribution from it (their rank column is null).
+
+    → (doc_id, rank_<name>..., rrf_units), one row per doc in any list.
+    """
+    import pyarrow.compute as pc
+
+    rank_maps: list[dict] = []
+    for tbl in ranked:
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+        )
+        ids = tbl.column("doc_id").take(idx).to_pylist()
+        rank_maps.append({d: r + 1 for r, d in enumerate(ids)})
+
+    all_ids = sorted(set().union(*[m.keys() for m in rank_maps]))
+    cols: dict = {"doc_id": pa.array(all_ids, pa.string())}
+    for name, m in zip(names, rank_maps):
+        cols[f"rank_{name}"] = pa.array(
+            [m.get(d) for d in all_ids], pa.int64()
+        )
+    cols["rrf_units"] = pa.array(
+        [sum(scale // (k + m[d]) for m in rank_maps if d in m)
+         for d in all_ids],
+        pa.int64(),
+    )
+    return pa.table(cols)

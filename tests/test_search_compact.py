@@ -158,3 +158,25 @@ def test_on_disk_compaction_rewrites_only_affected_partitions(tmp_path):
     rows = m.read(str(out_dir / "_manifest"))
     stages_in_manifest = set(rows.column("stage").to_pylist())
     assert "compact" in stages_in_manifest
+
+def test_rrf_fuse_integer_lattice():
+    """rrf_fuse vs a literal replay: rank order (score desc, id asc),
+    union of lists, null rank for absences, 10^9//(60+r) contributions."""
+    import pyarrow as pa
+    from ocr_search_ray.stages.search import rrf_fuse
+
+    t1 = pa.table({"doc_id": pa.array(["a", "b", "c"]),
+                   "score": pa.array([9, 9, 5], pa.int64())})
+    t2 = pa.table({"doc_id": pa.array(["c", "d"]),
+                   "score": pa.array([7, 2], pa.int64())})
+    out = rrf_fuse([t1, t2], ["x", "y"])
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    S = 10**9
+    # list x ranks: a=1 (tie 9/9 broken by id), b=2, c=3; list y: c=1, d=2
+    assert rows["a"]["rank_x"] == 1 and rows["a"]["rank_y"] is None
+    assert rows["b"]["rank_x"] == 2
+    assert rows["c"]["rank_x"] == 3 and rows["c"]["rank_y"] == 1
+    assert rows["a"]["rrf_units"] == S // 61
+    assert rows["c"]["rrf_units"] == S // 63 + S // 61
+    assert rows["d"]["rrf_units"] == S // 62
+    assert set(rows) == {"a", "b", "c", "d"}

@@ -323,3 +323,32 @@ def test_collocations_matches_brute_force():
                              (10**9 * c) // uni[w1] // uni[w2])
     assert got == exp
     assert ("a", "b") in got and got[("a", "b")][0] == 6
+
+def test_grouped_mad_matches_brute_force():
+    """grouped_mad vs a literal replay — selection ranks, Hampel count,
+    all-equal group (mad 0 → every dev 0 is NOT an outlier)."""
+    import math
+    import ray.data as rd
+    from ocr_search_ray.stages.relational import grouped_mad
+
+    rows = [("a", v) for v in [1.0, 2.0, 100.0, 3.0, 2.5, -7.0]]
+    rows += [("b", 5.0)] * 4                    # mad 0, no outliers
+    rows += [("c", v) for v in [10.0, 10.0, 10.0, 10.0, 10.0, 99.0]]
+    ds = rd.from_items(
+        [{"event_type": k, "value": v} for k, v in rows]
+    ).repartition(3)
+    got = {r["event_type"]: (r["med"], r["mad"], r["n"], r["n_outliers"])
+           for r in grouped_mad(ds, ["event_type"], "value").take_all()}
+
+    exp = {}
+    for k in ("a", "b", "c"):
+        vals = sorted(v for kk, v in rows if kk == k)
+        n = len(vals)
+        med = vals[max(1, math.ceil(0.5 * n)) - 1]
+        dev = sorted(abs(v - med) for v in vals)
+        mad = dev[max(1, math.ceil(0.5 * n)) - 1]
+        out = sum(1 for v in vals if abs(v - med) > 3.0 * mad)
+        exp[k] = (med, mad, n, out)
+    assert got == exp
+    assert got["b"] == (5.0, 0.0, 4, 0)
+    assert got["c"][3] == 1                     # the planted 99.0
