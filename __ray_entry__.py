@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": q.q_collocations,  # integer PMI-lift bigrams (r5)
         "grouped_mad": q.q_grouped_mad,  # median/MAD + Hampel outliers (r5)
         "search_rrf": q.q_search_rrf,  # reciprocal-rank fusion tf+bm25 (r5)
+        "html_meta": q.q_html_meta,  # head-metadata extraction (r5)
         "hits": q.q_hits,  # Kleinberg hubs/authorities, int64 exact (r5)
         "triangle_counts": q.q_triangle_counts,  # oriented wedge-close (r5)
         "rademacher_project": q.q_rademacher_project,  # int-exact JL (r5)
@@ -1377,6 +1378,31 @@ def oracle_sql() -> dict[str, str]:
         # HITS: same deterministic multigraph as pagerank; 2 rounds at
         # scale 10^6; floor-divisor normalization (a // max(1, Σa // s))
         # keeps everything int64 — bit-exact replay.
+        # html_meta: the oracle recomputes every head field straight from
+        # the generator inputs (documents.text + doc_id) — the engine must
+        # synthesize the page and regex-extract back the identical bytes.
+        # Absent fields are '' on both sides (DuckDB regexp_extract's
+        # no-match value; the engine fill_nulls to match).
+        "html_meta": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS words
+              FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(words[1:4], ' ')
+                     || ' | site' || CAST(doc_id % 7 AS VARCHAR) AS title,
+                   array_to_string(words[1:12], ' ') AS meta_description,
+                   CASE WHEN doc_id % 3 <> 0
+                        THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                             || '.example.org/canon-'
+                             || CAST(doc_id AS VARCHAR)
+                        ELSE '' END AS canonical_url,
+                   CASE WHEN doc_id % 2 = 0 THEN 'utf-8'
+                        ELSE '' END AS charset
+            FROM w
+        """,
         # Grouped median/MAD + Hampel outlier count: both quantiles are
         # quantile_disc selections, dev = one IEEE abs-subtract, cutoff =
         # one IEEE multiply — bitwise-identical lattice to the engine.

@@ -2241,6 +2241,47 @@ def q_main_content(sf_dir: str):
     return extract_main_content(pages, stopwords=frozenset({"a", "the"}))
 
 
+def q_html_meta(sf_dir: str):
+    """Head-metadata extraction (stages/boilerplate.extract_html_meta)
+    over deterministically synthesized pages: title / meta description /
+    canonical link / charset pulled by vectorized RE2 kernels; the
+    oracle recomputes every field straight from the generator inputs, so
+    the synthesis→extraction round trip must be byte-identical."""
+    from ..stages.boilerplate import extract_html_meta
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synthesize(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        pages = []
+        for d, t in zip(ids, texts):
+            words = [w for w in (t or "").split(" ") if w]
+            head = (
+                f"<title>{' '.join(words[:4])} | site{d % 7}</title>"
+                f'<meta name="description" content='
+                f'"{" ".join(words[:12])}">'
+            )
+            if d % 3 != 0:
+                head += (
+                    f'<link rel="canonical" '
+                    f'href="https://site{d % 7}.example.org/canon-{d}">'
+                )
+            if d % 2 == 0:
+                head += '<meta charset="utf-8">'
+            pages.append(
+                f"<html><head>{head}</head><body><p>{t}</p></body></html>"
+            )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "html": pa.array(pages, pa.string())}
+        )
+
+    return extract_html_meta(
+        docs.map_batches(synthesize, batch_format="pyarrow")
+    )
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-family repetition counters (exact integers; ratios are
     consumer-side)."""

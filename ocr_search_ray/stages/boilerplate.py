@@ -108,3 +108,40 @@ def extract_main_content(pages, *, id_col: str = "doc_id",
     return pages.select_columns([id_col, html_col]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def extract_html_meta(pages, *, id_col: str = "doc_id",
+                      html_col: str = "html"):
+    """→ (id_col, title, meta_description, canonical_url, charset): head
+    metadata extraction — the document-level companion to the body-side
+    jusText pass (crawl curation reads title/description for snippets and
+    canonical for URL dedup; the reference extracts body text only, this
+    is a beyond-reference extraction operator).
+
+    Fully VECTORIZED: four compiled RE2 kernels (`pc.extract_regex`) per
+    batch — leftmost non-greedy first match, the convention both RE2 and
+    DuckDB's regexp_extract share, so the oracle is exact; absent fields
+    normalize to '' (DuckDB's no-match value — pyarrow's null is
+    fill_null'd to keep the two sides bitwise-identical). The html
+    payload is consumed here and never leaves the stage (the
+    ``stages.extract`` payload-drop discipline).
+    """
+    import pyarrow.compute as pc
+
+    patterns = {
+        "title": r"<title>(?P<v>.*?)</title>",
+        "meta_description":
+            r'<meta name="description" content="(?P<v>[^"]*)"',
+        "canonical_url": r'<link rel="canonical" href="(?P<v>[^"]*)"',
+        "charset": r'<meta charset="(?P<v>[^"]*)"',
+    }
+
+    def f(batch: pa.Table) -> pa.Table:
+        html = batch.column(html_col)
+        cols = {id_col: batch.column(id_col)}
+        for name, pat in patterns.items():
+            ex = pc.extract_regex(html, pat)
+            cols[name] = pc.fill_null(pc.struct_field(ex, "v"), "")
+        return pa.table(cols)
+
+    return pages.map_batches(f, batch_format="pyarrow")

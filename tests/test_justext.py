@@ -81,3 +81,33 @@ def test_justext_blocks_stage_fanout():
         (7, 0, "good"), (7, 1, "good")
     ]
     assert rows[0]["n_stop"] == 3 and rows[1]["n_stop"] == 0
+
+
+def test_extract_html_meta_fields_and_nomatch():
+    """Vectorized head extraction: all four fields, '' for absent ones,
+    first-match-wins on duplicate tags."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ocr_search_ray.stages.boilerplate import extract_html_meta
+
+    pages = [
+        ('<html><head><title>A B</title>'
+         '<meta name="description" content="first twelve words here">'
+         '<link rel="canonical" href="https://x.example/c1">'
+         '<meta charset="utf-8"></head><body>t</body></html>'),
+        "<html><head></head><body>no head fields</body></html>",
+        ('<html><head><title>T1</title><title>T2</title>'
+         '</head><body></body></html>'),
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "html": pa.array(pages)})
+    ).repartition(2)
+    got = {r["doc_id"]: r for r in extract_html_meta(ds).take_all()}
+    assert got[0]["title"] == "A B"
+    assert got[0]["meta_description"] == "first twelve words here"
+    assert got[0]["canonical_url"] == "https://x.example/c1"
+    assert got[0]["charset"] == "utf-8"
+    assert (got[1]["title"], got[1]["meta_description"],
+            got[1]["canonical_url"], got[1]["charset"]) == ("", "", "", "")
+    assert got[2]["title"] == "T1"
