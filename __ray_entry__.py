@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mad": q.q_grouped_mad,  # median/MAD + Hampel outliers (r5)
         "search_rrf": q.q_search_rrf,  # reciprocal-rank fusion tf+bm25 (r5)
         "html_meta": q.q_html_meta,  # head-metadata extraction (r5)
+        "domain_ngrams": q.q_domain_ngrams,  # per-host top-k bigrams (r5)
         "hits": q.q_hits,  # Kleinberg hubs/authorities, int64 exact (r5)
         "triangle_counts": q.q_triangle_counts,  # oriented wedge-close (r5)
         "rademacher_project": q.q_rademacher_project,  # int-exact JL (r5)
@@ -1378,6 +1379,37 @@ def oracle_sql() -> dict[str, str]:
         # HITS: same deterministic multigraph as pagerank; 2 rounds at
         # scale 10^6; floor-divisor normalization (a // max(1, Σa // s))
         # keeps everything int64 — bit-exact replay.
+        # Per-domain top-5 bigrams over the ingested pages: same split
+        # convention as ngram_counts; domain = url netloc; row_number
+        # under (count desc, ngram asc).
+        "domain_ngrams": f"""
+            {_INGEST_PREFIX},
+            pw AS (
+              SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS words
+              FROM pages_full
+            ),
+            bg AS (
+              SELECT domain,
+                     list_extract(words, i) || ' '
+                       || list_extract(words, i + 1) AS ngram
+              FROM pw, LATERAL (
+                SELECT unnest(generate_series(1,
+                  greatest(len(words) - 1, 0))) AS i) g
+            ),
+            cnt AS (
+              SELECT domain, ngram, CAST(COUNT(*) AS BIGINT) AS count
+              FROM bg GROUP BY domain, ngram
+            ),
+            rk AS (
+              SELECT domain, ngram, count,
+                     ROW_NUMBER() OVER (PARTITION BY domain
+                       ORDER BY count DESC, ngram) AS r
+              FROM cnt
+            )
+            SELECT domain, ngram, count FROM rk WHERE r <= 5
+        """,
         # html_meta: the oracle recomputes every head field straight from
         # the generator inputs (documents.text + doc_id) — the engine must
         # synthesize the page and regex-extract back the identical bytes.

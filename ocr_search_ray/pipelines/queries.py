@@ -2107,6 +2107,13 @@ def q_domain_stats(sf_dir: str):
     return textstats.domain_stats(pages)
 
 
+def q_domain_ngrams(sf_dir: str):
+    """Per-domain top-5 word bigrams (stages/textstats.domain_ngrams)
+    over the ingested pages — the per-host boilerplate-phrase audit."""
+    pages = ingest(read_webpages(sf_dir))["pages"]
+    return textstats.domain_ngrams(pages, n=2, k=5)
+
+
 def _synth_justext_pages(sf_dir: str):
     """Deterministic page per document (nav link list, short <h1>, 40-word
     <p> chunks, link-dense footer) — the jusText oracle reconstructs the

@@ -614,6 +614,64 @@ def collocations(documents, *, min_count: int = 3, scale: int = 10**9,
     return with_both.map_batches(score, batch_format="pyarrow")
 
 
+def domain_ngrams(pages, *, n: int = 2, k: int = 5,
+                  url_col: str = "url", text_col: str = "text"):
+    """→ (domain, ngram, count): per-domain top-k word n-grams under
+    (count desc, ngram asc) — the domain-conditional companion to
+    ``ngram_counts`` (per-host boilerplate phrases surface here long
+    before they dominate the global counts; the standard crawl-audit
+    signal behind per-domain boilerplate filters).
+
+    Two exchanges: per-batch (domain, gram) partial counts (the batch
+    combiner collapses each host's repeated phrases to one row per
+    batch) → one (domain, ngram)-key sum, then ``grouped_topk`` on the
+    domain — only k rows per domain survive the block walk, so hot hosts
+    never skew downstream. SQL analogue: row_number() OVER (PARTITION BY
+    domain ORDER BY count DESC, ngram) <= k.
+    """
+    from collections import Counter
+    from urllib.parse import urlsplit
+
+    from .relational import cluster_apply, grouped_topk
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        urls = batch.column(url_col).to_pylist()
+        for u, t in zip(urls, batch.column(text_col).to_pylist()):
+            dom = urlsplit(u).netloc
+            toks = [w for w in (t or "").split(" ") if w]
+            for i in range(len(toks) - n + 1):
+                counts[(dom, " ".join(toks[i:i + n]))] += 1
+        keys = list(counts)
+        return pa.table(
+            {
+                "domain": pa.array([d for d, _ in keys], pa.string()),
+                "ngram": pa.array([g for _, g in keys], pa.string()),
+                "c_part": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def block_sum(block: pa.Table) -> pa.Table:
+        agg = block.group_by(["domain", "ngram"]).aggregate(
+            [("c_part", "sum")]
+        )
+        return pa.table(
+            {"domain": agg.column("domain"), "ngram": agg.column("ngram"),
+             "count": agg.column("c_part_sum").cast(pa.int64())}
+        )
+
+    sums = cluster_apply(
+        pages.select_columns([url_col, text_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["domain", "ngram"], block_sum,
+    )
+    return grouped_topk(
+        sums, ["domain"],
+        [("count", "descending"), ("ngram", "ascending")], k,
+    )
+
+
 def domain_cap(docs, cap: int, *, url_col: str = "url"):
     """→ input rows, at most ``cap`` per registrable host — per-domain
     frequency capping, the standard web-corpus skew guard (a handful of

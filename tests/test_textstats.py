@@ -352,3 +352,36 @@ def test_grouped_mad_matches_brute_force():
     assert got == exp
     assert got["b"] == (5.0, 0.0, 4, 0)
     assert got["c"][3] == 1                     # the planted 99.0
+
+def test_domain_ngrams_topk_per_host():
+    """domain_ngrams vs a literal replay — per-host counts, (count desc,
+    ngram asc) tie order, k cut."""
+    import ray.data as rd
+    from collections import Counter
+    from urllib.parse import urlsplit
+    from ocr_search_ray.stages.textstats import domain_ngrams
+
+    rows = [
+        ("https://a.example/1", "x y x y z"),
+        ("https://a.example/2", "x y q"),
+        ("https://b.example/1", "p q p q p"),
+    ]
+    ds = rd.from_items(
+        [{"url": u, "text": t} for u, t in rows]
+    ).repartition(2)
+    got = {(r["domain"], r["ngram"]): r["count"]
+           for r in domain_ngrams(ds, n=2, k=2).take_all()}
+
+    cnt = Counter()
+    for u, t in rows:
+        toks = t.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            cnt[(urlsplit(u).netloc, f"{a} {b}")] += 1
+    exp = {}
+    for dom in {d for d, _ in cnt}:
+        top = sorted(((g, c) for (d, g), c in cnt.items() if d == dom),
+                     key=lambda x: (-x[1], x[0]))[:2]
+        for g, c in top:
+            exp[(dom, g)] = c
+    assert got == exp
+    assert got[("a.example", "x y")] == 3
