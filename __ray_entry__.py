@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rrf": q.q_search_rrf,  # reciprocal-rank fusion tf+bm25 (r5)
         "html_meta": q.q_html_meta,  # head-metadata extraction (r5)
         "domain_ngrams": q.q_domain_ngrams,  # per-host top-k bigrams (r5)
+        "crawl_frontier": q.q_crawl_frontier,  # uncrawled-target topk (r5)
         "hits": q.q_hits,  # Kleinberg hubs/authorities, int64 exact (r5)
         "triangle_counts": q.q_triangle_counts,  # oriented wedge-close (r5)
         "rademacher_project": q.q_rademacher_project,  # int-exact JL (r5)
@@ -1379,6 +1380,29 @@ def oracle_sql() -> dict[str, str]:
         # HITS: same deterministic multigraph as pagerank; 2 rounds at
         # scale 10^6; floor-divisor normalization (a // max(1, Σa // s))
         # keeps everything int64 — bit-exact replay.
+        # Crawl frontier: degrees over the planted edge list, NOT EXISTS
+        # against the even-length-word crawled set, deterministic LIMIT
+        # under the full (n_srcs desc, n_links desc, href) order.
+        "crawl_frontier": f"""
+            {_LINKS_CTE},
+            deg AS (
+              SELECT href, CAST(COUNT(*) AS BIGINT) AS n_links,
+                     CAST(COUNT(DISTINCT src) AS BIGINT) AS n_srcs
+              FROM edges GROUP BY href
+            ),
+            crawled AS (
+              SELECT DISTINCT '/w/' || list_extract(words, g.i) AS url
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(1, least(len(words), 6)))
+                  AS i) g
+              WHERE length(list_extract(words, g.i)) % 2 = 0
+            )
+            SELECT href, n_links, n_srcs FROM deg d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM crawled c WHERE c.url = d.href)
+            ORDER BY n_srcs DESC, n_links DESC, href
+            LIMIT 25
+        """,
         # Per-domain top-5 bigrams over the ingested pages: same split
         # convention as ngram_counts; domain = url netloc; row_number
         # under (count desc, ngram asc).

@@ -2239,6 +2239,30 @@ def q_link_degrees(sf_dir: str):
     return link_degrees(extract_links(_synth_link_pages(sf_dir)))
 
 
+def q_crawl_frontier(sf_dir: str):
+    """Crawl frontier prioritization (stages/linkgraph.crawl_frontier):
+    link targets not yet crawled, ranked by distinct linking sources —
+    deny-list anti join + sort-free top-k over the synthesized outlink
+    graph. Crawled set = '/w/<word>' urls for even-length nav words
+    (pure function of documents.text, replayed in SQL)."""
+    from ..stages.linkgraph import crawl_frontier, extract_links
+
+    edges = extract_links(_synth_link_pages(sf_dir))
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def crawled_rows(batch: pa.Table) -> pa.Table:
+        out = set()
+        for t in batch.column("text").to_pylist():
+            words = [w for w in (t or "").split(" ") if w]
+            for w in words[:6]:
+                if len(w) % 2 == 0:
+                    out.add("/w/" + w)
+        return pa.table({"url": pa.array(sorted(out), pa.string())})
+
+    crawled = docs.map_batches(crawled_rows, batch_format="pyarrow")
+    return crawl_frontier(edges, crawled, k=25)
+
+
 def q_main_content(sf_dir: str):
     """End-to-end main-content extraction: synthesized pages → jusText
     two-pass labels → '\\n\\n'-joined good blocks per page."""

@@ -194,3 +194,40 @@ def top_anchor_texts(edges, k: int = 3, *, href_col: str = "href",
             [("n_anchor", "descending"), (anchor_col, "ascending")], k)
 
     return cluster_apply(partials, [href_col], block_fn)
+
+
+def crawl_frontier(edges, crawled, *, k: int = 100,
+                   href_col: str = "href", url_col: str = "url"):
+    """→ (href, n_links, n_srcs): the top-k UNCRAWLED link targets under
+    (n_srcs desc, n_links desc, href asc) — frontier prioritization, the
+    scheduling step of a crawler (fetch next the pages the most distinct
+    known pages point at; the reference crawls a fixed tree, this is the
+    beyond-reference web-scale companion).
+
+    Composition of scale-audited parts: ``link_degrees`` (combiner-
+    collapsed distinct-source counts), one ANTI ``cluster_join`` against
+    the crawled-url set (corpus-sized deny list — never broadcast,
+    never driver-resident), and ``topk_rows`` (per-block head + one-block
+    reduce — no global sort, driver sees ≤ k rows).
+    """
+    from .relational import cluster_join, topk_rows
+
+    deg = link_degrees(edges, href_col=href_col)
+    uncrawled = cluster_join(
+        deg,
+        crawled.map_batches(
+            lambda b: pa.table({href_col: b.column(url_col)}),
+            batch_format="pyarrow",
+        ),
+        [href_col],
+        left_types={href_col: pa.string(), "n_links": pa.int64(),
+                    "n_srcs": pa.int64()},
+        right_types={},
+        how="anti",
+    )
+    return topk_rows(
+        uncrawled,
+        [("n_srcs", "descending"), ("n_links", "descending"),
+         (href_col, "ascending")],
+        k,
+    )

@@ -80,3 +80,28 @@ def test_top_anchor_texts_partials_never_double_count():
     ).repartition(4)
     rows = top_anchor_texts(extract_links(ds), k=3).take_all()
     assert rows == [{"href": "/t", "anchor_text": "same", "n_anchor": 4}]
+
+
+def test_crawl_frontier_anti_and_rank():
+    """crawl_frontier: crawled targets excluded, rank by distinct srcs
+    then total links then href, k cut."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ocr_search_ray.stages.linkgraph import crawl_frontier
+
+    edges = [
+        (1, "/a"), (2, "/a"), (3, "/a"),          # 3 srcs
+        (1, "/b"), (1, "/b"), (2, "/b"),          # 2 srcs, 3 links
+        (1, "/c"), (2, "/c"),                     # 2 srcs, 2 links
+        (1, "/d"),                                # crawled
+        (1, "/e"),                                # 1 src
+    ]
+    eds = rd.from_items(
+        [{"src": s, "link_idx": 0, "href": h, "anchor_text": ""}
+         for s, h in edges]
+    ).repartition(3)
+    crawled = rd.from_items([{"url": "/d"}, {"url": "/zzz"}])
+    got = [(r["href"], r["n_links"], r["n_srcs"])
+           for r in crawl_frontier(eds, crawled, k=3).take_all()]
+    got.sort(key=lambda x: (-x[2], -x[1], x[0]))
+    assert got == [("/a", 3, 3), ("/b", 3, 2), ("/c", 2, 2)]
