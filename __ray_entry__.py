@@ -450,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
+        "media_mp3": q.q_media_mp3,  # REAL MPEG-audio frame-chain probe (r5)
+        "media_h264": q.q_media_h264,  # REAL H.264 NAL/SPS parse (r5)
         "bfs_hops": q.q_bfs_hops,  # multi-source BFS distances (r5)
         "collocations": q.q_collocations,  # integer PMI-lift bigrams (r5)
         "grouped_mad": q.q_grouped_mad,  # median/MAD + Hampel outliers (r5)
@@ -3172,6 +3174,25 @@ def oracle_sql() -> dict[str, str]:
                    'ok' AS status
             FROM documents d
             JOIN generate_series(0, 5) s(g) ON s.g < 2 + d.doc_id % 4
+        """,
+        "media_mp3": """
+            SELECT 'mp-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+                   'ok' AS status,
+                   CAST((8 + doc_id % 11)
+                        * (CASE WHEN doc_id % 3 = 0 THEN 1152 ELSE 576 END)
+                        AS BIGINT) AS n_samples,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 44100
+                                        WHEN 1 THEN 22050
+                                        ELSE 8000 END AS INT) AS sample_rate
+            FROM documents
+        """,
+        "media_h264": """
+            SELECT 'hv-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+                   'ok' AS status,
+                   CAST(16 + 2 * (doc_id % 160) AS INT) AS width,
+                   CAST(16 + 2 * (doc_id % 91) AS INT) AS height,
+                   CAST(1 + doc_id % 6 AS BIGINT) AS n_frames
+            FROM documents
         """,
         "media_real": """
             SELECT 'm-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,

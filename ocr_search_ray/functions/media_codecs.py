@@ -6,8 +6,10 @@ format specifications (BITMAPINFOHEADER, RIFF/WAVE PCM), so the multimodal
 stages can run REAL decode → feature/resize kernels end-to-end for them.
 Compressed formats with in-repo codecs route to those (GIF → gif_codec,
 baseline JPEG → jpeg_codec, IMA-ADPCM → adpcm, grayscale PNG → raster);
-the rest (MP3/H.264) still route to the documented digest stub until a
-deployment pins a real codec backend.
+MP3 and H.264 get REAL container/framing probes (frame-chain walk in
+``mp3_probe``, NAL/SPS parse in ``h264_probe``) with only the inner
+waveform/pixel reconstruction left behind the documented digest stub
+until a deployment pins a real decoder backend.
 
 Layout facts used:
 - BMP: 14-byte file header (``BM`` magic, pixel-data offset at byte 10) +

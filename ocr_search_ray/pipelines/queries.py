@@ -1479,6 +1479,101 @@ def q_media_real(sf_dir: str):
     return feats.map_batches(project, batch_format="pyarrow")
 
 
+def q_media_mp3(sf_dir: str):
+    """REAL MPEG-audio framing probe end-to-end, EXACT oracle: a
+    deterministic spec-valid MP3 frame chain per doc — 8 + (doc_id % 11)
+    frames at a doc-cycled MPEG-1/2/2.5 sample rate (44100/22050/8000,
+    so samples-per-frame flips 1152/576 per spec), every third doc behind
+    a real ID3v2 tag — walked by functions/mp3_probe through the media
+    actor pool. The projected n_samples/sample_rate come from the PARSED
+    headers, pure functions of doc_id the SQL replays; header-field
+    bit-exactness stays pytest-locked (tests/test_media_probe.py)."""
+    from ..functions.mp3_probe import encode_mp3_frames, make_id3v2_tag
+    from ..stages.multimodal import extract_media_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            sr = (44100, 22050, 8000)[d % 3]
+            payloads.append(encode_mp3_frames(
+                8 + d % 11,
+                sample_rate=sr,
+                bitrate_kbps=64,
+                channels=1 + (d % 2),
+                id3_tag=make_id3v2_tag(16 + d % 8) if d % 3 == 0 else None,
+            ))
+        n = len(ids)
+        return pa.table(
+            {
+                "media_id": pa.array(
+                    [f"mp-{d:06d}" for d in ids], pa.string()),
+                "kind": pa.array(["audio"] * n, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array([-1] * n, pa.int32()),
+                "height": pa.array([-1] * n, pa.int32()),
+                "duration_ms": pa.array([-1] * n, pa.int32()),
+            }
+        )
+
+    media = docs.map_batches(synth, batch_format="pyarrow", batch_size=64)
+    feats = extract_media_features(media, concurrency=2, batch_size=64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["media_id", "status", "n_samples",
+                             "sample_rate"])
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
+def q_media_h264(sf_dir: str):
+    """REAL H.264 NAL/SPS parse end-to-end, EXACT oracle: a deterministic
+    Annex-B stream per doc (SPS + PPS + IDR/non-IDR slice NALs), picture
+    dims 16 + 2·(doc_id % 160) × 16 + 2·(doc_id % 91) — mostly NOT
+    multiples of 16, so the SPS frame-cropping arithmetic (spec 7.4.2.1.1)
+    must run for the widths/heights to match — parsed by
+    functions/h264_probe through the media actor pool. The SQL replays
+    the dimension/slice-count formulas; Exp-Golomb/emulation-prevention
+    bit-exactness stays pytest-locked."""
+    from ..functions.h264_probe import encode_h264_stream
+    from ..stages.multimodal import extract_media_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = [
+            encode_h264_stream(16 + 2 * (d % 160), 16 + 2 * (d % 91),
+                               1 + d % 6)
+            for d in ids
+        ]
+        n = len(ids)
+        return pa.table(
+            {
+                "media_id": pa.array(
+                    [f"hv-{d:06d}" for d in ids], pa.string()),
+                "kind": pa.array(["video"] * n, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array([-1] * n, pa.int32()),
+                "height": pa.array([-1] * n, pa.int32()),
+                "duration_ms": pa.array([-1] * n, pa.int32()),
+            }
+        )
+
+    media = docs.map_batches(synth, batch_format="pyarrow", batch_size=64)
+    feats = extract_media_features(media, concurrency=2, batch_size=64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        out = batch.select(["media_id", "status", "width", "height",
+                            "n_samples"])
+        return out.rename_columns(
+            ["media_id", "status", "width", "height", "n_frames"])
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
 def _synth_mjpeg_avi(d: int, nf: int, fps: int):
     """One deterministic MJPEG AVI for doc_id d: nf gradient frames whose
     dims are pure functions of d (the SQL replays them)."""

@@ -11,9 +11,14 @@ MAGIC BYTES:
   (``functions/adpcm.py``) and grayscale PNG (the raster sink's codec,
   ``functions/raster.py``) — complete spec implementations, no external
   libraries needed;
-- **documented stub** for the remaining compressed formats (MP3/H.264 —
-  no codecs in this container): deterministic digest features so layout,
-  dtypes and quarantine plumbing stay real and tested.
+- **real framing probes** for MPEG audio and H.264 Annex-B streams
+  (frame-chain walk in ``functions/mp3_probe.py``, NAL/SPS parse in
+  ``functions/h264_probe.py``): sample counts / rates / picture
+  dimensions / slice counts are REAL parsed evidence (exact-oracled);
+  only the inner waveform/pixel reconstruction remains a
+- **documented stub** (no full audio/video decoder in this container):
+  deterministic digest features so layout, dtypes and quarantine
+  plumbing stay real and tested.
 
 Swapping in a full backend = replacing ``_decode_stub`` with e.g. a pinned
 PIL/ffmpeg handle created in ``__init__`` — the stage contract is unchanged.
@@ -109,6 +114,27 @@ def _decode_stats(
         rate, samples = decode_flac(payload)
         return (media_codecs.audio_features(rate, samples),
                 -1, -1, len(samples), rate)
+    if payload[:3] == b"\x00\x00\x01" or payload[:4] == b"\x00\x00\x00\x01":
+        # H.264 Annex-B: REAL NAL walk + full SPS parse (functions/
+        # h264_probe) — width/height from the SPS cropping arithmetic,
+        # n_samples carries the coded-slice count (video analogue, same
+        # contract as the AVI branch). Pixel reconstruction stays stubbed.
+        from ..functions.h264_probe import probe_h264
+
+        info = probe_h264(payload)
+        return (_decode_stub(payload, kind),
+                info["width"], info["height"], info["n_slices"], -1)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 4 and payload[0] == 0xFF and payload[1] >= 0xE0
+    ):
+        # MPEG audio (MP3): REAL frame-chain walk (functions/mp3_probe) —
+        # total PCM samples + sample rate from the parsed headers;
+        # waveform decode stays stubbed.
+        from ..functions.mp3_probe import probe_mp3
+
+        info = probe_mp3(payload)
+        return (_decode_stub(payload, kind),
+                -1, -1, info["n_samples"], info["sample_rate"])
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from ..functions import adpcm
 
