@@ -450,6 +450,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
+        "grouped_corr": q.q_grouped_corr,  # exact-moment Pearson corr (r5)
+        "vocab_overlap": q.q_vocab_overlap,  # per-host-pair Jaccard (r5)
+        "covisitation": q.q_covisitation,  # item-item co-purchase counts (r5)
         "media_mp3": q.q_media_mp3,  # REAL MPEG-audio frame-chain probe (r5)
         "media_h264": q.q_media_h264,  # REAL H.264 NAL/SPS parse (r5)
         "bfs_hops": q.q_bfs_hops,  # multi-source BFS distances (r5)
@@ -3174,6 +3177,85 @@ def oracle_sql() -> dict[str, str]:
                    'ok' AS status
             FROM documents d
             JOIN generate_series(0, 5) s(g) ON s.g < 2 + d.doc_id % 4
+        """,
+        # exact-moment Pearson: the five int sums are exact (HUGEINT in
+        # DuckDB, int64 in Arrow — same integers), and the final float
+        # expression is written in the IDENTICAL operation order as
+        # stages/relational.grouped_corr's pinned numpy lines.
+        "grouped_corr": """
+            WITH s AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(l_quantity AS BIGINT)) AS sx,
+                     SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+                     SUM(CAST(l_quantity AS BIGINT)
+                         * CAST(l_quantity AS BIGINT)) AS sxx,
+                     SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_extendedprice * 100) AS BIGINT))
+                         AS syy,
+                     SUM(CAST(l_quantity AS BIGINT)
+                         * CAST(round(l_extendedprice * 100) AS BIGINT))
+                         AS sxy
+              FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l_returnflag, l_linestatus, n,
+                   CASE WHEN sqrt(
+                          (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) = 0
+                        THEN 0.0
+                        ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / sqrt(
+                          (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   END AS corr
+            FROM s
+        """,
+        "vocab_overlap": _INGEST_PREFIX + """,
+            hv AS (
+              SELECT DISTINCT
+                     regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                     t.term
+              FROM pages_full,
+              LATERAL (SELECT unnest(string_split(pages_full.text, ' '))
+                       AS term) t
+              WHERE t.term <> ''
+            ),
+            sizes AS (
+              SELECT host, CAST(COUNT(*) AS BIGINT) AS n
+              FROM hv GROUP BY host
+            ),
+            inter AS (
+              SELECT a.host AS host1, b.host AS host2,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM hv a JOIN hv b
+                ON a.term = b.term AND a.host < b.host
+              GROUP BY 1, 2
+            )
+            SELECT i.host1, i.host2, i.n_shared,
+                   CAST(sa.n + sb.n - i.n_shared AS BIGINT) AS n_union,
+                   CAST(i.n_shared AS DOUBLE)
+                   / CAST(sa.n + sb.n - i.n_shared AS DOUBLE) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.host = i.host1
+            JOIN sizes sb ON sb.host = i.host2
+        """,
+        "covisitation": r"""
+            WITH e AS (
+              SELECT DISTINCT user_id,
+                     CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+                         AS item
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT a.item AS item1, b.item AS item2,
+                   CAST(COUNT(*) AS BIGINT) AS n_common_users
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id AND a.item < b.item
+            GROUP BY 1, 2
         """,
         "media_mp3": """
             SELECT 'mp-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,

@@ -3310,3 +3310,74 @@ def q_search_bm25_disk(sf_dir: str):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_grouped_corr(sf_dir: str):
+    """Per-(returnflag, linestatus) Pearson correlation between quantity
+    and extended price (stages/relational.grouped_corr): values enter as
+    EXACT integers (quantity is integer-valued; price scaled to cents),
+    the five moment sums accumulate in int64, and only the final
+    expression touches floats in pinned IEEE order — the distributed
+    replacement for SQL's corr() that stays hash-exact."""
+    from ..stages.relational import grouped_corr
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
+
+    def to_ints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": batch.column("l_quantity").cast(pa.int64()),
+                "cents": pc.round(
+                    pc.multiply(batch.column("l_extendedprice"), 100.0)
+                ).cast(pa.int64()),
+            }
+        )
+
+    return grouped_corr(
+        li.map_batches(to_ints, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], "qty", "cents",
+    )
+
+
+def q_vocab_overlap(sf_dir: str):
+    """Per-host-pair vocabulary Jaccard (stages/textstats.vocab_overlap)
+    over the ingested pages — the mirror-site / content-farm audit:
+    exact |V(a) ∩ V(b)| and union counts per host pair, one pinned IEEE
+    division for the ratio."""
+    pages = ingest(read_webpages(sf_dir))["pages"]
+    return textstats.vocab_overlap(pages)
+
+
+def q_covisitation(sf_dir: str):
+    """Item–item co-visitation counts (the recsys / related-content
+    primitive): distinct users who purchased BOTH items, for every item
+    pair — stages/graph.cocitation_counts over (user → item) edges,
+    items extracted from the events JSON props by a vectorized RE2
+    kernel (pc.extract_regex), purchases only. The apex guard bounds
+    power-user fan-out the same way cocitation bounds hub apexes."""
+    from ..stages.graph import cocitation_counts
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("event_type"), "purchase")
+        t = batch.filter(keep)
+        m = pc.extract_regex(t.column("props"), r'"k": (?P<k>\d+)')
+        item = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table(
+            {"src": t.column("user_id").cast(pa.int64()), "dst": item}
+        )
+
+    out = cocitation_counts(
+        ev.map_batches(edges, batch_format="pyarrow")
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["item1", "item2", "n_common_users"])
+
+    return out.map_batches(rename, batch_format="pyarrow")

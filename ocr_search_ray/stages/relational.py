@@ -1797,3 +1797,94 @@ def value_ranks(ds, value_col: str, *, carry_cols: list[str] | None = None,
         lookup, value_col,
         {"n_smaller": pa.int64(), "n_total": pa.int64()},
     )
+
+
+def grouped_corr(ds, key_cols: list[str], x_col: str, y_col: str):
+    """Per-group Pearson correlation from EXACT integer moment sums —
+    the distributed form of ``corr(x, y) GROUP BY keys`` for
+    integer-valued inputs (callers pre-scale decimals, e.g. cents).
+
+    Float-EXACT oracle parity: the five moments (Σx, Σy, Σx², Σy², Σxy)
+    and n accumulate as int64 — associative, order-free, no rounding —
+    and the final value is a PINNED IEEE expression over them
+    (n·Σxy − Σx·Σy, two products + one subtract, over a sqrt of the
+    matching variance products, one division), which DuckDB replays
+    operation for operation. int64 headroom: Σx² caps at
+    n·max(x)² — callers keep n·max² < 2⁶³ (the lineitem-cents entry is
+    ~10⁵ safety margin at sf0.1; re-scale inputs for wider domains).
+
+    Physical plan: a batch combiner collapses every block to one partial
+    row per group key (six int64 columns), then ONE group-key
+    ``cluster_apply`` sums partials and emits the final expression —
+    the pre-aggregate-before-exchange pattern; bytes on the wire are
+    O(groups × batches), never O(rows).
+
+    → key_cols + (n, corr). Groups with zero variance on either side
+    emit corr = 0.0 (DuckDB's corr() yields NULL there; the SQL mirror
+    wraps in COALESCE(..., 0.0)).
+    """
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        base = pa.table(
+            {**{k: batch.column(k) for k in key_cols},
+             "n_p": pa.array(np.ones(len(x), dtype=np.int64)),
+             "sx": pa.array(x), "sy": pa.array(y),
+             "sxx": pa.array(x * x), "syy": pa.array(y * y),
+             "sxy": pa.array(x * y)}
+        )
+        agg = base.group_by(key_cols).aggregate(
+            [(c, "sum") for c in ("n_p", "sx", "sy", "sxx", "syy", "sxy")]
+        )
+        return pa.table(
+            {**{k: agg.column(k) for k in key_cols},
+             **{c: agg.column(f"{c}_sum")
+                for c in ("n_p", "sx", "sy", "sxx", "syy", "sxy")}}
+        )
+
+    def finish(block: pa.Table) -> pa.Table:
+        raw = block.group_by(key_cols).aggregate(
+            [(c, "sum") for c in ("n_p", "sx", "sy", "sxx", "syy", "sxy")]
+        )
+        agg = pa.table(
+            {**{k: raw.column(k) for k in key_cols},
+             "n": raw.column("n_p_sum"),
+             **{c: raw.column(f"{c}_sum")
+                for c in ("sx", "sy", "sxx", "syy", "sxy")}}
+        )
+        n = agg.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = agg.column("sx").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        sy = agg.column("sy").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        sxx = agg.column("sxx").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        syy = agg.column("syy").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        sxy = agg.column("sxy").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        # pinned op order (each line = one IEEE rounding per element):
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        den = np.sqrt(vx * vy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = np.where(den == 0.0, 0.0, num / den)
+        return pa.table(
+            {**{k: agg.column(k) for k in key_cols},
+             "n": agg.column("n").cast(pa.int64()),
+             "corr": pa.array(corr, pa.float64())}
+        )
+
+    projected = ds.map_batches(
+        lambda b: b.select(key_cols + [x_col, y_col]),
+        batch_format="pyarrow",
+    )
+    return cluster_apply(
+        projected.map_batches(partial, batch_format="pyarrow"),
+        key_cols, finish,
+    )

@@ -909,3 +909,146 @@ def substring_search(documents, pattern: str, *, id_col: str = "doc_id",
         return pa.table({id_col: keep.column(id_col)})
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def vocab_overlap(pages, *, url_col: str = "url", text_col: str = "text",
+                  max_hosts_per_term: int = 10_000):
+    """→ (host1, host2, n_shared, n_union, jaccard): per-host-pair
+    vocabulary overlap — |V(a) ∩ V(b)| and Jaccard over the hosts'
+    DISTINCT token sets, the crawl-audit signal behind mirror-site /
+    syndication detection (two hosts sharing most of their vocabulary
+    are serving the same content farm).
+
+    Pair semantics: host1 < host2 lexicographically; pairs sharing zero
+    terms do not appear (their Jaccard is 0 by convention on both
+    sides). ``jaccard`` is the ONE pinned IEEE division
+    inter / (|A| + |B| − inter) over exact int64 counts, so the oracle
+    hash-compare is exact.
+
+    Scale shape: a term shared by d hosts emits d·(d−1)/2 pairs —
+    ``max_hosts_per_term`` drops stopword-like apex terms (the
+    ``cocitation_counts.max_out`` / shingle-df-cap guard; a term on
+    every host carries no overlap signal anyway). Physical plan: batch
+    combiner dedups (host, term) per batch → ONE term-key
+    ``cluster_apply`` (global distinct + triu pair emission,
+    block-local numpy) → pair-key count; host vocab sizes are one
+    host-key exchange over the SAME distinct stream, attached by two
+    host-key ``cluster_join``s — never broadcast (hosts are
+    corpus-sized on a real crawl). 5 int-key exchanges total, all on
+    projected columns.
+    """
+    from urllib.parse import urlsplit
+
+    import numpy as np
+
+    from .relational import cluster_apply, cluster_join
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seen: set = set()
+        for u, t in zip(batch.column(url_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            dom = urlsplit(u).netloc
+            for w in (t or "").split(" "):
+                if w:
+                    seen.add((dom, w))
+        return pa.table(
+            {"host": pa.array([h for h, _ in seen], pa.string()),
+             "term": pa.array([w for _, w in seen], pa.string())}
+        )
+
+    distinct = cluster_apply(
+        pages.select_columns([url_col, text_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["term"],
+        lambda blk: blk.group_by(["term", "host"]).aggregate([]),
+    )
+    # the distinct stream feeds BOTH the pair emission and the vocab
+    # sizes; pin it so a fresh-ingest caller doesn't re-run the corpus
+    # scan per consumer (the multi-scan materialize rule).
+    distinct = distinct.materialize()
+
+    def pairs(block: pa.Table) -> pa.Table:
+        tbl = block.sort_by([("term", "ascending"), ("host", "ascending")])
+        terms = tbl.column("term").to_numpy(zero_copy_only=False)
+        hosts = tbl.column("host").to_numpy(zero_copy_only=False)
+        change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+        bounds = np.concatenate(([0], change, [len(terms)]))
+        o1: list = []
+        o2: list = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            g = hi - lo
+            if g < 2 or g > max_hosts_per_term:
+                continue
+            i, j = np.triu_indices(g, k=1)
+            grp = hosts[lo:hi]
+            o1.append(grp[i])
+            o2.append(grp[j])
+        if not o1:
+            return pa.table(
+                {"host1": pa.array([], pa.string()),
+                 "host2": pa.array([], pa.string())}
+            )
+        return pa.table(
+            {"host1": pa.array(np.concatenate(o1), pa.string()),
+             "host2": pa.array(np.concatenate(o2), pa.string())}
+        )
+
+    def count_pairs(block: pa.Table) -> pa.Table:
+        agg = block.group_by(["host1", "host2"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"host1": agg.column("host1"), "host2": agg.column("host2"),
+             "n_shared": agg.column("count_all").cast(pa.int64())}
+        )
+
+    inter = cluster_apply(
+        distinct.map_batches(pairs, batch_format="pyarrow"),
+        ["host1", "host2"], count_pairs,
+    )
+
+    def count_hosts(block: pa.Table) -> pa.Table:
+        agg = block.group_by(["host"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"host": agg.column("host"),
+             "n_vocab": agg.column("count_all").cast(pa.int64())}
+        )
+
+    sizes = cluster_apply(distinct, ["host"], count_hosts)
+
+    def rename_for(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns([side, f"n_{side}"])
+
+        return f
+
+    joined = cluster_join(
+        cluster_join(
+            inter,
+            sizes.map_batches(rename_for("host1"), batch_format="pyarrow"),
+            ["host1"],
+            left_types={"host1": pa.string(), "host2": pa.string(),
+                        "n_shared": pa.int64()},
+            right_types={"n_host1": pa.int64()},
+        ),
+        sizes.map_batches(rename_for("host2"), batch_format="pyarrow"),
+        ["host2"],
+        left_types={"host1": pa.string(), "host2": pa.string(),
+                    "n_shared": pa.int64(), "n_host1": pa.int64()},
+        right_types={"n_host2": pa.int64()},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        inter_np = batch.column("n_shared").to_numpy(zero_copy_only=False)
+        na = batch.column("n_host1").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_host2").to_numpy(zero_copy_only=False)
+        union = na + nb - inter_np
+        jac = inter_np.astype(np.float64) / union.astype(np.float64)
+        return pa.table(
+            {"host1": batch.column("host1"),
+             "host2": batch.column("host2"),
+             "n_shared": pa.array(inter_np, pa.int64()),
+             "n_union": pa.array(union, pa.int64()),
+             "jaccard": pa.array(jac, pa.float64())}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
