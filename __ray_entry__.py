@@ -450,6 +450,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
+        "clustering_coefficient": q.q_clustering_coefficient,  # Watts-Strogatz local coeff (r5)
+        "assortativity": q.q_assortativity,  # Newman degree assortativity (r5)
+        "fof_counts": q.q_fof_counts,  # distance-2 neighbor counts (r5)
+        "reciprocity": q.q_reciprocity,  # directed mutual-edge fraction (r5)
+        "attribution": q.q_attribution,  # last-touch channel credit (r5)
+        "hapax_ratio": q.q_hapax_ratio,  # per-page hapax fraction (r5)
         "grouped_corr": q.q_grouped_corr,  # exact-moment Pearson corr (r5)
         "vocab_overlap": q.q_vocab_overlap,  # per-host-pair Jaccard (r5)
         "covisitation": q.q_covisitation,  # item-item co-purchase counts (r5)
@@ -794,6 +800,16 @@ def oracle_sql() -> dict[str, str]:
         "postings_tf": f"""
             {_POSTINGS_PREFIX}
             SELECT doc_id, term, tf FROM postings
+        """,
+        "hapax_ratio": f"""
+            {_POSTINGS_PREFIX}
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hapax,
+                   CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+            FROM postings GROUP BY doc_id
         """,
         "merge_index": f"""
             {_POSTINGS_PREFIX}
@@ -1979,6 +1995,183 @@ def oracle_sql() -> dict[str, str]:
         # (self-loops dropped), (deg, node)-ordered orientation, wedge
         # pairs of co-apex out-edges closed against the oriented list —
         # the DAG orientation counts each triangle exactly once.
+        # clustering_coefficient replays the triangle_counts SQL and
+        # appends the degree spine + the pinned (2.0·tri)/(deg·(deg−1.0))
+        # expression (stages/graph.clustering_coefficient's numpy lines).
+        "clustering_coefficient": """
+            WITH e AS (
+              SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+              UNION ALL SELECT doc_id, doc_id % 89 FROM documents
+              UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+            ),
+            ce AS (
+              SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+              FROM e WHERE src <> dst
+            ),
+            deg AS (
+              SELECT node, COUNT(*) AS d FROM (
+                SELECT u AS node FROM ce UNION ALL SELECT v FROM ce
+              ) GROUP BY node
+            ),
+            o AS (
+              SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND ce.u < ce.v)
+                          THEN ce.u ELSE ce.v END AS a,
+                     CASE WHEN du.d < dv.d OR (du.d = dv.d AND ce.u < ce.v)
+                          THEN ce.v ELSE ce.u END AS b
+              FROM ce
+              JOIN deg du ON du.node = ce.u
+              JOIN deg dv ON dv.node = ce.v
+            ),
+            tri AS (
+              SELECT o1.a AS x, o1.b AS y, o2.b AS z
+              FROM o o1
+              JOIN o o2 ON o2.a = o1.a AND o1.b <> o2.b
+              JOIN o o3 ON o3.a = o1.b AND o3.b = o2.b
+            ),
+            cnt AS (
+              SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+              ) GROUP BY node
+            )
+            SELECT CAST(d.node AS BIGINT) AS node,
+                   CAST(d.d AS BIGINT) AS deg,
+                   CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles,
+                   CASE WHEN d.d < 2 THEN 0.0
+                        ELSE (2.0 * CAST(COALESCE(c.triangles, 0) AS DOUBLE))
+                             / (CAST(d.d AS DOUBLE)
+                                * (CAST(d.d AS DOUBLE) - 1.0))
+                   END AS coeff
+            FROM deg d LEFT JOIN cnt c ON c.node = d.node
+        """,
+        # assortativity mirrors stages/relational.grouped_corr's pinned
+        # final expression over exact int64 moments of the SYMMETRIZED
+        # endpoint-degree pairs.
+        "assortativity": """
+            WITH e AS (
+              SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+              UNION ALL SELECT doc_id, doc_id % 89 FROM documents
+              UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+            ),
+            ce AS (
+              SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+              FROM e WHERE src <> dst
+            ),
+            deg AS (
+              SELECT node, COUNT(*) AS d FROM (
+                SELECT u AS node FROM ce UNION ALL SELECT v FROM ce
+              ) GROUP BY node
+            ),
+            p AS (
+              SELECT du.d AS x, dv.d AS y
+              FROM ce JOIN deg du ON du.node = ce.u
+                      JOIN deg dv ON dv.node = ce.v
+              UNION ALL
+              SELECT dv.d, du.d
+              FROM ce JOIN deg du ON du.node = ce.u
+                      JOIN deg dv ON dv.node = ce.v
+            ),
+            s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(x AS BIGINT)) AS sx,
+                     SUM(CAST(y AS BIGINT)) AS sy,
+                     SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS sxx,
+                     SUM(CAST(y AS BIGINT) * CAST(y AS BIGINT)) AS syy,
+                     SUM(CAST(x AS BIGINT) * CAST(y AS BIGINT)) AS sxy
+              FROM p
+            )
+            SELECT n AS n_pairs,
+                   CASE WHEN sqrt(
+                          (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) = 0
+                        THEN 0.0
+                        ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / sqrt(
+                          (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   END AS assortativity
+            FROM s
+        """,
+        "fof_counts": """
+            WITH e AS (
+              SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+              UNION ALL SELECT doc_id, doc_id % 89 FROM documents
+              UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+            ),
+            ce AS (
+              SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+              FROM e WHERE src <> dst
+            ),
+            adj AS (
+              SELECT u AS mid, v AS nbr FROM ce
+              UNION ALL SELECT v, u FROM ce
+            ),
+            w AS (
+              SELECT DISTINCT a1.nbr AS a, a2.nbr AS c
+              FROM adj a1 JOIN adj a2
+                ON a1.mid = a2.mid AND a1.nbr < a2.nbr
+            ),
+            d2 AS (
+              SELECT a, c FROM w
+              WHERE NOT EXISTS (
+                SELECT 1 FROM ce WHERE ce.u = w.a AND ce.v = w.c
+              )
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(COUNT(*) AS BIGINT) AS n_fof
+            FROM (SELECT a AS node FROM d2 UNION ALL SELECT c FROM d2)
+            GROUP BY node
+        """,
+        "reciprocity": """
+            WITH e AS (
+              SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+              UNION ALL SELECT doc_id, doc_id * 2 FROM documents
+              UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+            ),
+            de AS (
+              SELECT DISTINCT src AS s, dst AS d FROM e WHERE src <> dst
+            ),
+            pairs AS (
+              SELECT LEAST(s, d) AS lo, GREATEST(s, d) AS hi,
+                     COUNT(*) AS c
+              FROM de GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM de
+            ),
+            rec AS (
+              SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_reciprocated
+              FROM pairs WHERE c = 2
+            )
+            SELECT t.n_edges, r.n_reciprocated,
+                   CASE WHEN t.n_edges = 0 THEN 0.0
+                        ELSE CAST(r.n_reciprocated AS DOUBLE)
+                             / CAST(t.n_edges AS DOUBLE)
+                   END AS reciprocity
+            FROM tot t, rec r
+        """,
+        "attribution": """
+            WITH w AS (
+              SELECT event_type,
+                     LAST_VALUE(
+                       CASE WHEN event_type <> 'purchase'
+                            THEN event_type END IGNORE NULLS
+                     ) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS ch
+              FROM events
+            )
+            SELECT COALESCE(ch, 'direct') AS channel,
+                   CAST(COUNT(*) AS BIGINT) AS n_conversions
+            FROM w WHERE event_type = 'purchase' GROUP BY 1
+        """,
         "triangle_counts": """
             WITH e AS (
               SELECT doc_id AS src, doc_id % 97 AS dst FROM documents

@@ -3381,3 +3381,144 @@ def q_covisitation(sf_dir: str):
         return batch.rename_columns(["item1", "item2", "n_common_users"])
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def _doc_multigraph(sf_dir: str):
+    """The deterministic hub-skewed doc multigraph shared by the graph
+    entries (pagerank/hits/triangle_counts/kcore): src=doc_id with dsts
+    doc_id%97, doc_id%89, doc_id//2 — self-loops and duplicate edges
+    included so every operator's canonicalize path is exercised; SQL
+    replays the same three UNION ALL selects."""
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks()
+        dsts = []
+        for x in (_mod(d, 97), _mod(d, 89), pc.divide(d, 2)):
+            dsts.append(
+                x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+            )
+        return pa.table(
+            {"src": pa.chunked_array([d, d, d]),
+             "dst": pa.chunked_array(dsts)}
+        )
+
+    return docs.map_batches(edges, batch_format="pyarrow").repartition(4)
+
+
+def q_clustering_coefficient(sf_dir: str):
+    """Per-node local clustering coefficient
+    (stages/graph.clustering_coefficient = triangle_counts with the
+    degree spine + one pinned-IEEE map) over the deterministic doc
+    multigraph — the link-farm / clique-neighborhood audit."""
+    from ..stages.graph import clustering_coefficient
+
+    return clustering_coefficient(_doc_multigraph(sf_dir))
+
+
+def q_assortativity(sf_dir: str):
+    """Degree assortativity coefficient (stages/graph.assortativity):
+    Pearson over symmetrized endpoint degrees with exact int64 moment
+    sums and the grouped_corr pinned final expression — one scalar row
+    the SQL mirror replays bit-for-bit."""
+    from ..stages.graph import assortativity
+
+    return assortativity(_doc_multigraph(sf_dir))
+
+
+def q_fof_counts(sf_dir: str):
+    """Distance-exactly-2 neighbor counts (stages/graph.fof_counts):
+    symmetrized wedges through co-located mid nodes, distinct pairs,
+    ANTI join against direct edges — the link-prediction candidate
+    volume per node."""
+    from ..stages.graph import fof_counts
+
+    return fof_counts(_doc_multigraph(sf_dir))
+
+
+def q_reciprocity(sf_dir: str):
+    """Directed reciprocity (stages/graph.reciprocity): distinct
+    non-loop directed edges whose reverse also exists, counted
+    block-locally per canonical pair — one scalar row, one pinned
+    division. The derivation doc→doc%97 ∪ doc→2·doc mixes one-way hub
+    edges with doubling edges whose reverse (2u→u via //2-style halving
+    emitted from row 2u) exists exactly when 2u is itself a doc —
+    a nonzero, nontrivial mutual fraction the SQL replays."""
+    from ..stages.graph import reciprocity
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks()
+        m = _mod(d, 97)
+        m = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+        dbl = pc.multiply(d, 2)
+        dbl = dbl.combine_chunks() if isinstance(dbl, pa.ChunkedArray) else dbl
+        half = pc.divide(d, 2)
+        half = (half.combine_chunks()
+                if isinstance(half, pa.ChunkedArray) else half)
+        return pa.table(
+            {"src": pa.chunked_array([d, d, d]),
+             "dst": pa.chunked_array([m, dbl, half])}
+        )
+
+    return reciprocity(
+        docs.map_batches(edges, batch_format="pyarrow").repartition(4)
+    )
+
+
+def q_attribution(sf_dir: str):
+    """Last-touch conversion attribution over the events stream
+    (stages/sessionize.last_touch_attribution): each purchase credits
+    the user's most recent strictly-earlier non-purchase event type
+    under the (ts, event_id) total order; purchases with no prior touch
+    credit 'direct'. SQL replays it with LAST_VALUE(... IGNORE NULLS)
+    OVER (... ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)."""
+    from ..stages.sessionize import last_touch_attribution
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    return last_touch_attribution(ev, conversion="purchase")
+
+
+def q_hapax_ratio(sf_dir: str):
+    """Per-page hapax-legomena ratio over the reference-locked postings:
+    distinct-term count, tf=1 count, and their single pinned IEEE
+    division — the classic lexical-richness / OCR-noise signal (noisy
+    pages skew hapax-heavy). Exact order-free integer sums; one
+    doc-key exchange."""
+    from ..stages.relational import grouped_agg
+
+    postings = ingest(read_webpages(sf_dir))["postings"]
+
+    def part(b: pa.Table) -> pa.Table:
+        tf = b.column("tf").cast(pa.int64())
+        return pa.table(
+            {"doc_id": b.column("doc_id"),
+             "one": pa.repeat(pa.scalar(1, pa.int64()), b.num_rows),
+             "hap": pc.equal(tf, 1).cast(pa.int64())}
+        )
+
+    agg = grouped_agg(
+        postings.map_batches(part, batch_format="pyarrow"),
+        ["doc_id"],
+        [("n_terms", "one", "sum"), ("n_hapax", "hap", "sum")],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        nt = b.column("n_terms").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        nh = b.column("n_hapax").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(nt == 0.0, 0.0, nh / nt)
+        return pa.table(
+            {"doc_id": b.column("doc_id"),
+             "n_terms": b.column("n_terms"),
+             "n_hapax": b.column("n_hapax"),
+             "hapax_ratio": pa.array(ratio, pa.float64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

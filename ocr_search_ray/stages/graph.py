@@ -445,7 +445,8 @@ def hits_fixed(edges, *, iters: int = 2, scale: int = 10**6,
     )
 
 
-def triangle_counts(edges, *, src_col: str = "src", dst_col: str = "dst"):
+def triangle_counts(edges, *, src_col: str = "src", dst_col: str = "dst",
+                    with_degree: bool = False):
     """Exact per-node triangle counts via degree-ordered orientation
     (Latapy 2008 / the standard MapReduce edge-iterator): orient every
     distinct undirected edge from its (deg, node)-smaller endpoint to the
@@ -465,7 +466,9 @@ def triangle_counts(edges, *, src_col: str = "src", dst_col: str = "dst"):
     per-node ``grouped_agg``. Self-loops dropped; duplicate/multigraph
     edges collapse at the distinct step.
 
-    → (node:int64, triangles:int64) for every node with ≥1 edge.
+    → (node:int64, triangles:int64) for every node with ≥1 edge;
+    ``with_degree=True`` appends the simple-graph degree (deg:int64) —
+    free, since the node spine IS the degree table.
     """
     import numpy as np
     import pyarrow.compute as pc
@@ -595,6 +598,28 @@ def triangle_counts(edges, *, src_col: str = "src", dst_col: str = "dst"):
     )
     cnt = grouped_agg(members, ["node"], [("triangles", "node", "count")])
 
+    if with_degree:
+        spine = deg.map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"),
+                 "deg": b.column("deg").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        final = cluster_join(
+            spine, cnt, ["node"],
+            left_types={"node": pa.int64(), "deg": pa.int64()},
+            right_types={"triangles": pa.int64()},
+            how="left",
+        )
+        return final.map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"),
+                 "deg": b.column("deg"),
+                 "triangles": pc.fill_null(b.column("triangles"), 0)}
+            ),
+            batch_format="pyarrow",
+        )
     spine = deg.map_batches(
         lambda b: pa.table({"node": b.column("node")}), batch_format="pyarrow"
     )
@@ -1030,4 +1055,325 @@ def cocitation_counts(edges, *, src_col: str = "src", dst_col: str = "dst",
     return grouped_agg(
         emitted, ["node1", "node2"],
         [("n_common_sources", "node1", "count")],
+    )
+
+
+def clustering_coefficient(edges, *, src_col: str = "src",
+                           dst_col: str = "dst"):
+    """Per-node LOCAL clustering coefficient (Watts–Strogatz 1998):
+    coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) over the simple undirected
+    graph — the canonical "how clique-like is this node's neighborhood"
+    signal (link farms cluster near 1.0; organic hubs near 0).
+
+    Physical plan: ``triangle_counts(with_degree=True)`` (degree-ordered
+    orientation, O(E^1.5) wedge bound — see its docstring) plus ONE
+    stateless vectorized map; no additional exchange. Nodes with
+    deg < 2 emit 0.0.
+
+    Float-EXACT oracle parity: coeff = (2.0·tri) / (deg·(deg−1.0)) with
+    each line one IEEE rounding — DuckDB replays the identical
+    expression.
+
+    → (node:int64, deg:int64, triangles:int64, coeff:float64).
+    """
+    import numpy as np
+    import pyarrow.compute as pc  # noqa: F401  (kept for parity w/ file)
+
+    base = triangle_counts(
+        edges, src_col=src_col, dst_col=dst_col, with_degree=True
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        deg = b.column("deg").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        tri = b.column("triangles").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        # pinned op order (one IEEE rounding per line):
+        num = 2.0 * tri
+        den = deg * (deg - 1.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coeff = np.where(den == 0.0, 0.0, num / den)
+        return pa.table(
+            {"node": b.column("node"), "deg": b.column("deg"),
+             "triangles": b.column("triangles"),
+             "coeff": pa.array(coeff, pa.float64())}
+        )
+
+    return base.map_batches(finish, batch_format="pyarrow")
+
+
+def assortativity(edges, *, src_col: str = "src", dst_col: str = "dst"):
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the SYMMETRIZED edge list of
+    the simple undirected graph — positive on social graphs (hubs link
+    hubs), negative on the web/biology (hubs link leaves). One scalar
+    row out; the web-graph topology audit.
+
+    Physical plan: canonicalize + distinct (1 ``cluster_apply``), degree
+    count (1 ``grouped_agg``), two deg-attach ``cluster_join`` passes
+    (the ``triangle_counts`` prologue), then each edge contributes BOTH
+    (du,dv) and (dv,du) to exact int64 moment sums via the
+    ``grouped_corr`` combiner — bytes on the wire are O(batches), never
+    O(edges), and the final Pearson expression is pinned-IEEE
+    (``grouped_corr`` docstring) so DuckDB replays it bit-for-bit.
+    int64 headroom: Σ(du·dv) caps at 2·E·max_deg² — the caller's graph
+    must keep that under 2⁶³ (web graphs: E≈10¹², max_deg≈10⁶ needs the
+    same cents-style rescale documented in ``grouped_corr``).
+
+    → one row (n_pairs:int64, assortativity:float64); n_pairs = 2·E.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import cluster_apply, grouped_corr
+
+    def canon(b: pa.Table) -> pa.Table:
+        u = b.column(src_col).cast(pa.int64())
+        v = b.column(dst_col).cast(pa.int64())
+        lo = pc.min_element_wise(u, v)
+        hi = pc.max_element_wise(u, v)
+        return pa.table({"u": lo, "v": hi}).filter(pc.not_equal(lo, hi))
+
+    ce = cluster_apply(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"],
+        lambda blk: blk.group_by(["u", "v"]).aggregate([]),
+    ).materialize()  # consumed by deg AND the attach join
+
+    endpoints = ce.map_batches(
+        lambda b: pa.table({"node": b.column("u")}), batch_format="pyarrow"
+    ).union(
+        ce.map_batches(
+            lambda b: pa.table({"node": b.column("v")}),
+            batch_format="pyarrow",
+        )
+    )
+    deg = grouped_agg(
+        endpoints, ["node"], [("deg", "node", "count")]
+    ).materialize()  # consumed by two attach joins
+
+    with_du = cluster_join(
+        ce,
+        deg.map_batches(
+            lambda b: pa.table({"u": b.column("node"), "du": b.column("deg")}),
+            batch_format="pyarrow",
+        ),
+        ["u"],
+        left_types={"u": pa.int64(), "v": pa.int64()},
+        right_types={"du": pa.int64()},
+    )
+    with_both = cluster_join(
+        with_du,
+        deg.map_batches(
+            lambda b: pa.table({"v": b.column("node"), "dv": b.column("deg")}),
+            batch_format="pyarrow",
+        ),
+        ["v"],
+        left_types={"u": pa.int64(), "v": pa.int64(), "du": pa.int64()},
+        right_types={"dv": pa.int64()},
+    )
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        du = b.column("du").combine_chunks()
+        dv = b.column("dv").combine_chunks()
+        one = pa.repeat(pa.scalar(1, pa.int8()), 2 * b.num_rows)
+        return pa.table(
+            {"g": one,
+             "x": pa.chunked_array([du, dv]),
+             "y": pa.chunked_array([dv, du])}
+        )
+
+    corr = grouped_corr(
+        with_both.map_batches(symmetrize, batch_format="pyarrow"),
+        ["g"], "x", "y",
+    )
+    return corr.map_batches(
+        lambda b: pa.table(
+            {"n_pairs": b.column("n"), "assortativity": b.column("corr")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def fof_counts(edges, *, src_col: str = "src", dst_col: str = "dst",
+               max_deg: int = 10_000):
+    """Distance-2 neighbor counts ("friends of friends"): per node, how
+    many DISTINCT nodes sit at shortest-path distance exactly 2 — the
+    classic link-prediction candidate volume / 2-hop reach metric.
+
+    Physical plan (all int-key exchanges): canonicalize + distinct
+    (1 ``cluster_apply``), symmetrize to full adjacency, wedge emission
+    inside one mid-key ``cluster_apply`` (numpy ``triu_indices`` per
+    co-located neighbor list, BOTH orientations — distance-2 needs every
+    wedge, orientation can't halve it), distinct (a,c) pairs
+    (1 ``cluster_apply`` group_by), ANTI ``cluster_join`` against the
+    adjacency (drops pairs that are also direct edges — those are
+    distance 1), final per-node ``grouped_agg``. A mid node of degree d
+    emits d·(d−1) wedge pairs — ``max_deg`` bounds hub fan-out exactly
+    like ``cocitation_counts.max_out`` (explicit, documented drop).
+
+    → (node:int64, n_fof:int64), nodes with ≥1 distance-2 neighbor.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .relational import cluster_apply
+
+    def canon(b: pa.Table) -> pa.Table:
+        u = b.column(src_col).cast(pa.int64())
+        v = b.column(dst_col).cast(pa.int64())
+        lo = pc.min_element_wise(u, v)
+        hi = pc.max_element_wise(u, v)
+        return pa.table({"u": lo, "v": hi}).filter(pc.not_equal(lo, hi))
+
+    ce = cluster_apply(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"],
+        lambda blk: blk.group_by(["u", "v"]).aggregate([]),
+    ).materialize()  # consumed by wedges AND the anti probe
+
+    adj = ce.map_batches(
+        lambda b: pa.table(
+            {"mid": pa.chunked_array(
+                [b.column("u").combine_chunks(),
+                 b.column("v").combine_chunks()]
+            ),
+             "nbr": pa.chunked_array(
+                [b.column("v").combine_chunks(),
+                 b.column("u").combine_chunks()]
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def wedges(blk: pa.Table) -> pa.Table:
+        m = blk.column("mid").to_numpy(zero_copy_only=False)
+        nb = blk.column("nbr").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, m))
+        m, nb = m[order], nb[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(m)) + 1, [len(m)])
+        )
+        o1, o2 = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            g = hi - lo
+            if g < 2 or g > max_deg:
+                continue
+            i, j = np.triu_indices(g, k=1)
+            grp = nb[lo:hi]
+            o1.append(grp[i])
+            o2.append(grp[j])
+        if not o1:
+            return pa.table(
+                {"a": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"a": pa.array(np.concatenate(o1), pa.int64()),
+             "c": pa.array(np.concatenate(o2), pa.int64())}
+        )
+
+    pair_dedup = cluster_apply(
+        cluster_apply(adj, ["mid"], wedges),
+        ["a", "c"],
+        lambda blk: blk.group_by(["a", "c"]).aggregate([]),
+    )
+    # distance exactly 2: drop pairs that are ALSO direct edges
+    # ((a,c) is canonical a<c by construction: wedge lists are sorted)
+    d2 = cluster_join(
+        pair_dedup,
+        ce.map_batches(
+            lambda b: pa.table({"a": b.column("u"), "c": b.column("v")}),
+            batch_format="pyarrow",
+        ),
+        ["a", "c"],
+        left_types={"a": pa.int64(), "c": pa.int64()},
+        right_types={},
+        how="anti",
+    )
+    both = d2.map_batches(
+        lambda b: pa.table(
+            {"node": pa.chunked_array(
+                [b.column("a").combine_chunks(),
+                 b.column("c").combine_chunks()]
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_agg(both, ["node"], [("n_fof", "node", "count")])
+
+
+def reciprocity(edges, *, src_col: str = "src", dst_col: str = "dst"):
+    """Directed-graph reciprocity: the fraction of distinct directed
+    non-loop edges u→v whose reverse v→u is also present — the
+    crawl-graph mutuality audit (blog rings reciprocate; news sites
+    don't).
+
+    Physical plan: distinct directed edges (1 ``cluster_apply``
+    group_by), then ONE canonical-pair-key ``cluster_apply`` counts each
+    unordered pair's orientation multiplicity (1 or 2) block-locally and
+    emits one partial row per block; a final tiny merge sums partials.
+    n_reciprocated counts EDGES (each mutual pair contributes 2), per
+    the standard definition; ratio = one pinned IEEE division.
+
+    → one row (n_edges:int64, n_reciprocated:int64, reciprocity:float64).
+    """
+    import pyarrow.compute as pc
+
+    from .relational import cluster_apply
+
+    def project(b: pa.Table) -> pa.Table:
+        s = b.column(src_col).cast(pa.int64())
+        d = b.column(dst_col).cast(pa.int64())
+        return pa.table({"s": s, "d": d}).filter(pc.not_equal(s, d))
+
+    dedup = cluster_apply(
+        edges.map_batches(project, batch_format="pyarrow"),
+        ["s", "d"],
+        lambda blk: blk.group_by(["s", "d"]).aggregate([]),
+    )
+
+    def add_pair_key(b: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(b.column("s"), b.column("d"))
+        hi = pc.max_element_wise(b.column("s"), b.column("d"))
+        return pa.table({"lo": lo, "hi": hi})
+
+    def block_partial(blk: pa.Table) -> pa.Table:
+        g = blk.group_by(["lo", "hi"]).aggregate([([], "count_all")])
+        cnt = g.column("count_all")
+        n_edges = blk.num_rows
+        n_recip = pc.sum(
+            pc.if_else(pc.equal(cnt, 2), cnt, pa.scalar(0, cnt.type))
+        ).as_py() or 0
+        return pa.table(
+            {"n_edges_p": pa.array([n_edges], pa.int64()),
+             "n_recip_p": pa.array([int(n_recip)], pa.int64())}
+        )
+
+    import ray.data as rd
+
+    # zero seed: an input with no surviving edges still yields the one
+    # scalar row (block_partial is never invoked on zero blocks)
+    seed = rd.from_arrow(
+        pa.table(
+            {"n_edges_p": pa.array([0], pa.int64()),
+             "n_recip_p": pa.array([0], pa.int64())}
+        )
+    )
+    partials = cluster_apply(
+        dedup.map_batches(add_pair_key, batch_format="pyarrow"),
+        ["lo", "hi"], block_partial,
+    ).union(seed)
+
+    def finish(b: pa.Table) -> pa.Table:
+        ne = int(pc.sum(b.column("n_edges_p")).as_py() or 0)
+        nr = int(pc.sum(b.column("n_recip_p")).as_py() or 0)
+        ratio = 0.0 if ne == 0 else float(nr) / float(ne)
+        return pa.table(
+            {"n_edges": pa.array([ne], pa.int64()),
+             "n_reciprocated": pa.array([nr], pa.int64()),
+             "reciprocity": pa.array([ratio], pa.float64())}
+        )
+
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pyarrow"
     )

@@ -692,3 +692,88 @@ def interval_coverage(events, *, user_col: str = "user_id",
     return cluster_apply(
         events.map_batches(prep, batch_format="pyarrow"), ["user"], cover
     )
+
+
+def last_touch_attribution(events, *, conversion: str = "purchase",
+                           user_col: str = "user_id", ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           id_col: str = "event_id"):
+    """Last-touch conversion attribution: every ``conversion`` event is
+    credited to the SAME USER's most recent strictly-earlier
+    non-conversion event type under the (ts, event_id) total order —
+    the id tie-break makes "most recent" deterministic, so a SQL
+    LAST_VALUE(... IGNORE NULLS) window replays it exactly. Conversions
+    with no prior touch credit the ``direct`` channel.
+
+    Physical plan: ONE user-key ``cluster_apply`` — block-local Arrow
+    sort, then a single vectorized ``np.maximum.accumulate`` over
+    candidate indexes (the classic segmented last-seen scan: a
+    cross-user carry is rejected by comparing the accumulated index
+    against the row's segment start, so no per-user loop exists) —
+    emitting per-block PARTIAL channel counts; one tiny ``grouped_agg``
+    merge over the channel alphabet. Bytes on the wire: O(alphabet ×
+    blocks), never O(events).
+
+    → (channel:string, n_conversions:int64).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .relational import cluster_apply, grouped_agg
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user": b.column(user_col).cast(pa.int64()),
+             "t": b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
+             "eid": b.column(id_col).cast(pa.int64()),
+             "typ": b.column(type_col)}
+        )
+
+    def attribute(block: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            block,
+            sort_keys=[("user", "ascending"), ("t", "ascending"),
+                       ("eid", "ascending")],
+        )
+        s = block.take(idx)
+        n = s.num_rows
+        empty = pa.table(
+            {"channel": pa.array([], pa.string()),
+             "n_p": pa.array([], pa.int64())}
+        )
+        if n == 0:
+            return empty
+        user = s.column("user").to_numpy(zero_copy_only=False)
+        typ = s.column("typ").to_numpy(zero_copy_only=False)
+        is_conv = typ == conversion
+        rows = np.arange(n, dtype=np.int64)
+        # last non-conversion index at-or-before each row; conversion rows
+        # contribute -1, so acc[i] at a conversion row IS "strictly earlier"
+        acc = np.maximum.accumulate(np.where(is_conv, -1, rows))
+        seg_change = np.flatnonzero(user[1:] != user[:-1]) + 1
+        starts = np.concatenate(([0], seg_change))
+        seg_start = np.repeat(
+            starts, np.diff(np.concatenate((starts, [n])))
+        )
+        conv_rows = np.flatnonzero(is_conv)
+        if len(conv_rows) == 0:
+            return empty
+        prior = acc[conv_rows]
+        in_seg = prior >= seg_start[conv_rows]
+        channel = np.where(
+            in_seg, typ[np.where(in_seg, prior, 0)], "direct"
+        )
+        part = pa.table(
+            {"channel": pa.array(channel.astype(object), pa.string())}
+        ).group_by(["channel"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"channel": part.column("channel"),
+             "n_p": part.column("count_all").cast(pa.int64())}
+        )
+
+    partials = cluster_apply(
+        events.map_batches(prep, batch_format="pyarrow"),
+        ["user"], attribute,
+    )
+    out = grouped_agg(partials, ["channel"], [("n_conversions", "n_p", "sum")])
+    return out
