@@ -111,6 +111,50 @@ postings AS (
 _INGEST_PREFIX = f"WITH {_WEB_CTE.strip()}, {_PAGES_CTE.strip()}"
 _POSTINGS_PREFIX = f"{_INGEST_PREFIX}, {_POSTINGS_CTE.strip()}"
 
+def _lpa_sql(rounds: int = 3) -> str:
+    """Unrolled bounded label propagation over the deterministic doc
+    multigraph (mirrors stages/graph.label_propagation round for round:
+    synchronous updates, (count DESC, label ASC) tie-break, neighbors
+    only). Same MATERIALIZED-CTE discipline as _kcore_sql."""
+    parts = [
+        """ce AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM e WHERE src <> dst
+        )""",
+        """sym AS MATERIALIZED (
+          SELECT u, v FROM ce UNION ALL SELECT v, u FROM ce
+        )""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""m{r} AS MATERIALIZED (
+          SELECT s.v AS node, l.lab AS lab, COUNT(*) AS c
+          FROM sym s JOIN l{r - 1} l ON l.node = s.u
+          GROUP BY 1, 2
+        )""")
+        parts.append(f"""l{r} AS MATERIALIZED (
+          SELECT node, lab FROM (
+            SELECT node, lab,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY node ORDER BY c DESC, lab ASC
+                   ) AS rn
+            FROM m{r}
+          ) WHERE rn = 1
+        )""")
+    return (
+        """WITH e AS MATERIALIZED (
+          SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+          UNION ALL SELECT doc_id, doc_id % 89 FROM documents
+          UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+        ), """
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS label
+        FROM l{rounds}
+        """
+    )
+
+
 def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
     """Unrolled bounded k-core peel over the deterministic doc multigraph
     (mirrors stages/graph.py:kcore_peel round for round)."""
@@ -450,6 +494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked in r1-r4 + entries whose oracle is new
         # this round (r5) lead; the window covers the first 50 ---
+        "label_propagation": q.q_label_propagation,  # bounded-round LPA communities (r5)
+        "char_profile": q.q_char_profile,  # zero-copy byte histogram profile (r5)
+        "order_gaps": q.q_order_gaps,  # repeat-purchase intervals (r5)
         "clustering_coefficient": q.q_clustering_coefficient,  # Watts-Strogatz local coeff (r5)
         "assortativity": q.q_assortativity,  # Newman degree assortativity (r5)
         "fof_counts": q.q_fof_counts,  # distance-2 neighbor counts (r5)
@@ -1995,6 +2042,52 @@ def oracle_sql() -> dict[str, str]:
         # (self-loops dropped), (deg, node)-ordered orientation, wedge
         # pairs of co-apex out-edges closed against the oriented list —
         # the DAG orientation counts each triangle exactly once.
+        "label_propagation": _lpa_sql(rounds=3),
+        "char_profile": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              WHERE strlen(text) = length(text) AND strlen(text) > 0
+            ),
+            ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS c FROM d
+            ),
+            cnt AS (
+              SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ch GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bytes,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct
+              FROM cnt GROUP BY 1
+            ),
+            top AS (
+              SELECT doc_id, c, n FROM (
+                SELECT doc_id, c, n,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY doc_id ORDER BY n DESC, c ASC
+                       ) AS rn
+                FROM cnt
+              ) WHERE rn = 1
+            )
+            SELECT a.doc_id, a.n_bytes, a.n_distinct,
+                   t.n AS top_count, t.c AS top_char
+            FROM agg a JOIN top t ON t.doc_id = a.doc_id
+        """,
+        "order_gaps": """
+            WITH g AS (
+              SELECT o_custkey,
+                     epoch_us(o_orderdate) - LAG(epoch_us(o_orderdate))
+                       OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS gap
+              FROM orders
+            )
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+                   CAST(SUM(gap) AS BIGINT) AS sum_gap_us
+            FROM g WHERE gap IS NOT NULL GROUP BY 1
+        """,
         # clustering_coefficient replays the triangle_counts SQL and
         # appends the degree spine + the pinned (2.0·tri)/(deg·(deg−1.0))
         # expression (stages/graph.clustering_coefficient's numpy lines).

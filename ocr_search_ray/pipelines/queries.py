@@ -3522,3 +3522,40 @@ def q_hapax_ratio(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_label_propagation(sf_dir: str):
+    """Bounded-round LPA community detection
+    (stages/graph.label_propagation, 3 synchronous rounds, (count DESC,
+    label ASC) tie-break) over the deterministic doc multigraph; the
+    SQL mirror unrolls the rounds as materialized ROW_NUMBER() CTEs,
+    the kcore pattern."""
+    from ..stages.graph import label_propagation
+
+    return label_propagation(_doc_multigraph(sf_dir), rounds=3)
+
+
+def q_char_profile(sf_dir: str):
+    """Per-document byte-frequency profile (stages/textstats.
+    char_profile): zero-copy Arrow-buffer bincount over doc_idx·256+byte
+    — total bytes, distinct bytes, modal count and modal character
+    (smallest on ties) for pure-ASCII docs; SQL replays it with a
+    per-character split + ROW_NUMBER window."""
+    from ..stages.textstats import char_profile
+
+    return char_profile(_read(sf_dir, "documents",
+                              columns=["doc_id", "text"]))
+
+
+def q_order_gaps(sf_dir: str):
+    """Repeat-purchase interval stats (stages/relational.
+    consecutive_gaps): per customer, consecutive order-date differences
+    under the (date, orderkey) total order — n/min/max/sum in exact
+    integer microseconds, single-order customers excluded; the SQL LAG
+    window replays it exactly."""
+    from ..stages.relational import consecutive_gaps
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    return consecutive_gaps(orders, "o_custkey", "o_orderdate",
+                            "o_orderkey")

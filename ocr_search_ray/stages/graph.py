@@ -1377,3 +1377,105 @@ def reciprocity(edges, *, src_col: str = "src", dst_col: str = "dst"):
     return partials.repartition(1).map_batches(
         finish, batch_format="pyarrow"
     )
+
+
+def label_propagation(edges, *, rounds: int = 3,
+                      src_col: str = "src", dst_col: str = "dst"):
+    """Bounded synchronous label propagation (Raghavan 2007 LPA with the
+    deterministic (count DESC, label ASC) tie-break): every node starts
+    labeled by its own id; each round it adopts the most frequent label
+    among its NEIGHBORS (not itself). Fixed ``rounds`` + the total
+    tie-break order make the result deterministic and SQL-replayable as
+    unrolled ROW_NUMBER() rounds — the community-detection counterpart
+    of ``kcore_peel``'s bounded unrolling.
+
+    Physical plan per round (all int-key): one u-key ``cluster_join``
+    (labels onto the symmetrized edges) and one v-key ``cluster_apply``
+    (block-local (node,label) tally + first-row argmax under the
+    (count DESC, label ASC) sort) — 2 exchanges/round; the label table
+    (two int64 columns) materializes per round, the
+    iterative-fixpoint requirement shared with ``connected_components``.
+    Driver state: none.
+
+    → (node:int64, label:int64) for every node with ≥1 non-loop edge.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import cluster_apply
+
+    def canon(b: pa.Table) -> pa.Table:
+        u = b.column(src_col).cast(pa.int64())
+        v = b.column(dst_col).cast(pa.int64())
+        lo = pc.min_element_wise(u, v)
+        hi = pc.max_element_wise(u, v)
+        return pa.table({"u": lo, "v": hi}).filter(pc.not_equal(lo, hi))
+
+    ce = cluster_apply(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"],
+        lambda blk: blk.group_by(["u", "v"]).aggregate([]),
+    )
+    sym = ce.map_batches(
+        lambda b: pa.table(
+            {"u": pa.chunked_array(
+                [b.column("u").combine_chunks(),
+                 b.column("v").combine_chunks()]
+            ),
+             "v": pa.chunked_array(
+                [b.column("v").combine_chunks(),
+                 b.column("u").combine_chunks()]
+            )}
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed once per round
+
+    labels = grouped_agg(
+        sym.map_batches(
+            lambda b: pa.table({"node": b.column("u"),
+                                "lab": b.column("u")}),
+            batch_format="pyarrow",
+        ),
+        ["node"], [("lab", "lab", "min")],
+    ).materialize()
+
+    def argmax_label(blk: pa.Table) -> pa.Table:
+        tally = blk.group_by(["node", "lab"]).aggregate([([], "count_all")])
+        srt = tally.sort_by(
+            [("node", "ascending"), ("count_all", "descending"),
+             ("lab", "ascending")]
+        )
+        import numpy as np
+
+        nodes = srt.column("node").to_numpy(zero_copy_only=False)
+        keep = np.concatenate(([True], nodes[1:] != nodes[:-1]))
+        first = srt.filter(pa.array(keep))
+        return pa.table(
+            {"node": first.column("node"), "lab": first.column("lab")}
+        )
+
+    for _ in range(rounds):
+        msgs = cluster_join(
+            sym,
+            labels.map_batches(
+                lambda b: pa.table(
+                    {"u": b.column("node"), "lab": b.column("lab")}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["u"],
+            left_types={"u": pa.int64(), "v": pa.int64()},
+            right_types={"lab": pa.int64()},
+        ).map_batches(
+            lambda b: pa.table(
+                {"node": b.column("v"), "lab": b.column("lab")}
+            ),
+            batch_format="pyarrow",
+        )
+        labels = cluster_apply(msgs, ["node"], argmax_label).materialize()
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"), "label": b.column("lab")}
+        ),
+        batch_format="pyarrow",
+    )

@@ -1888,3 +1888,72 @@ def grouped_corr(ds, key_cols: list[str], x_col: str, y_col: str):
         projected.map_batches(partial, batch_format="pyarrow"),
         key_cols, finish,
     )
+
+
+def consecutive_gaps(ds, key_col: str, ts_col: str, id_col: str):
+    """Per-key inter-event gap statistics: rows of each key are ordered
+    by the (ts, id) total order (the id tie-break makes it
+    deterministic, so a SQL LAG() window replays it exactly) and the
+    consecutive timestamp differences aggregate to n_gaps / min / max /
+    sum in exact integer microseconds — the repeat-purchase-interval /
+    crawl-revisit-cadence primitive. Keys with a single row emit
+    nothing (no gaps), matching SQL's WHERE gap IS NOT NULL.
+
+    Physical plan: ONE key ``cluster_apply`` — block-local Arrow sort,
+    one numpy shifted difference masked at key boundaries, per-key
+    reduction via ``np.minimum/maximum/add.at`` over the boundary
+    segments; output is key-count-sized. All sums int64, order-free.
+
+    → (key, n_gaps:int64, min_gap_us:int64, max_gap_us:int64,
+       sum_gap_us:int64).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def gaps(block: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            block,
+            sort_keys=[(key_col, "ascending"), (ts_col, "ascending"),
+                       (id_col, "ascending")],
+        )
+        s = block.take(idx)
+        n = s.num_rows
+        empty = pa.table(
+            {key_col: pa.array([], pa.int64()),
+             "n_gaps": pa.array([], pa.int64()),
+             "min_gap_us": pa.array([], pa.int64()),
+             "max_gap_us": pa.array([], pa.int64()),
+             "sum_gap_us": pa.array([], pa.int64())}
+        )
+        if n < 2:
+            return empty
+        key = s.column(key_col).to_numpy(zero_copy_only=False)
+        t = s.column(ts_col).cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        same = key[1:] == key[:-1]
+        if not same.any():
+            return empty
+        d = (t[1:] - t[:-1])[same]
+        owner = key[1:][same]
+        # segment-reduce per key over the (sorted) owner runs
+        starts = np.concatenate(
+            ([0], np.flatnonzero(owner[1:] != owner[:-1]) + 1)
+        )
+        ends = np.concatenate((starts[1:], [len(owner)]))
+        ks = owner[starts]
+        mins = np.minimum.reduceat(d, starts)
+        maxs = np.maximum.reduceat(d, starts)
+        sums = np.add.reduceat(d, starts)
+        return pa.table(
+            {key_col: pa.array(ks, pa.int64()),
+             "n_gaps": pa.array(ends - starts, pa.int64()),
+             "min_gap_us": pa.array(mins, pa.int64()),
+             "max_gap_us": pa.array(maxs, pa.int64()),
+             "sum_gap_us": pa.array(sums, pa.int64())}
+        )
+
+    proj = ds.map_batches(
+        lambda b: b.select([key_col, ts_col, id_col]),
+        batch_format="pyarrow",
+    )
+    return cluster_apply(proj, [key_col], gaps)

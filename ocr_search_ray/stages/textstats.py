@@ -1052,3 +1052,76 @@ def vocab_overlap(pages, *, url_col: str = "url", text_col: str = "text",
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def char_profile(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document byte/character frequency profile for pure-ASCII
+    documents: total byte count, distinct-byte count, the modal byte's
+    count and the modal character itself (smallest byte on ties) — the
+    encoding-damage / low-entropy screen (mojibake and binary spill
+    produce degenerate profiles). Non-ASCII documents are excluded (for
+    them bytes ≠ characters; the SQL mirror's per-CHARACTER split only
+    matches on ASCII, where the two coincide).
+
+    Physical plan: ZERO exchanges — one stateless vectorized map. Per
+    batch the string column's Arrow data buffer is viewed as one uint8
+    array (zero-copy), a doc index is repeated from the offsets, and a
+    single ``np.bincount`` over ``doc_idx·256 + byte`` builds every
+    document's 256-bin histogram at once; distinct/max/argmax are
+    row-wise numpy reductions over the (n_docs, 256) view. No Python
+    loop touches a row.
+
+    → (doc_id, n_bytes:int64, n_distinct:int64, top_count:int64,
+       top_char:string).
+    """
+    import numpy as np
+
+    def profile(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        txt = batch.column(text_col).combine_chunks()
+        if isinstance(txt, pa.ChunkedArray):
+            if txt.num_chunks == 0:
+                txt = pa.array([], pa.string())
+            else:
+                txt = (txt.chunk(0) if txt.num_chunks == 1
+                       else pa.concat_arrays(txt.chunks))
+        empty = pa.table(
+            {id_col: ids.slice(0, 0),
+             "n_bytes": pa.array([], pa.int64()),
+             "n_distinct": pa.array([], pa.int64()),
+             "top_count": pa.array([], pa.int64()),
+             "top_char": pa.array([], pa.string())}
+        )
+        n = len(txt)
+        if n == 0:
+            return empty
+        if pa.types.is_large_string(txt.type):
+            off_np = np.frombuffer(txt.buffers()[1], dtype=np.int64)
+        else:
+            off_np = np.frombuffer(txt.buffers()[1], dtype=np.int32)
+        off_np = off_np[txt.offset: txt.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(txt.buffers()[2], dtype=np.uint8)
+        lens = np.diff(off_np)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        sub = data[off_np[0]: off_np[-1]]
+        keys = doc_idx * 256 + sub.astype(np.int64)
+        hist = np.bincount(keys, minlength=n * 256).reshape(n, 256)
+        nonzero = hist > 0
+        ascii_ok = ~nonzero[:, 128:].any(axis=1)
+        keep = ascii_ok & (lens > 0)
+        if not keep.any():
+            return empty
+        h = hist[keep]
+        top_idx = h.argmax(axis=1)  # first max = smallest byte on ties
+        return pa.table(
+            {id_col: ids.filter(pa.array(keep)),
+             "n_bytes": pa.array(lens[keep], pa.int64()),
+             "n_distinct": pa.array(
+                 nonzero[keep].sum(axis=1).astype(np.int64), pa.int64()),
+             "top_count": pa.array(
+                 h[np.arange(len(h)), top_idx].astype(np.int64),
+                 pa.int64()),
+             "top_char": pa.array([chr(b) for b in top_idx], pa.string())}
+        )
+
+    return ds.map_batches(profile, batch_format="pyarrow")

@@ -13,7 +13,7 @@ def test_oracle_keys_subset_of_queries():
     assert set(sqls) <= set(qs), set(sqls) - set(qs)
     # pin the contract size: CLAUDE.md/SURVEY.md state these numbers and
     # they have drifted twice — adding an entry must touch this line too
-    assert (len(qs), len(sqls)) == (160, 154), (len(qs), len(sqls))
+    assert (len(qs), len(sqls)) == (163, 157), (len(qs), len(sqls))
     # rows-only ops are the documented six (the media entries got exact
     # decode-evidence oracles in round 5; the approx sketches are
     # deterministic but not SQL-derivable — error-bound pytest-locked;

@@ -185,3 +185,80 @@ def test_triangle_counts_with_degree_parity(ray_session):
     assert {n: d for n, (d, _) in withd.items()} == {
         n: len(v) for n, v in adj.items()
     }
+
+
+def test_label_propagation_brute_force(ray_session):
+    from ocr_search_ray.stages.graph import label_propagation
+
+    # two triangles bridged by one edge + dupes/self-loop noise
+    pairs = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3),
+             (0, 0), (1, 0)]
+    rounds = 3
+    simple = _simple(pairs)
+    adj = _adj(simple)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                counts[lab[m]] = counts.get(lab[m], 0) + 1
+            new[n] = min(
+                (l for l in counts),
+                key=lambda l: (-counts[l], l),
+            )
+        lab = new
+    out = {r["node"]: r["label"] for r in
+           label_propagation(_edges_ds(pairs), rounds=rounds).take_all()}
+    assert out == lab
+
+
+def test_char_profile_brute_force(ray_session):
+    import collections
+
+    from ocr_search_ray.stages.textstats import char_profile
+
+    texts = ["aabbbc", "zzz", "abcé", "", "  x  "]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(2)
+    out = {r["doc_id"]: r for r in char_profile(ds).take_all()}
+    # non-ASCII doc 2 and empty doc 3 are excluded
+    assert set(out) == {0, 1, 4}
+    for i in (0, 1, 4):
+        c = collections.Counter(texts[i])
+        top_char = min(c, key=lambda ch: (-c[ch], ch))
+        assert out[i]["n_bytes"] == len(texts[i])
+        assert out[i]["n_distinct"] == len(c)
+        assert out[i]["top_count"] == c[top_char]
+        assert out[i]["top_char"] == top_char
+
+
+def test_consecutive_gaps_brute_force(ray_session):
+    from ocr_search_ray.stages.relational import consecutive_gaps
+
+    rows = [
+        (1, 100, 1), (1, 400, 2), (1, 250, 3),   # unsorted input
+        (2, 50, 4),                                # single row -> no gaps
+        (3, 10, 5), (3, 10, 6), (3, 40, 7),        # tie broken by id
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"k": pa.array([r[0] for r in rows], pa.int64()),
+             "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+             "id": pa.array([r[2] for r in rows], pa.int64())}
+        )
+    ).repartition(3)
+    out = {r["k"]: r for r in
+           consecutive_gaps(ds, "k", "ts", "id").take_all()}
+    assert set(out) == {1, 3}
+    # key 1 sorted: 100, 250, 400 -> gaps 150, 150
+    assert out[1]["n_gaps"] == 2
+    assert out[1]["min_gap_us"] == 150 and out[1]["max_gap_us"] == 150
+    assert out[1]["sum_gap_us"] == 300
+    # key 3 sorted: (10,5), (10,6), (40,7) -> gaps 0, 30
+    assert out[3]["n_gaps"] == 2
+    assert out[3]["min_gap_us"] == 0 and out[3]["max_gap_us"] == 30
+    assert out[3]["sum_gap_us"] == 30
