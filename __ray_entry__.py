@@ -492,71 +492,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # dict (rounds 1-3 covered the trailing block; all entries pass the
     # identical local harness, tools/crosscheck.py).
     return {
-        # --- never driver-checked in r1-r4 + entries whose oracle is new
-        # this round (r5) lead; the window covers the first 50 ---
-        "label_propagation": q.q_label_propagation,  # bounded-round LPA communities (r5)
-        "char_profile": q.q_char_profile,  # zero-copy byte histogram profile (r5)
-        "order_gaps": q.q_order_gaps,  # repeat-purchase intervals (r5)
-        "clustering_coefficient": q.q_clustering_coefficient,  # Watts-Strogatz local coeff (r5)
-        "assortativity": q.q_assortativity,  # Newman degree assortativity (r5)
-        "fof_counts": q.q_fof_counts,  # distance-2 neighbor counts (r5)
-        "reciprocity": q.q_reciprocity,  # directed mutual-edge fraction (r5)
-        "attribution": q.q_attribution,  # last-touch channel credit (r5)
-        "hapax_ratio": q.q_hapax_ratio,  # per-page hapax fraction (r5)
-        "grouped_corr": q.q_grouped_corr,  # exact-moment Pearson corr (r5)
-        "vocab_overlap": q.q_vocab_overlap,  # per-host-pair Jaccard (r5)
-        "covisitation": q.q_covisitation,  # item-item co-purchase counts (r5)
+        # --- the driver's per-round window covers the FIRST 50 entries.
+        # Priority order inside the window (VERDICT r4 #1/#2): the three
+        # never-driver-checked entries lead, then the formerly rows-only
+        # media batch (exact oracles since r5), then the round-5 exact
+        # entries with the largest new capability surface (real codecs,
+        # PQ ANN, BPE, curated-shard capstone, doc similarity, search/text
+        # analytics). Entries past 50 are all verified by the identical
+        # local harness (tools/crosscheck.py) every round.
+        "media_real": q.q_media_real,  # BMP/WAV/PNG decode evidence (exact, r5; never driver-checked r1-r4)
+        "ann_ivf_disk": q.q_ann_ivf_disk,  # on-disk IVF build+probe (never driver-checked r1-r4)
+        "lsh_neardup": q.q_lsh_neardup,  # LSH bucket pairs (never driver-checked r1-r4)
+        "media_gif": q.q_media_gif,  # real LZW decode evidence (exact oracle new in r5)
+        "media_adpcm": q.q_media_adpcm,  # real ADPCM decode evidence (exact oracle new in r5)
+        "media_gif_frames": q.q_media_gif_frames,  # frame fan-out (exact oracle new in r5)
+        "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only (recall pytest-pinned)
         "media_mp3": q.q_media_mp3,  # REAL MPEG-audio frame-chain probe (r5)
         "media_h264": q.q_media_h264,  # REAL H.264 NAL/SPS parse (r5)
-        "bfs_hops": q.q_bfs_hops,  # multi-source BFS distances (r5)
-        "collocations": q.q_collocations,  # integer PMI-lift bigrams (r5)
-        "grouped_mad": q.q_grouped_mad,  # median/MAD + Hampel outliers (r5)
-        "search_rrf": q.q_search_rrf,  # reciprocal-rank fusion tf+bm25 (r5)
-        "html_meta": q.q_html_meta,  # head-metadata extraction (r5)
-        "domain_ngrams": q.q_domain_ngrams,  # per-host top-k bigrams (r5)
-        "crawl_frontier": q.q_crawl_frontier,  # uncrawled-target topk (r5)
-        "hits": q.q_hits,  # Kleinberg hubs/authorities, int64 exact (r5)
-        "triangle_counts": q.q_triangle_counts,  # oriented wedge-close (r5)
-        "rademacher_project": q.q_rademacher_project,  # int-exact JL (r5)
-        "cohort_retention": q.q_cohort_retention,  # day-cohort matrix (r5)
-        "funnel_counts": q.q_funnel_counts,  # ordered 3-step funnel (r5)
-        "event_transitions": q.q_event_transitions,  # Markov counts (r5)
-        "kcore": q.q_kcore,  # bounded synchronous k-core peel (r5)
-        "winsorize_values": q.q_winsorize_values,  # p5/p95 clamp (r5)
-        "editdist1_pairs": q.q_editdist1_pairs,  # SymSpell lev<=1 (r5)
-        "ppr": q.q_ppr,  # personalized PageRank, seed teleport (r5)
-        "event_runs": q.q_event_runs,  # gaps-and-islands RLE (r5)
-        "grouped_mode": q.q_grouped_mode,  # deterministic MODE (r5)
-        "interval_coverage": q.q_interval_coverage,  # interval merge (r5)
-        "novelty_counts": q.q_novelty_counts,  # corpus-first shingles (r5)
-        "term_burstiness": q.q_term_burstiness,  # df/Σtf/Σtf² moments (r5)
-        "ntile_values": q.q_ntile_values,  # exact NTILE(4) buckets (r5)
-        "pareto_frontier": q.q_pareto_frontier,  # 2-D skyline (r5)
-        "value_ranks": q.q_value_ranks,  # no-sort global ranks (r5)
-        "leakage_free_split": q.q_leakage_free_split,  # cluster split (r5)
-        "cocitation": q.q_cocitation,  # shared in-link sources (r5)
-        "similar_docs": q.q_similar_docs,  # sparse doc-doc cosine (exact, r5)
-        "containment_pairs": q.q_containment_pairs,  # Broder containment (exact, r5)
-        "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
-        "doc_keywords": q.q_doc_keywords,  # per-doc tfidf top-k (exact, r5)
-        "dup_spans": q.q_dup_spans,  # exact dup-substring spans (exact, r5)
-        "top_anchors": q.q_top_anchors,  # per-target anchor top-k (exact, r5)
-        "bpe_train": q.q_bpe_train,  # distributed BPE training (exact, r5)
-        "bpe_encode": q.q_bpe_encode,  # BPE apply, broadcast merges (exact, r5)
-        "ann_pq_topk": q.q_ann_pq_topk,  # PQ/ADC ANN, codeword corpus (exact, r5)
-        "ann_pq_disk": q.q_ann_pq_disk,  # on-disk PQ build+add+delete (exact, r5)
         "media_flac": q.q_media_flac,  # real FLAC decode evidence (exact, r5)
         "media_mjpeg": q.q_media_mjpeg,  # real MJPEG-AVI decode (exact, r5)
         "media_mjpeg_frames": q.q_media_mjpeg_frames,  # AVI demux fan-out (exact, r5)
         "media_jpeg": q.q_media_jpeg,  # real JPEG decode evidence (exact, r5)
         "media_g711": q.q_media_g711,  # real G.711 decode evidence (exact, r5)
-        "media_real": q.q_media_real,  # BMP/WAV/PNG decode evidence (exact, r5)
-        "ann_ivf_disk": q.q_ann_ivf_disk,  # never driver-checked (r5)
-        "lsh_neardup": q.q_lsh_neardup,  # rows-only (LSH buckets; never checked)
-        "media_gif": q.q_media_gif,  # real LZW decode evidence (exact, r5)
-        "media_adpcm": q.q_media_adpcm,  # real ADPCM decode evidence (exact, r5)
-        "media_gif_frames": q.q_media_gif_frames,  # frame fan-out (exact, r5)
-        "ann_lsh_topk": q.q_ann_lsh_topk,  # rows-only (recall pytest-pinned)
+        "ann_pq_topk": q.q_ann_pq_topk,  # PQ/ADC ANN, codeword corpus (exact, r5)
+        "ann_pq_disk": q.q_ann_pq_disk,  # on-disk PQ build+add+delete (exact, r5)
+        "bpe_train": q.q_bpe_train,  # distributed BPE training (exact, r5)
+        "bpe_encode": q.q_bpe_encode,  # BPE apply, broadcast merges (exact, r5)
+        "export_curated_shards": q.q_export_curated_shards,  # capstone (r5)
+        "similar_docs": q.q_similar_docs,  # sparse doc-doc cosine (exact, r5)
+        "containment_pairs": q.q_containment_pairs,  # Broder containment (exact, r5)
+        "doc_keywords": q.q_doc_keywords,  # per-doc tfidf top-k (exact, r5)
+        "dup_spans": q.q_dup_spans,  # exact dup-substring spans (exact, r5)
+        "top_anchors": q.q_top_anchors,  # per-target anchor top-k (exact, r5)
+        "search_rrf": q.q_search_rrf,  # reciprocal-rank fusion tf+bm25 (r5)
+        "html_meta": q.q_html_meta,  # head-metadata extraction (r5)
+        "domain_ngrams": q.q_domain_ngrams,  # per-host top-k bigrams (r5)
+        "crawl_frontier": q.q_crawl_frontier,  # uncrawled-target topk (r5)
+        "collocations": q.q_collocations,  # integer PMI-lift bigrams (r5)
+        "novelty_counts": q.q_novelty_counts,  # corpus-first shingles (r5)
+        "term_burstiness": q.q_term_burstiness,  # df/Σtf/Σtf² moments (r5)
+        "hapax_ratio": q.q_hapax_ratio,  # per-page hapax fraction (r5)
+        "vocab_overlap": q.q_vocab_overlap,  # per-host-pair Jaccard (r5)
+        "hits": q.q_hits,  # Kleinberg hubs/authorities, int64 exact (r5)
+        "triangle_counts": q.q_triangle_counts,  # oriented wedge-close (r5)
+        "bfs_hops": q.q_bfs_hops,  # multi-source BFS distances (r5)
+        "kcore": q.q_kcore,  # bounded synchronous k-core peel (r5)
+        "ppr": q.q_ppr,  # personalized PageRank, seed teleport (r5)
+        "cocitation": q.q_cocitation,  # shared in-link sources (r5)
+        "leakage_free_split": q.q_leakage_free_split,  # cluster split (r5)
+        "grouped_mad": q.q_grouped_mad,  # median/MAD + Hampel outliers (r5)
+        "grouped_corr": q.q_grouped_corr,  # exact-moment Pearson corr (r5)
+        "grouped_mode": q.q_grouped_mode,  # deterministic MODE (r5)
+        "winsorize_values": q.q_winsorize_values,  # p5/p95 clamp (r5)
+        "ntile_values": q.q_ntile_values,  # exact NTILE(4) buckets (r5)
+        "value_ranks": q.q_value_ranks,  # no-sort global ranks (r5)
+        "pareto_frontier": q.q_pareto_frontier,  # 2-D skyline (r5)
+        "editdist1_pairs": q.q_editdist1_pairs,  # SymSpell lev<=1 (r5)
+        "rademacher_project": q.q_rademacher_project,  # int-exact JL (r5)
+        "interval_coverage": q.q_interval_coverage,  # interval merge (r5)
+        # --- position 51+: outside the driver window; exact-oracle-checked
+        # by tools/crosscheck.py locally every round ---
+        "cohort_retention": q.q_cohort_retention,  # day-cohort matrix (r5)
+        "funnel_counts": q.q_funnel_counts,  # ordered 3-step funnel (r5)
+        "event_transitions": q.q_event_transitions,  # Markov counts (r5)
+        "event_runs": q.q_event_runs,  # gaps-and-islands RLE (r5)
+        "attribution": q.q_attribution,  # last-touch channel credit (r5)
+        "covisitation": q.q_covisitation,  # item-item co-purchase counts (r5)
+        "order_gaps": q.q_order_gaps,  # repeat-purchase intervals (r5)
+        "reciprocity": q.q_reciprocity,  # directed mutual-edge fraction (r5)
+        "fof_counts": q.q_fof_counts,  # distance-2 neighbor counts (r5)
+        "clustering_coefficient": q.q_clustering_coefficient,  # Watts-Strogatz local coeff (r5)
+        "assortativity": q.q_assortativity,  # Newman degree assortativity (r5)
+        "label_propagation": q.q_label_propagation,  # bounded-round LPA communities (r5)
+        "char_profile": q.q_char_profile,  # zero-copy byte histogram profile (r5)
         "approx_percentiles": q.q_approx_percentiles,  # rows-only (DDSketch)
         "grouped_approx_percentiles": q.q_grouped_approx_percentiles,  # rows-only (DDSketch)
         "grouped_approx_distinct": q.q_grouped_approx_distinct,  # rows-only (HLL)
